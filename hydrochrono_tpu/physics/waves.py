@@ -1,0 +1,361 @@
+"""Wave models: still water, regular (monochromatic) and irregular (JONSWAP) seas.
+
+Host-side precomputation (spectra, phases, wavenumbers, free-surface elevation,
+excitation-IRF resampling) happens once in float64 numpy; the per-step wave
+force is a tiny closed form (regular) or a windowed dot against the
+precomputed eta series (irregular), both jit-safe and batched.
+
+Reference semantics reproduced (file:line into /root/reference):
+  * Pierson-Moskowitz / JONSWAP spectra in Hz            wave_types.cpp:679-715
+  * phase RNG: std::mt19937(seed) + uniform_real(0,2pi)  wave_types.cpp:664-669
+    (bit-exact via the MT19937 stream + GCC generate_canonical pairing)
+  * dispersion Newton solve w/ deep-water shortcut       wave_types.cpp:178-255
+  * eta synthesis with start ramp                        wave_types.cpp:717-774
+  * excitation IRF cubic-spline resample to sim dt       wave_types.cpp:572-606
+  * regular-wave excitation interpolation (incl. the
+    freq_index = w/dw - 1 convention and the phase
+    lookup that always uses body 1's phases)             wave_types.cpp:289-352
+  * per-step excitation convolution over eta             wave_types.cpp:776-844
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from hydrochrono_tpu.io.bemio import HydroData, trapezoid_widths
+
+TWO_PI = 2.0 * np.pi
+
+
+# ---------------------------------------------------------------------------
+# dispersion
+# ---------------------------------------------------------------------------
+
+def compute_wavenumber(omega, water_depth: float, g: float,
+                       tolerance: float = 1e-6, max_iterations: int = 100):
+    """Newton solve of omega^2 = g k tanh(k h); vectorized over omega.
+
+    Deep-water shortcut when h == 0, h > 1000 or h == inf
+    (reference: wave_types.cpp:178-255).
+    """
+    omega = np.asarray(omega, dtype=np.float64)
+    if water_depth == 0.0 or water_depth > 1000.0 or np.isinf(water_depth):
+        return omega * omega / g
+    k = omega * omega / g
+    for _ in range(max_iterations):
+        tanh_kh = np.tanh(k * water_depth)
+        f = omega * omega - g * k * tanh_kh
+        df = -2.0 * g * tanh_kh - g * k * water_depth * (1.0 - tanh_kh * tanh_kh)
+        delta = f / df
+        k = k - delta
+        if np.max(np.abs(delta)) <= tolerance:
+            break
+    return k
+
+
+# ---------------------------------------------------------------------------
+# spectra
+# ---------------------------------------------------------------------------
+
+def pierson_moskowitz_spectrum_hz(f_hz: np.ndarray, hs: float, tp: float) -> np.ndarray:
+    f_hz = np.asarray(f_hz, dtype=np.float64)
+    return (
+        1.25 * (1.0 / tp) ** 4 * (hs / 2.0) ** 2 * f_hz ** -5.0
+        * np.exp(-1.25 * (1.0 / tp) ** 4 * f_hz ** -4.0)
+    )
+
+
+def jonswap_spectrum_hz(f_hz: np.ndarray, hs: float, tp: float,
+                        gamma: float = 3.3, is_normalized: bool = True) -> np.ndarray:
+    s = pierson_moskowitz_spectrum_hz(f_hz, hs, tp)
+    sigma = np.where(f_hz <= 1.0 / tp, 0.07, 0.09)
+    s = s * gamma ** np.exp(-((f_hz * tp - 1.0) ** 2) / (2.0 * sigma ** 2))
+    if is_normalized:
+        s = s * (1.0 - 0.287 * np.log(gamma))
+    return s
+
+
+def mt19937_uniform_phases(seed: int, n: int) -> np.ndarray:
+    """Phases in [0, 2pi) bit-identical to GCC's
+    std::uniform_real_distribution<double>(0, 2pi) over std::mt19937(seed):
+    each double consumes two 32-bit draws x0, x1 -> (x0 + x1*2^32) / 2^64.
+    numpy's RandomState shares MT19937 and the int-seed initialization.
+    """
+    rs = np.random.RandomState(seed)
+    raw = rs.randint(0, 2 ** 32, size=2 * n, dtype=np.uint64)
+    x0 = raw[0::2].astype(np.float64)
+    x1 = raw[1::2].astype(np.float64)
+    return (x0 + x1 * 2.0 ** 32) / 2.0 ** 64 * TWO_PI
+
+
+# ---------------------------------------------------------------------------
+# free-surface elevation + kinematics (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+def eta_irregular_series(times: np.ndarray, freqs_hz: np.ndarray,
+                         spectral_densities: np.ndarray, spectral_widths: np.ndarray,
+                         phases: np.ndarray, wavenumbers: np.ndarray,
+                         x_pos: float = 0.0) -> np.ndarray:
+    """eta(t) = sum_i sqrt(2 S_i dw_i) cos(k_i x - w_i t + phi_i)
+    (reference: wave_types.cpp:14-44)."""
+    amp = np.sqrt(2.0 * spectral_densities * spectral_widths)
+    omega = TWO_PI * freqs_hz
+    # [T, F] phase matrix; sum over F
+    arg = wavenumbers[None, :] * x_pos - omega[None, :] * times[:, None] + phases[None, :]
+    return (np.cos(arg) * amp[None, :]).sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Eigen-compatible cubic B-spline resampling of the excitation IRF
+# ---------------------------------------------------------------------------
+
+def _eigen_knot_averaging(params: np.ndarray, degree: int = 3) -> np.ndarray:
+    """Eigen::KnotAveraging — first/last degree+1 knots clamped to 0/1,
+    interior knot j+degree = mean(params[j : j+degree])."""
+    n = params.shape[0]
+    knots = np.zeros(n + degree + 1)
+    for j in range(1, n - degree):
+        knots[j + degree] = params[j : j + degree].mean()
+    knots[-(degree + 1):] = 1.0
+    return knots
+
+
+def eigen_spline_resample(values: np.ndarray, n_new: int) -> np.ndarray:
+    """Resample rows of `values` [D, n] onto n_new uniformly spaced parameters
+    using a degree-3 interpolating B-spline with Eigen's knot averaging —
+    matching Eigen::SplineFitting used by the reference (wave_types.cpp:572-606,
+    which maps both old and new time grids to uniform [0,1] parameters).
+    """
+    from scipy.interpolate import make_interp_spline, BSpline
+
+    d, n = values.shape
+    params = np.linspace(0.0, 1.0, n)
+    knots = _eigen_knot_averaging(params, 3)
+    u_new = np.linspace(0.0, 1.0, n_new)
+    out = np.empty((d, n_new))
+    spl = make_interp_spline(params, values.T, k=3, t=knots)
+    out[:] = spl(u_new).T
+    return out
+
+
+# ---------------------------------------------------------------------------
+# wave model specs
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class NoWave:
+    """Still water (reference: wave_types.cpp:257-264)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class RegularWave:
+    """Monochromatic wave. amplitude/omega may be scalars or [B] arrays for
+    batched sweeps (reference: wave_types.cpp:266-352)."""
+
+    amplitude: object  # scalar or array [B]
+    omega: object  # scalar or array [B]
+    phase: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class IrregularWaveParams:
+    """Mirrors the reference IrregularWaveParams (wave_types.h:277-292)."""
+
+    height: float  # Hs
+    period: float  # Tp
+    frequency_min: float = 0.001
+    frequency_max: float = 1.0
+    nfrequencies: int = 0  # 0 = auto: ceil((fmax-fmin)*T_sim)
+    peak_enhancement_factor: float = 3.3
+    is_normalized: bool = True
+    seed: int = 1  # may be an array [B] for batched seeds
+    ramp_duration: float = 0.0
+    eta_file_path: Optional[str] = None
+    wave_stretching: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class RegularWaveData:
+    """Device-ready arrays for the per-step regular-wave force."""
+
+    force_mag: np.ndarray  # [..., 6N] (rho*g-scaled mag * per-dof interp)
+    force_phase: np.ndarray  # [..., 6N] (the phase actually used per dof)
+    amplitude: np.ndarray  # [...]
+    omega: np.ndarray  # [...]
+
+
+def build_regular_wave(hydro: HydroData, wave: RegularWave,
+                       replicate_phase_bug: bool = True) -> RegularWaveData:
+    """Interpolate per-DoF excitation magnitude/phase at the wave frequency.
+
+    Follows the reference exactly: delta_w = w_max / Nw and
+    freq_index = w/delta_w - 1 (wave_types.cpp:289-297, 329-333), linear
+    interpolation between floor and floor+1 (wave_types.cpp:335-352).
+
+    replicate_phase_bug: the reference evaluates the force with
+    `phase[rowEx]` — i.e. body 1's phases for every body
+    (wave_types.cpp:323). Kept by default for trajectory parity; set False
+    for the corrected per-body phases.
+    """
+    amplitude = np.asarray(wave.amplitude, dtype=np.float64)
+    omega = np.asarray(wave.omega, dtype=np.float64)
+    batch_shape = np.broadcast(amplitude, omega).shape
+
+    freqs = hydro.freq_list
+    n_freq = freqs.shape[0]
+    omega_delta = freqs[-1] / n_freq
+    idx_des = omega / omega_delta - 1.0
+    i0 = np.floor(idx_des).astype(np.int64)
+    frac = idx_des - i0
+    i1 = i0 + 1
+
+    nb, dof = hydro.num_bodies, 6
+    total = nb * dof
+    mag = np.zeros(batch_shape + (total,))
+    ph = np.zeros(batch_shape + (total,))
+    for b in range(nb):
+        for i in range(dof):
+            m0 = hydro.exc_mag[b, i, 0, i0]
+            m1 = hydro.exc_mag[b, i, 0, i1]
+            p0 = hydro.exc_phase[b, i, 0, i0]
+            p1 = hydro.exc_phase[b, i, 0, i1]
+            mag[..., b * dof + i] = m0 + frac * (m1 - m0)
+            ph[..., b * dof + i] = p0 + frac * (p1 - p0)
+    if replicate_phase_bug and nb > 1:
+        ph = np.tile(ph[..., :dof], (1,) * len(batch_shape) + (nb,))
+    # the wave's own phase offset is added at force evaluation
+    return RegularWaveData(
+        force_mag=mag,
+        force_phase=ph,
+        amplitude=np.broadcast_to(amplitude, batch_shape).copy(),
+        omega=np.broadcast_to(omega, batch_shape).copy(),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class IrregularWaveData:
+    """Device-ready arrays for the per-step irregular excitation convolution.
+
+    F_exc[dof](step n) = sum_m E[dof, m] * eta[n + m]   (see build notes)
+    """
+
+    eta: np.ndarray  # [..., Neta] free-surface elevation series
+    exc_kernel: np.ndarray  # [6N, M] eta-index-space excitation kernel
+    # spectra etc. retained for the exporter / kinematics queries
+    freqs_hz: np.ndarray
+    spectral_densities: np.ndarray
+    spectral_widths: np.ndarray
+    phases: np.ndarray  # [..., F]
+    wavenumbers: np.ndarray
+    eta_time: np.ndarray  # [Neta]
+    irf_time_resampled: np.ndarray
+    irf_resampled: np.ndarray  # [N, 6, Tr']
+
+
+def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
+                         dt: float, duration: float) -> IrregularWaveData:
+    """Full reference pipeline (wave_types.cpp:432-844), vectorized.
+
+    Batched seeds: if params.seed is an array, eta/phases get a leading batch
+    axis; the excitation kernel is seed-independent.
+    """
+    nb = hydro.num_bodies
+
+    # 1) resample excitation IRF onto (approximately) the simulation dt
+    t_old = hydro.exc_irf_time
+    t0, t1 = float(t_old[0]), float(t_old[-1])
+    n_new = int(np.ceil((t1 - t0) / dt))
+    irf_time = np.linspace(t0, t1, n_new)
+    irf_res = np.stack(
+        [eigen_spline_resample(hydro.exc_irf[b], n_new) for b in range(nb)]
+    )  # [N, 6, n_new]
+    irf_width = trapezoid_widths(irf_time)
+
+    # 2) spectrum / phases / wavenumbers
+    if params.eta_file_path:
+        times, eta = read_eta_file(params.eta_file_path)
+        freqs_hz = np.zeros(0)
+        dens = np.zeros(0)
+        widths = np.zeros(0)
+        phases = np.zeros(0)
+        ks = np.zeros(0)
+        eta_time = times
+    else:
+        if params.nfrequencies == 0:
+            df = 1.0 / duration
+            nf = int(np.ceil((params.frequency_max - params.frequency_min) / df))
+        else:
+            nf = params.nfrequencies
+        freqs_hz = np.linspace(params.frequency_min, params.frequency_max, nf)
+        dens = jonswap_spectrum_hz(
+            freqs_hz, params.height, params.period,
+            params.peak_enhancement_factor, params.is_normalized,
+        )
+        widths = trapezoid_widths(freqs_hz)
+        seeds = np.atleast_1d(np.asarray(params.seed, dtype=np.int64))
+        phases = np.stack([mt19937_uniform_phases(int(s), nf) for s in seeds])
+        ks = compute_wavenumber(TWO_PI * freqs_hz, hydro.water_depth, hydro.g)
+
+        # 3) eta series on [-t_irf_max, T + 2*(t_irf_max - t_irf_min) - t_irf_max]
+        t_irf_min = min(0.0, float(irf_time[0]))
+        t_irf_max = max(0.0, float(irf_time[-1]))
+        span = duration + 2.0 * (t_irf_max - t_irf_min)
+        num = int(np.ceil(span / dt))
+        eta_time = np.linspace(0.0, num * dt, num + 1) - t_irf_max
+        eta = np.stack([
+            eta_irregular_series(eta_time, freqs_hz, dens, widths, phases[i], ks)
+            for i in range(seeds.shape[0])
+        ])
+        if params.ramp_duration > 0.0:
+            ramp = np.clip(eta_time / params.ramp_duration, 0.0, 1.0)
+            ramp = np.where(eta_time <= 0.0, 0.0, ramp)
+            eta = eta * ramp[None, :]
+        if np.isscalar(params.seed) or np.asarray(params.seed).ndim == 0:
+            eta = eta[0]
+            phases = phases[0]
+
+    # 4) fold quadrature + eta interpolation into an eta-index-space kernel:
+    #    query position of lag j at step n:  (n*dt - tau_j + t_irf_max)/dt = n + c_j
+    t_irf_max = max(0.0, float(irf_time[-1]))
+    c = (t_irf_max - irf_time) / dt
+    m = np.floor(c + 1e-9).astype(np.int64)
+    f = np.maximum(c - m, 0.0)
+    m_max = int(m.max()) + 1
+    total = nb * 6
+    E = np.zeros((total, m_max + 1))
+    for b in range(nb):
+        kw = irf_res[b] * irf_width[None, :]  # [6, n_new]
+        acc = np.zeros((m_max + 1, 6))
+        np.add.at(acc, m, (1.0 - f)[:, None] * kw.T)
+        np.add.at(acc, m + 1, f[:, None] * kw.T)
+        E[b * 6 : b * 6 + 6] = acc.T
+
+    return IrregularWaveData(
+        eta=eta,
+        exc_kernel=E,
+        freqs_hz=freqs_hz,
+        spectral_densities=dens,
+        spectral_widths=widths,
+        phases=phases,
+        wavenumbers=ks,
+        eta_time=eta_time,
+        irf_time_resampled=irf_time,
+        irf_resampled=irf_res,
+    )
+
+
+def read_eta_file(path: str):
+    """Parse a `time : eta` text file (reference: wave_types.cpp:480-500)."""
+    times, etas = [], []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            left, _, right = line.partition(":")
+            times.append(float(left))
+            etas.append(float(right))
+    return np.asarray(times), np.asarray(etas)
