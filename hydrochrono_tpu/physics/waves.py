@@ -169,8 +169,8 @@ class IrregularWaveParams:
     frequency_min: float = 0.001
     frequency_max: float = 1.0
     nfrequencies: int = 0  # 0 = auto: ceil((fmax-fmin)*T_sim)
-    peak_enhancement_factor: float = 3.3
-    is_normalized: bool = True
+    peak_enhancement_factor: float = 1.0  # reference default (wave_types.h:288)
+    is_normalized: bool = False  # reference default (wave_types.h:289)
     seed: int = 1  # may be an array [B] for batched seeds
     ramp_duration: float = 0.0
     eta_file_path: Optional[str] = None
@@ -318,13 +318,30 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
             phases = phases[0]
 
     # 4) fold quadrature + eta interpolation into an eta-index-space kernel:
-    #    query position of lag j at step n:  (n*dt - tau_j + t_irf_max)/dt = n + c_j
-    t_irf_max = max(0.0, float(irf_time[-1]))
-    c = (t_irf_max - irf_time) / dt
+    #    query position of lag j at step n on the eta grid (origin eta_time[0],
+    #    spacing dt): (n*dt - tau_j - t_eta0)/dt = n + c_j with static c_j.
+    t_eta0 = float(eta_time[0])
+    deta = float(eta_time[1] - eta_time[0])
+    if abs(deta - dt) > 1e-9 * max(1.0, dt):
+        raise ValueError(
+            f"eta series spacing {deta} must equal the simulation dt {dt} "
+            "(the reference precomputes eta on the simulation grid)"
+        )
+    c = (-irf_time - t_eta0) / dt
     m = np.floor(c + 1e-9).astype(np.int64)
     f = np.maximum(c - m, 0.0)
+    m_min = int(m.min())
     m_max = int(m.max()) + 1
     total = nb * 6
+    if m_min < 0:
+        # queries reach before the start of the eta series (possible with
+        # imported eta files that begin at t=0); zero-pad the front so the
+        # missing contributions are dropped, and shift the kernel base.
+        pad = -m_min
+        eta = np.concatenate([np.zeros(eta.shape[:-1] + (pad,)), eta], axis=-1)
+        eta_time = np.concatenate([eta_time[0] + dt * np.arange(-pad, 0), eta_time])
+        m = m + pad
+        m_max += pad
     E = np.zeros((total, m_max + 1))
     for b in range(nb):
         kw = irf_res[b] * irf_width[None, :]  # [6, n_new]

@@ -176,7 +176,19 @@ class Simulation:
                 raise ValueError("irregular waves require `duration` at build time")
             data = wv.build_irregular_wave(hd, wave, self.dt, self.duration)
             self.irr = data
-            self.irr_eta = jnp.asarray(data.eta, self.dtype)
+            # zero-pad the eta series so the per-step dynamic_slice window
+            # stays in bounds for every step (jax clamps out-of-range starts,
+            # which would silently misalign the window otherwise)
+            M = data.exc_kernel.shape[1]
+            n_max = int(np.ceil(self.duration / self.dt)) + 2
+            eta = np.asarray(data.eta)
+            need = n_max + M
+            if eta.shape[-1] < need:
+                pad = need - eta.shape[-1]
+                eta = np.concatenate(
+                    [eta, np.zeros(eta.shape[:-1] + (pad,))], axis=-1
+                )
+            self.irr_eta = jnp.asarray(eta, self.dtype)
             self.irr_kernel = jnp.asarray(data.exc_kernel, self.dtype)
         else:
             raise TypeError(f"unknown wave model {wave!r}")
