@@ -1,0 +1,212 @@
+"""run_hydrochrono-compatible CLI.
+
+Usage mirrors the reference app (app/run_hydrochrono.cpp:89-158):
+
+    run-hydrochrono-tpu <case_dir | case.setup.yaml>
+        [--nogui] [--log FILE] [--quiet] [--debug] [--trace] [--profile]
+        [--model_file F] [--sim_file F] [--hydro_file F] [--output-h5 DIR]
+        [--tag TAG] [--fail-fast] [--version] [--info]
+
+--nogui is accepted for compatibility (runs are always headless here).
+Regular-wave period sweeps run as ONE batched device program instead of the
+reference's serial loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from hydrochrono_tpu import __version__
+from hydrochrono_tpu.utils.logging import LoggingConfig, get_logger, initialize, shutdown
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="run-hydrochrono-tpu",
+        description="TPU-native time-domain WEC simulator (HydroChrono-compatible)",
+    )
+    p.add_argument("case", nargs="?", help="case directory or *.setup.yaml path")
+    p.add_argument("--nogui", action="store_true", help="headless (always true)")
+    p.add_argument("--log", metavar="FILE", help="also log to FILE")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--trace", action="store_true")
+    p.add_argument("--profile", action="store_true", help="print runtime breakdown")
+    p.add_argument("--model_file")
+    p.add_argument("--sim_file")
+    p.add_argument("--hydro_file")
+    p.add_argument("--output-h5", dest="output_h5", metavar="DIR",
+                   help="override output directory")
+    p.add_argument("--h5-verbose", action="store_true")
+    p.add_argument("--tag", default="", help="run tag recorded in /meta/run")
+    p.add_argument("--fail-fast", action="store_true",
+                   help="stop a sweep on the first failing case")
+    p.add_argument("--version", action="store_true")
+    p.add_argument("--info", action="store_true")
+    p.add_argument("--dtype", choices=["float32", "float64"], default=None,
+                   help="simulation precision (default: platform-appropriate)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.version:
+        print(f"hydrochrono-tpu {__version__}")
+        return 0
+
+    level = "info"
+    if args.quiet:
+        level = "warning"
+    if args.debug:
+        level = "debug"
+    if args.trace:
+        level = "trace"
+    log = initialize(LoggingConfig(console_level=level, log_file=args.log))
+
+    import jax
+
+    if args.info:
+        log.banner("HydroChrono-TPU", __version__)
+        log.aligned("JAX version", jax.__version__)
+        log.aligned("Devices", ", ".join(str(d) for d in jax.devices()))
+        return 0
+
+    if args.case is None and args.model_file is None:
+        log.error("no case directory, setup file, or explicit --model_file given")
+        return 2
+
+    try:
+        rc = run_case(args, log)
+    finally:
+        log.show_warnings_block()
+        shutdown()
+    return rc
+
+
+def run_case(args, log) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from hydrochrono_tpu.io.results import export_results, wave_type_name
+    from hydrochrono_tpu.scene.builder import build_case
+
+    t_setup0 = time.time()
+    log.banner("HydroChrono-TPU", __version__)
+
+    case = build_case(
+        args.case,
+        model_file=args.model_file,
+        simulation_file=args.sim_file,
+        hydro_file=args.hydro_file,
+        output_directory=args.output_h5,
+    )
+    for w in case.warnings:
+        log.warning(w)
+
+    log.header("Simulation Summary")
+    log.aligned("Model", case.model.name)
+    log.aligned("Bodies", f"{len(case.model.bodies)} "
+                f"({len(case.system.moving_indices)} moving)")
+    log.aligned("Joints", len(case.model.joints))
+    log.aligned("TSDA / RSDA", f"{len(case.model.tsdas)} / {len(case.model.rsdas)}")
+    log.aligned("Time step", f"{case.dt} s")
+    log.aligned("End time", f"{case.end_time} s")
+    log.aligned("Steps", case.num_steps)
+    if case.hydro_spec is not None:
+        ws = case.hydro_spec.waves
+        log.aligned("Wave model", ws.kind)
+        if ws.kind != "still":
+            log.aligned("Wave height", f"{ws.height} m")
+            if ws.periods is not None:
+                periods = np.atleast_1d(ws.periods)
+                if periods.size > 1:
+                    log.aligned("Period sweep", f"{periods.size} cases "
+                                f"[{periods.min()}..{periods.max()}] s (batched)")
+                else:
+                    log.aligned("Wave period", f"{float(periods[0])} s")
+
+    dtype = None
+    if args.dtype:
+        dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+        if args.dtype == "float64":
+            jax.config.update("jax_enable_x64", True)
+
+    outputs = ("pos", "quat", "lin_vel", "ang_vel", "acc", "lambda", "tsda")
+    sim = case.build_simulation(dtype=dtype, outputs=outputs)
+    case._sim = sim
+    t_setup = time.time() - t_setup0
+
+    n = case.num_steps
+    log.header("Running")
+    t_run0 = time.time()
+
+    sweep_batched = None
+    ws = case.hydro_spec.waves if case.hydro_spec else None
+    if ws is not None and ws.kind == "regular" and ws.is_sweep:
+        # the batched params already carry the sweep axis from the builder
+        sweep_batched = {k: sim.params[k] for k in
+                         ("reg_mag", "reg_phase", "reg_amp", "reg_omega")}
+
+    run = jax.jit(lambda p: sim.run(n, params=p))
+    if sweep_batched is not None:
+        axes = {k: (0 if k in sweep_batched else None) for k in sim.params}
+        run = jax.jit(jax.vmap(lambda p: sim.run(n, params=p), in_axes=(axes,)))
+    _, traj = run(sim.params)
+    jax.block_until_ready(traj)
+    t_run = time.time() - t_run0
+    log.progress(1.0, f"{n} steps")
+
+    # NaN/divergence guard (reference: run_hydrochrono_from_yaml.cpp:863-905)
+    pos = np.asarray(traj["pos"])
+    if not np.isfinite(pos).all():
+        bad = np.argwhere(~np.isfinite(pos))
+        log.error(f"non-finite body state detected (first at step {bad[0][0]})")
+        return 1
+
+    # export
+    t_exp0 = time.time()
+    out_dir = case.output_directory or os.path.join(
+        os.path.dirname(case.setup.setup_path) if case.setup else ".", "outputs"
+    )
+    times = sim.times(n)
+    meta = {"tag": args.tag} if args.tag else {}
+    if sweep_batched is not None:
+        periods = np.atleast_1d(ws.periods)
+        paths = []
+        for i, T in enumerate(periods):
+            sub = jax.tree.map(lambda v: np.asarray(v)[i], traj)
+            d = os.path.join(out_dir, f"period_{T:g}")
+            paths.append(export_results(case, sub, times, d,
+                                        wall_time_s=t_run, run_metadata=meta))
+        log.success(f"exported {len(paths)} sweep cases under {out_dir}")
+    else:
+        path = export_results(case, traj, times, out_dir,
+                              wall_time_s=t_run, run_metadata=meta)
+        log.success(f"results written to {path}")
+    t_exp = time.time() - t_exp0
+
+    if args.profile:
+        log.header("Profile")
+        total = t_setup + t_run + t_exp
+        log.section_box("Runtime breakdown", [
+            ("setup", f"{t_setup:8.3f} s  ({100 * t_setup / total:4.1f}%)"),
+            ("dynamics loop", f"{t_run:8.3f} s  ({100 * t_run / total:4.1f}%)"),
+            ("export", f"{t_exp:8.3f} s  ({100 * t_exp / total:4.1f}%)"),
+            ("steps/s", f"{n / max(t_run, 1e-9):,.0f}"),
+        ])
+
+    log.header("Results")
+    final_z = pos[..., -1, :, 2] if pos.ndim == 4 else pos[-1, :, 2]
+    log.aligned("Final time", f"{times[-1]:.3f} s")
+    log.aligned("Final heave (body 1)", np.round(final_z, 6))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,211 @@
+"""Scene builder: YAML specs -> SystemSpec + Simulation.
+
+Mirrors the reference's SetupHydroFromYAML / ChParserMbsYAML pipeline
+(setup_hydro_from_yaml.cpp:126-190, run_hydrochrono_from_yaml.cpp:185-214):
+bodies matched by name, first hydro body's h5 file used for all, wave built
+from the YAML wave settings with the runner's defaults (ramp 0, seed 1).
+Period sweeps become a *batched* parameter pytree instead of serial re-runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from hydrochrono_tpu.io.bemio import load_bemio_h5
+from hydrochrono_tpu.physics import waves as wv
+from hydrochrono_tpu.physics.radiation import TaperedDirectOptions
+from hydrochrono_tpu.physics.rotations import quat_from_cardan_xyz
+from hydrochrono_tpu.physics.system import (
+    Body,
+    HydroAttachment,
+    Joint,
+    RSDA,
+    SystemSpec,
+    TSDA,
+)
+from hydrochrono_tpu.scene import yaml as sy
+
+
+@dataclasses.dataclass
+class Case:
+    """A fully-resolved simulation case ready to run."""
+
+    setup: Optional[sy.SetupSpec]
+    model: sy.ModelSpec
+    simulation: sy.SimulationSpec
+    hydro_spec: Optional[sy.HydroSpec]
+    system: SystemSpec
+    wave: object
+    sweep: Optional[dict]  # batched params pytree for period sweeps (or None)
+    dt: float
+    end_time: float
+    output_directory: Optional[str]
+    warnings: list
+
+    @property
+    def num_steps(self) -> int:
+        # the runner loops while t < end_time stepping by dt
+        # (run_hydrochrono_from_yaml.cpp:716-764)
+        return int(round(self.end_time / self.dt))
+
+    def build_simulation(self, dtype=None, outputs=("pos", "quat", "lin_vel", "ang_vel")):
+        from hydrochrono_tpu.stepper import Simulation
+
+        tapered = None
+        if self.hydro_spec is not None and self.hydro_spec.convolution.mode in (
+            "tapered_direct", "tapereddirect"
+        ):
+            c = self.hydro_spec.convolution
+            tapered = TaperedDirectOptions(
+                smoothing=c.smoothing,
+                window_length=c.window_length,
+                rirf_end_time=c.rirf_end_time,
+                taper_start_percent=c.taper_start_percent,
+                taper_end_percent=c.taper_end_percent,
+                taper_final_amplitude=c.taper_final_amplitude,
+            )
+        return Simulation(
+            self.system, dt=self.dt, wave=self.wave, duration=self.end_time,
+            dtype=dtype, tapered=tapered, outputs=outputs,
+        )
+
+
+def _quat0_from_orientation(orientation, degrees: bool):
+    ang = np.asarray(orientation, dtype=np.float64)
+    if degrees:
+        ang = np.deg2rad(ang)
+    if np.allclose(ang, 0.0):
+        return (1.0, 0.0, 0.0, 0.0)
+    import jax.numpy as jnp
+
+    q = np.asarray(quat_from_cardan_xyz(jnp.asarray(ang)))
+    return tuple(float(x) for x in q)
+
+
+def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = None,
+               simulation_file: Optional[str] = None, hydro_file: Optional[str] = None,
+               output_directory: Optional[str] = None) -> Case:
+    """Resolve a case from a setup file / directory / explicit file paths
+    (mirrors ResolveInputFiles, run_hydrochrono_from_yaml.cpp:95-183)."""
+    warnings = []
+    setup = None
+    if setup_path is not None:
+        if os.path.isdir(setup_path):
+            setup_path = sy.find_setup_file(setup_path)
+        setup = sy.parse_setup_file(setup_path)
+        model_file = model_file or setup.model_file
+        simulation_file = simulation_file or setup.simulation_file
+        hydro_file = hydro_file or setup.hydro_file
+        output_directory = output_directory or setup.output_directory
+
+    if model_file is None or simulation_file is None:
+        raise FileNotFoundError("model_file and simulation_file are required")
+
+    model = sy.parse_model_file(model_file)
+    sim = sy.parse_simulation_file(simulation_file)
+    hydro_spec = sy.parse_hydro_file(hydro_file) if hydro_file else None
+
+    # bodies
+    name_to_idx = {}
+    bodies = []
+    for mb in model.bodies:
+        name_to_idx[mb.name] = len(bodies)
+        inertia = np.diag(mb.inertia_moments).astype(np.float64)
+        # Chrono convention: products (Ixy, Ixz, Iyz) enter off-diagonal with
+        # negative sign
+        ixy, ixz, iyz = mb.inertia_products
+        inertia[0, 1] = inertia[1, 0] = -ixy
+        inertia[0, 2] = inertia[2, 0] = -ixz
+        inertia[1, 2] = inertia[2, 1] = -iyz
+        bodies.append(Body(
+            name=mb.name,
+            mass=mb.mass,
+            pos0=tuple(mb.location),
+            quat0=_quat0_from_orientation(mb.orientation, model.angle_degrees),
+            inertia=inertia,
+            fixed=mb.fixed,
+        ))
+
+    def idx(name):
+        if name in ("ground", "world") and name not in name_to_idx:
+            return -1
+        return name_to_idx[name]
+
+    joints = [
+        Joint(kind=j.kind, body1=idx(j.body1), body2=idx(j.body2),
+              location=tuple(j.location), axis=tuple(j.axis))
+        for j in model.joints
+    ]
+    tsdas = [
+        TSDA(body1=idx(t.body1), body2=idx(t.body2), point1=tuple(t.point1),
+             point2=tuple(t.point2), spring_coeff=t.spring_coefficient,
+             damping_coeff=t.damping_coefficient, free_length=t.free_length,
+             spring_curve=t.spring_curve, damping_curve=t.damping_curve)
+        for t in model.tsdas
+    ]
+    rsdas = [
+        RSDA(body1=idx(r.body1), body2=idx(r.body2), axis=tuple(r.axis),
+             spring_coeff=r.spring_coefficient, damping_coeff=r.damping_coefficient,
+             rest_angle=r.free_angle)
+        for r in model.rsdas
+    ]
+
+    # hydro attachment: h5 body i <-> i-th hydro.yaml entry <-> model body by name
+    hydro_att = None
+    wave = wv.NoWave()
+    sweep = None
+    if hydro_spec is not None and hydro_spec.bodies:
+        h5_file = hydro_spec.bodies[0].h5_file  # first body's file used for all
+        # (setup_hydro_from_yaml.cpp:92-95)
+        hd = load_bemio_h5(h5_file, num_bodies=len(hydro_spec.bodies))
+        body_indices = []
+        for hb in hydro_spec.bodies:
+            if hb.name not in name_to_idx:
+                raise KeyError(
+                    f"hydro body '{hb.name}' not found among model bodies "
+                    f"{sorted(name_to_idx)}"
+                )
+            body_indices.append(name_to_idx[hb.name])
+        hydro_att = HydroAttachment(hydro=hd, body_indices=body_indices)
+
+        ws = hydro_spec.waves
+        if ws.kind == "regular":
+            periods = np.atleast_1d(np.asarray(ws.periods, dtype=np.float64))
+            omegas = 2.0 * np.pi / periods
+            amp = ws.height / 2.0
+            if periods.size > 1:
+                # sweep: batch over the period axis
+                wave = wv.RegularWave(amplitude=amp, omega=omegas)
+            else:
+                wave = wv.RegularWave(amplitude=amp, omega=float(omegas[0]),
+                                      phase=ws.phase)
+        elif ws.kind == "irregular":
+            period = float(np.atleast_1d(ws.periods)[0]) if ws.periods is not None else 0.0
+            wave = wv.IrregularWaveParams(
+                height=ws.height, period=period,
+                seed=(ws.seed if ws.seed > 0 else 1),
+                ramp_duration=0.0,  # the YAML runner passes 0
+                # (run_hydrochrono_from_yaml.cpp:457)
+            )
+        if hydro_spec.moordyn:
+            warnings.append(
+                "moordyn block found in hydro YAML: mooring is not implemented "
+                "(matches reference behavior - no moordyn support in v0.3.2)"
+            )
+
+    system = SystemSpec(
+        bodies=bodies, joints=joints, tsdas=tsdas, rsdas=rsdas,
+        hydro=hydro_att, gravity=tuple(sim.gravity),
+    )
+
+    case = Case(
+        setup=setup, model=model, simulation=sim, hydro_spec=hydro_spec,
+        system=system, wave=wave, sweep=sweep, dt=sim.time_step,
+        end_time=sim.end_time, output_directory=output_directory,
+        warnings=warnings,
+    )
+    return case

@@ -1,9 +1,10 @@
 """The time-domain stepper: one `jax.lax.scan` over the whole simulation.
 
-Numerical scheme (single instance; batch via `jax.vmap` of `Simulation.run`):
+Numerical scheme, matching Chrono's EULER_IMPLICIT_LINEARIZED default
+timestepper (verified to reproduce the reference golden trajectories to
+~1e-7 m):
 
-  per step n (t = n*dt), matching Chrono's EULER_IMPLICIT_LINEARIZED default
-  timestepper which we verified reproduces the reference goldens to ~1e-7 m:
+  per step n (t = n*dt):
 
     1. record v(t) into the velocity-history ring buffer
     2. F(t) = F_hydrostatic(x) - F_radiation(history) + F_wave(t)
@@ -18,6 +19,12 @@ Numerical scheme (single instance; batch via `jax.vmap` of `Simulation.run`):
 
 The radiation convolution uses the dt-resampled history kernel
 (physics/radiation.py) so the per-step hot loop is one MXU matmul.
+
+Batching: every per-instance-variable quantity (wave arrays, PTO
+coefficients, body masses) lives in a `params` pytree that `run` takes
+explicitly; `run_batch` vmaps over any subset of those leaves, which is how
+the reference's serial YAML period sweeps (hydro_yaml_parser.cpp:409-524)
+become one batched device program.
 """
 
 from __future__ import annotations
@@ -74,18 +81,31 @@ def _quat_conj(q):
     return jnp.concatenate([q[..., :1], -q[..., 1:]], axis=-1)
 
 
+def _rot_np(q0):
+    w, x, y, z = q0
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 class Simulation:
-    """Compiled simulation: static metadata + device arrays + scan step."""
+    """Compiled simulation: static metadata + device arrays + scan step.
+
+    `self.params` is the default parameter pytree; pass modified / batched
+    versions to `run` / `run_batch` for sweeps without rebuilding.
+    """
 
     def __init__(self, spec: SystemSpec, dt: float, wave=None, duration: Optional[float] = None,
-                 dtype=jnp.float64, tapered: Optional[rad.TaperedDirectOptions] = None,
-                 save_every: int = 1):
+                 dtype=None, tapered: Optional[rad.TaperedDirectOptions] = None,
+                 outputs: tuple = ("pos", "quat", "lin_vel", "ang_vel")):
         self.spec = spec
         self.dt = float(dt)
-        self.dtype = dtype
+        self.dtype = dtype if dtype is not None else jnp.zeros(0).dtype
         self.wave = wave if wave is not None else wv.NoWave()
         self.duration = duration
-        self.save_every = save_every
+        self.outputs = outputs
 
         bodies = spec.bodies
         self.moving = [i for i, b in enumerate(bodies) if not b.fixed]
@@ -94,12 +114,12 @@ class Simulation:
         self.n_moving = nm
         self.nv = DOF * nm
 
-        # constant inertial data
-        self.mass = jnp.asarray([bodies[i].mass for i in self.moving], dtype)
+        params = {}
+        params["mass"] = jnp.asarray([bodies[i].mass for i in self.moving], self.dtype)
         self.inertia_body = jnp.asarray(
-            np.stack([bodies[i].inertia_matrix() for i in self.moving]), dtype
+            np.stack([bodies[i].inertia_matrix() for i in self.moving]), self.dtype
         )
-        self.gravity = jnp.asarray(spec.gravity, dtype)
+        self.gravity = jnp.asarray(spec.gravity, self.dtype)
 
         # fixed-body poses (anchors for constraints)
         self.fixed_pos = {
@@ -119,10 +139,10 @@ class Simulation:
             self.hydro_slots = jnp.asarray(
                 [self.slot_of[i] for i in self.hydro.body_indices], jnp.int32
             )
-            self.k_lin = jnp.asarray(hd.lin_stiffness, dtype)
-            self.cg_eq = jnp.asarray(hd.cg, dtype)
-            self.cb_minus_cg = jnp.asarray(hd.cb - hd.cg, dtype)
-            self.disp_vol = jnp.asarray(hd.disp_vol, dtype)
+            self.k_lin = jnp.asarray(hd.lin_stiffness, self.dtype)
+            self.cg_eq = jnp.asarray(hd.cg, self.dtype)
+            self.cb_minus_cg = jnp.asarray(hd.cb - hd.cg, self.dtype)
+            self.disp_vol = jnp.asarray(hd.disp_vol, self.dtype)
             self.rho = float(hd.rho)
 
             kernel = hd.rirf
@@ -130,7 +150,7 @@ class Simulation:
                 kernel = rad.preprocess_rirf_tapered(kernel, hd.rirf_time, tapered)
             W = rad.resample_kernel_to_history(kernel, hd.rirf_time, self.dt)
             self.hist_len = W.shape[0]
-            self.W_rev = jnp.asarray(W[::-1].copy(), dtype)
+            self.W_rev = jnp.asarray(W[::-1].copy(), self.dtype)
 
             # A_inf padded to the full moving-body system (chloadaddedmass.cpp:34-42)
             ainf_sys = np.zeros((self.nv, self.nv))
@@ -140,25 +160,27 @@ class Simulation:
                     ainf_sys[s1 * 6 : s1 * 6 + 6, s2 * 6 : s2 * 6 + 6] = hd.inf_added_mass[
                         hb1 * 6 : hb1 * 6 + 6, hb2 * 6 : hb2 * 6 + 6
                     ]
-            self.ainf = jnp.asarray(ainf_sys, dtype)
+            self.ainf = jnp.asarray(ainf_sys, self.dtype)
             self.n_hydro = nh
         else:
             self.hist_len = 1
             self.n_hydro = 0
-            self.ainf = jnp.zeros((self.nv, self.nv), dtype)
+            self.ainf = jnp.zeros((self.nv, self.nv), self.dtype)
             self.hydro_slots = jnp.zeros((0,), jnp.int32)
 
         # ----- wave force arrays -----
-        self._build_wave_arrays()
+        self._build_wave_arrays(params)
 
         # ----- constraints -----
         self._build_constraints()
 
         # ----- TSDA / RSDA -----
-        self._build_force_elements()
+        self._build_force_elements(params)
+
+        self.params = params
 
     # ------------------------------------------------------------------
-    def _build_wave_arrays(self):
+    def _build_wave_arrays(self, params):
         wave = self.wave
         self.wave_kind = type(wave).__name__
         if isinstance(wave, wv.NoWave) or self.hydro is None:
@@ -167,10 +189,10 @@ class Simulation:
         hd = self.hydro.hydro
         if isinstance(wave, wv.RegularWave):
             data = wv.build_regular_wave(hd, wave)
-            self.reg_mag = jnp.asarray(data.force_mag, self.dtype)
-            self.reg_phase = jnp.asarray(data.force_phase, self.dtype)
-            self.reg_amp = jnp.asarray(data.amplitude, self.dtype)
-            self.reg_omega = jnp.asarray(data.omega, self.dtype)
+            params["reg_mag"] = jnp.asarray(data.force_mag, self.dtype)
+            params["reg_phase"] = jnp.asarray(data.force_phase, self.dtype)
+            params["reg_amp"] = jnp.asarray(data.amplitude, self.dtype)
+            params["reg_omega"] = jnp.asarray(data.omega, self.dtype)
         elif isinstance(wave, wv.IrregularWaveParams):
             if self.duration is None:
                 raise ValueError("irregular waves require `duration` at build time")
@@ -185,25 +207,25 @@ class Simulation:
             need = n_max + M
             if eta.shape[-1] < need:
                 pad = need - eta.shape[-1]
-                eta = np.concatenate(
-                    [eta, np.zeros(eta.shape[:-1] + (pad,))], axis=-1
-                )
-            self.irr_eta = jnp.asarray(eta, self.dtype)
+                eta = np.concatenate([eta, np.zeros(eta.shape[:-1] + (pad,))], axis=-1)
+            params["irr_eta"] = jnp.asarray(eta, self.dtype)
             self.irr_kernel = jnp.asarray(data.exc_kernel, self.dtype)
         else:
             raise TypeError(f"unknown wave model {wave!r}")
 
-    def _wave_force(self, n):
+    def _wave_force(self, params, n):
         """Excitation force [6*Nh] at step n (t = n*dt)."""
         if self.wave_kind == "NoWave":
             return jnp.zeros((self.n_hydro * 6,), self.dtype)
         t = n.astype(self.dtype) * self.dt
         if self.wave_kind == "RegularWave":
             # F_i = mag_i * A * cos(w t + phase_i)   (wave_types.cpp:315-327)
-            return self.reg_mag * self.reg_amp * jnp.cos(self.reg_omega * t + self.reg_phase)
+            return params["reg_mag"] * params["reg_amp"] * jnp.cos(
+                params["reg_omega"] * t + params["reg_phase"]
+            )
         # irregular: windowed dot against the precomputed eta series
         M = self.irr_kernel.shape[1]
-        window = jax.lax.dynamic_slice_in_dim(self.irr_eta, n, M, axis=-1)
+        window = jax.lax.dynamic_slice_in_dim(params["irr_eta"], n, M, axis=-1)
         return self.irr_kernel @ window
 
     # ------------------------------------------------------------------
@@ -211,7 +233,7 @@ class Simulation:
         """Compile joint residual functions c(pos, quat) -> [m]."""
         spec = self.spec
         residual_fns = []
-        self.joint_rows = []  # (name, kind, nrows) for reporting
+        self.joint_rows = []  # (kind, nrows) for reporting
 
         def pose_of(i, pos, quat):
             if i < 0 or spec.bodies[i].fixed:
@@ -227,41 +249,21 @@ class Simulation:
             axis = np.asarray(j.axis, dtype=np.float64)
             a_hat, n1, n2 = _orthonormal_basis(axis)
 
-            def local_frame(i):
-                if i < 0 or spec.bodies[i].fixed:
-                    p0 = self.fixed_pos.get(i, np.zeros(3))
-                    q0 = self.fixed_quat.get(i, np.array([1.0, 0, 0, 0]))
-                else:
-                    p0 = np.asarray(spec.bodies[i].pos0, dtype=np.float64)
-                    q0 = np.asarray(spec.bodies[i].quat0, dtype=np.float64)
-                return p0, q0
-
-            def to_local(vec, q0):
-                w, x, y, z = q0
-                r0 = np.array([
-                    [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-                    [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-                    [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-                ])
-                return r0.T @ vec
-
-            p01, q01 = local_frame(b1)
-            p02, q02 = local_frame(b2)
-            l1 = jnp.asarray(to_local(loc - p01, q01), self.dtype)
-            l2 = jnp.asarray(to_local(loc - p02, q02), self.dtype)
-            a1 = jnp.asarray(to_local(a_hat, q01), self.dtype)
-            a2 = jnp.asarray(to_local(a_hat, q02), self.dtype)
-            n1l = jnp.asarray(to_local(n1, q01), self.dtype)
-            n2l = jnp.asarray(to_local(n2, q01), self.dtype)
-            # initial relative orientation for rotation locks: q2 = q1 * q_rel0
-            q01j = jnp.asarray(q01, self.dtype)
-            q02j = jnp.asarray(q02, self.dtype)
-            q_rel0 = quat_multiply(_quat_conj(q01j), q02j)
+            p01, q01 = self._initial_pose(b1)
+            p02, q02 = self._initial_pose(b2)
+            l1 = jnp.asarray(_rot_np(q01).T @ (loc - p01), self.dtype)
+            l2 = jnp.asarray(_rot_np(q02).T @ (loc - p02), self.dtype)
+            a2 = jnp.asarray(_rot_np(q02).T @ a_hat, self.dtype)
+            n1l = jnp.asarray(_rot_np(q01).T @ n1, self.dtype)
+            n2l = jnp.asarray(_rot_np(q01).T @ n2, self.dtype)
+            q_rel0 = quat_multiply(
+                _quat_conj(jnp.asarray(q01, self.dtype)), jnp.asarray(q02, self.dtype)
+            )
 
             kind = j.kind.lower()
             locked = j.locked
 
-            def make_res(b1=b1, b2=b2, l1=l1, l2=l2, a1=a1, a2=a2,
+            def make_res(b1=b1, b2=b2, l1=l1, l2=l2, a2=a2,
                          n1l=n1l, n2l=n2l, q_rel0=q_rel0, kind=kind, locked=locked):
                 def res(pos, quat):
                     p1, q1 = pose_of(b1, pos, quat)
@@ -269,9 +271,7 @@ class Simulation:
                     P1 = p1 + quat_rotate(q1, l1)
                     P2 = p2 + quat_rotate(q2, l2)
                     parts = []
-                    if kind in ("spherical", "revolute", "fixed") or (
-                        kind == "prismatic" and False
-                    ):
+                    if kind in ("spherical", "revolute", "fixed"):
                         parts.append(P1 - P2)
                     if kind == "prismatic":
                         d = P2 - P1
@@ -286,16 +286,13 @@ class Simulation:
                     if kind in ("prismatic", "fixed") or (kind == "revolute" and locked):
                         # full rotation lock: small-angle rotation vector of the
                         # relative-orientation error
-                        q_err = quat_multiply(
-                            _quat_conj(quat_multiply(q1, q_rel0)), q2
-                        )
+                        q_err = quat_multiply(_quat_conj(quat_multiply(q1, q_rel0)), q2)
                         parts.append(2.0 * jnp.sign(q_err[0]) * q_err[1:4])
                     return jnp.concatenate(parts)
 
                 return res
 
-            fn = make_res()
-            residual_fns.append(fn)
+            residual_fns.append(make_res())
             nrows = {"spherical": 3, "revolute": 5, "prismatic": 5, "fixed": 6}[kind]
             if kind == "revolute" and locked:
                 nrows = 6
@@ -322,21 +319,51 @@ class Simulation:
         return jax.jacfwd(cdot)(jnp.zeros((self.nv,), self.dtype))
 
     # ------------------------------------------------------------------
-    def _build_force_elements(self):
+    def _build_force_elements(self, params):
         spec = self.spec
         self._tsda = []
+        tsda_k, tsda_c = [], []
         for t in spec.tsdas:
             p1 = np.asarray(t.point1, dtype=np.float64)
             p2 = np.asarray(t.point2, dtype=np.float64)
             L0 = t.free_length
             if L0 is None:
+                # ChLinkTSDA computes rest length from the initial distance
+                # when not set (demo_sphere_reg_waves.cpp:120-122)
                 L0 = float(np.linalg.norm(p2 - p1))
-            self._tsda.append((t, p1, p2, L0))
-        self._rsda = list(spec.rsdas)
+            p01, q01 = self._initial_pose(t.body1)
+            p02, q02 = self._initial_pose(t.body2)
+            l1 = jnp.asarray(_rot_np(q01).T @ (p1 - p01), self.dtype)
+            l2 = jnp.asarray(_rot_np(q02).T @ (p2 - p02), self.dtype)
+            self._tsda.append((t, l1, l2, L0))
+            tsda_k.append(t.spring_coeff)
+            tsda_c.append(t.damping_coeff)
+        if self._tsda:
+            params["tsda_k"] = jnp.asarray(tsda_k, self.dtype)
+            params["tsda_c"] = jnp.asarray(tsda_c, self.dtype)
+
+        self._rsda = []
+        rsda_k, rsda_c = [], []
+        for r in spec.rsdas:
+            a = np.asarray(r.axis, dtype=np.float64)
+            a = a / np.linalg.norm(a)
+            _, q01 = self._initial_pose(r.body1)
+            a1l = jnp.asarray(_rot_np(q01).T @ a, self.dtype)
+            self._rsda.append((r, a1l))
+            rsda_k.append(r.spring_coeff)
+            rsda_c.append(r.damping_coeff)
+        if self._rsda:
+            params["rsda_k"] = jnp.asarray(rsda_k, self.dtype)
+            params["rsda_c"] = jnp.asarray(rsda_c, self.dtype)
+
+    def _initial_pose(self, i):
+        if i < 0:
+            return np.zeros(3), np.array([1.0, 0, 0, 0])
+        b = self.spec.bodies[i]
+        return np.asarray(b.pos0, dtype=np.float64), np.asarray(b.quat0, dtype=np.float64)
 
     def _body_pose(self, i, pos, quat):
-        spec = self.spec
-        if i < 0 or spec.bodies[i].fixed:
+        if i < 0 or self.spec.bodies[i].fixed:
             p = jnp.asarray(self.fixed_pos.get(i, np.zeros(3)), self.dtype)
             q = jnp.asarray(self.fixed_quat.get(i, np.array([1.0, 0, 0, 0])), self.dtype)
             return p, q
@@ -350,7 +377,24 @@ class Simulation:
         s = self.slot_of[i]
         return lin_vel[s], ang_vel[s]
 
-    def _element_forces(self, pos, quat, lin_vel, ang_vel):
+    def _tsda_state(self, idx, pos, quat, lin_vel, ang_vel):
+        """Geometry of TSDA `idx`: (P1, P2, L, Ldot, dhat, pb1, pb2)."""
+        t, l1, l2, L0 = self._tsda[idx]
+        pb1, qb1 = self._body_pose(t.body1, pos, quat)
+        pb2, qb2 = self._body_pose(t.body2, pos, quat)
+        P1 = pb1 + quat_rotate(qb1, l1)
+        P2 = pb2 + quat_rotate(qb2, l2)
+        u1, w1 = self._body_vel(t.body1, lin_vel, ang_vel)
+        u2, w2 = self._body_vel(t.body2, lin_vel, ang_vel)
+        V1 = u1 + jnp.cross(w1, P1 - pb1)
+        V2 = u2 + jnp.cross(w2, P2 - pb2)
+        d = P2 - P1
+        L = jnp.linalg.norm(d)
+        dhat = d / jnp.maximum(L, 1e-12)
+        Ldot = jnp.dot(V2 - V1, dhat)
+        return P1, P2, L, Ldot, dhat, pb1, pb2, L0
+
+    def _element_forces(self, params, pos, quat, lin_vel, ang_vel):
         """TSDA/RSDA generalized forces, accumulated into [nv]."""
         F = jnp.zeros((self.nv,), self.dtype)
 
@@ -362,98 +406,49 @@ class Simulation:
             F = F.at[s * 6 + 3 : s * 6 + 6].add(torque)
             return F
 
-        for t, p1w0, p2w0, L0 in self._tsda:
-            # attachment points are body-fixed; convert from t0-world to local once
-            b1, b2 = t.body1, t.body2
-            p01, q01 = self._initial_pose(b1)
-            p02, q02 = self._initial_pose(b2)
-            l1 = jnp.asarray(self._world_to_local(p1w0, p01, q01), self.dtype)
-            l2 = jnp.asarray(self._world_to_local(p2w0, p02, q02), self.dtype)
-
-            pb1, qb1 = self._body_pose(b1, pos, quat)
-            pb2, qb2 = self._body_pose(b2, pos, quat)
-            P1 = pb1 + quat_rotate(qb1, l1)
-            P2 = pb2 + quat_rotate(qb2, l2)
-            u1, w1 = self._body_vel(b1, lin_vel, ang_vel)
-            u2, w2 = self._body_vel(b2, lin_vel, ang_vel)
-            V1 = u1 + jnp.cross(w1, P1 - pb1)
-            V2 = u2 + jnp.cross(w2, P2 - pb2)
-
-            d = P2 - P1
-            L = jnp.linalg.norm(d)
-            dhat = d / jnp.maximum(L, 1e-12)
-            Ldot = jnp.dot(V2 - V1, dhat)
-
+        for idx, (t, l1, l2, L0) in enumerate(self._tsda):
+            P1, P2, L, Ldot, dhat, pb1, pb2, L0 = self._tsda_state(
+                idx, pos, quat, lin_vel, ang_vel
+            )
             if t.spring_curve is not None:
                 xs = jnp.asarray(t.spring_curve[:, 0], self.dtype)
                 ys = jnp.asarray(t.spring_curve[:, 1], self.dtype)
                 f_spring = -jnp.interp(L - L0, xs, ys)
             else:
-                f_spring = -t.spring_coeff * (L - L0)
+                f_spring = -params["tsda_k"][idx] * (L - L0)
             if t.damping_curve is not None:
                 xs = jnp.asarray(t.damping_curve[:, 0], self.dtype)
                 ys = jnp.asarray(t.damping_curve[:, 1], self.dtype)
                 f_damp = -jnp.interp(Ldot, xs, ys)
             else:
-                f_damp = -t.damping_coeff * Ldot
+                f_damp = -params["tsda_c"][idx] * Ldot
             fmag = f_spring + f_damp  # >0 pushes bodies apart
 
             fvec2 = fmag * dhat  # force on body2
-            F = add_wrench(F, b2, fvec2, jnp.cross(P2 - pb2, fvec2))
-            F = add_wrench(F, b1, -fvec2, jnp.cross(P1 - pb1, -fvec2))
+            F = add_wrench(F, t.body2, fvec2, jnp.cross(P2 - pb2, fvec2))
+            F = add_wrench(F, t.body1, -fvec2, jnp.cross(P1 - pb1, -fvec2))
 
-        for r in self._rsda:
-            b1, b2 = r.body1, r.body2
-            a = np.asarray(r.axis, dtype=np.float64)
-            a = a / np.linalg.norm(a)
-            p01, q01 = self._initial_pose(b1)
-            a1l = jnp.asarray(self._vec_to_local(a, q01), self.dtype)
-            pb1, qb1 = self._body_pose(b1, pos, quat)
+        for idx, (r, a1l) in enumerate(self._rsda):
+            _, qb1 = self._body_pose(r.body1, pos, quat)
             ahat = quat_rotate(qb1, a1l)
-
-            # relative rotation angle about the axis (small-angle consistent)
-            _, q1 = self._body_pose(b1, pos, quat)
-            _, q2 = self._body_pose(b2, pos, quat)
+            _, q1 = self._body_pose(r.body1, pos, quat)
+            _, q2 = self._body_pose(r.body2, pos, quat)
             q_rel = quat_multiply(_quat_conj(q1), q2)
             rotvec = 2.0 * jnp.sign(q_rel[0]) * q_rel[1:4]
             theta = jnp.dot(quat_rotate(q1, rotvec), ahat)
-
-            u1, w1 = self._body_vel(b1, lin_vel, ang_vel)
-            u2, w2 = self._body_vel(b2, lin_vel, ang_vel)
+            u1, w1 = self._body_vel(r.body1, lin_vel, ang_vel)
+            u2, w2 = self._body_vel(r.body2, lin_vel, ang_vel)
             theta_dot = jnp.dot(w2 - w1, ahat)
 
-            tau = -r.spring_coeff * (theta - r.rest_angle) - r.damping_coeff * theta_dot
+            tau = (
+                -params["rsda_k"][idx] * (theta - r.rest_angle)
+                - params["rsda_c"][idx] * theta_dot
+            )
             tvec = tau * ahat
-            F = add_wrench(F, b2, jnp.zeros(3, self.dtype), tvec)
-            F = add_wrench(F, b1, jnp.zeros(3, self.dtype), -tvec)
+            F = add_wrench(F, r.body2, jnp.zeros(3, self.dtype), tvec)
+            F = add_wrench(F, r.body1, jnp.zeros(3, self.dtype), -tvec)
 
         return F
-
-    def _initial_pose(self, i):
-        if i < 0:
-            return np.zeros(3), np.array([1.0, 0, 0, 0])
-        b = self.spec.bodies[i]
-        return np.asarray(b.pos0, dtype=np.float64), np.asarray(b.quat0, dtype=np.float64)
-
-    @staticmethod
-    def _world_to_local(pw, p0, q0):
-        w, x, y, z = q0
-        r0 = np.array([
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-        ])
-        return r0.T @ (np.asarray(pw) - p0)
-
-    @staticmethod
-    def _vec_to_local(v, q0):
-        w, x, y, z = q0
-        r0 = np.array([
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-        ])
-        return r0.T @ np.asarray(v)
 
     # ------------------------------------------------------------------
     def init_state(self) -> State:
@@ -465,46 +460,42 @@ class Simulation:
         return State(pos=pos, quat=quat, lin_vel=zeros3, ang_vel=zeros3,
                      vhist=vhist, step=jnp.zeros((), jnp.int32))
 
-    def _forces(self, state: State):
+    def _forces(self, params, state: State):
         """Total generalized force [nv] at the current state/time."""
         pos, quat = state.pos, state.quat
         lv, av = state.lin_vel, state.ang_vel
-        F = jnp.zeros((self.nv,), self.dtype)
+        F = jnp.zeros((self.n_moving, 6), self.dtype)
 
         # gravity
-        grav = self.mass[:, None] * self.gravity[None, :]
-        F = F.reshape(self.n_moving, 6).at[:, :3].add(grav).reshape(self.nv)
+        F = F.at[:, :3].add(params["mass"][:, None] * self.gravity[None, :])
 
         # gyroscopic torque: -w x (I_w w)
         R = quat_to_matrix(quat)
         I_w = R @ self.inertia_body @ jnp.swapaxes(R, -1, -2)
-        gyro = -jnp.cross(av, jnp.einsum("nij,nj->ni", I_w, av))
-        F = F.reshape(self.n_moving, 6).at[:, 3:].add(gyro).reshape(self.nv)
+        F = F.at[:, 3:].add(-jnp.cross(av, jnp.einsum("nij,nj->ni", I_w, av)))
+        F = F.reshape(self.nv)
 
         # hydro forces
         if self.hydro is not None:
             hs = self.hydro_slots
-            hpos = pos[hs]
-            hquat = quat[hs]
             f_hs = hydrostatic_force(
-                hpos, hquat, self.k_lin, self.cg_eq, self.cb_minus_cg,
+                pos[hs], quat[hs], self.k_lin, self.cg_eq, self.cb_minus_cg,
                 self.disp_vol, self.rho, self.gravity,
             ).reshape(-1)
             f_rad = rad.radiation_force(self.W_rev, state.vhist, state.step)
-            f_wave = self._wave_force(state.step)
+            f_wave = self._wave_force(params, state.step)
             f_hydro = (f_hs - f_rad + f_wave).reshape(self.n_hydro, 6)
             for hb in range(self.n_hydro):
-                s = int(self.hydro.body_indices[hb])
-                slot = self.slot_of[s]
+                slot = self.slot_of[int(self.hydro.body_indices[hb])]
                 F = F.at[slot * 6 : slot * 6 + 6].add(f_hydro[hb])
 
         # spring-dampers
         if self._tsda or self._rsda:
-            F = F + self._element_forces(pos, quat, lv, av)
+            F = F + self._element_forces(params, pos, quat, lv, av)
 
         return F, I_w
 
-    def step_fn(self, state: State, _=None):
+    def _step(self, params, state: State):
         h = self.dt
         nm = self.n_moving
 
@@ -519,13 +510,13 @@ class Simulation:
             state = dataclasses.replace(state, vhist=vhist)
 
         # 2) forces
-        F, I_w = self._forces(state)
+        F, I_w = self._forces(params, state)
 
         # 3) mass matrix + KKT solve
         Mhat = jnp.zeros((self.nv, self.nv), self.dtype)
         for s in range(nm):
             Mhat = Mhat.at[s * 6 : s * 6 + 3, s * 6 : s * 6 + 3].add(
-                self.mass[s] * jnp.eye(3, dtype=self.dtype)
+                params["mass"][s] * jnp.eye(3, dtype=self.dtype)
             )
             Mhat = Mhat.at[s * 6 + 3 : s * 6 + 6, s * 6 + 3 : s * 6 + 6].add(I_w[s])
         Mhat = Mhat + self.ainf
@@ -556,32 +547,82 @@ class Simulation:
         pos_new = state.pos + h * lin_new
         quat_new = quat_integrate(state.quat, ang_new, h)
 
-        acc = (v_new - v) / h
         new_state = dataclasses.replace(
             state, pos=pos_new, quat=quat_new, lin_vel=lin_new, ang_vel=ang_new,
             step=state.step + 1,
         )
-        out = {
+        full_out = {
             "pos": pos_new,
             "quat": quat_new,
             "lin_vel": lin_new,
             "ang_vel": ang_new,
-            "acc": acc.reshape(nm, 6),
+            "acc": ((v_new - v) / h).reshape(nm, 6),
             "lambda": lam,
         }
+        if "tsda" in self.outputs and self._tsda:
+            # per-TSDA scalars for the exporter (simulation_exporter.cpp:763-807)
+            rows = []
+            for idx, (t, l1, l2, L0) in enumerate(self._tsda):
+                P1, P2, L, Ldot, dhat, pb1, pb2, L0 = self._tsda_state(
+                    idx, pos_new, quat_new, lin_new, ang_new
+                )
+                if t.spring_curve is not None:
+                    xs = jnp.asarray(t.spring_curve[:, 0], self.dtype)
+                    ys = jnp.asarray(t.spring_curve[:, 1], self.dtype)
+                    f_spring = -jnp.interp(L - L0, xs, ys)
+                else:
+                    f_spring = -params["tsda_k"][idx] * (L - L0)
+                if t.damping_curve is not None:
+                    xs = jnp.asarray(t.damping_curve[:, 0], self.dtype)
+                    ys = jnp.asarray(t.damping_curve[:, 1], self.dtype)
+                    f_damp = -jnp.interp(Ldot, xs, ys)
+                else:
+                    f_damp = -params["tsda_c"][idx] * Ldot
+                rows.append(jnp.stack([L, Ldot, f_spring, f_damp]))
+            full_out["tsda"] = jnp.stack(rows)  # [n_tsda, 4] = (len, speed, fs, fd)
+
+        out = {k: v for k, v in full_out.items()
+               if k in self.outputs or k in ("pos",)}
         return new_state, out
 
-    def run(self, num_steps: int, state: Optional[State] = None):
+    def step_fn(self, state: State, _=None):
+        return self._step(self.params, state)
+
+    def run(self, num_steps: int, state: Optional[State] = None, params=None):
         """Run `num_steps` steps; returns (final_state, trajectory pytree).
 
         Trajectory arrays have leading dim num_steps and hold post-step values
         at times (n+1)*dt, matching the reference output convention
         (demo_sphere_decay.cpp:110-120 records after DoStepDynamics).
         """
+        if params is None:
+            params = self.params
         if state is None:
             state = self.init_state()
-        final, traj = jax.lax.scan(self.step_fn, state, None, length=num_steps)
+
+        def step(s, _):
+            return self._step(params, s)
+
+        final, traj = jax.lax.scan(step, state, None, length=num_steps)
         return final, traj
+
+    def run_batch(self, num_steps: int, batched: dict, state: Optional[State] = None):
+        """vmap `run` over the leaves named in `batched` (leading batch dim).
+
+        Example: sweep 10 regular-wave cases in one device program:
+            sim.run_batch(n, {"reg_amp": amps, "reg_omega": omegas,
+                              "reg_mag": mags, "reg_phase": phases})
+        """
+        params = dict(self.params)
+        axes = {k: None for k in params}
+        for k, v in batched.items():
+            params[k] = v
+            axes[k] = 0
+
+        def f(p):
+            return self.run(num_steps, state=state, params=p)
+
+        return jax.vmap(f, in_axes=(axes,))(params)
 
     def times(self, num_steps: int) -> np.ndarray:
         return (np.arange(1, num_steps + 1)) * self.dt

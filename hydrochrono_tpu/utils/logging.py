@@ -1,0 +1,132 @@
+"""CLI logging / observability.
+
+A compact re-design of the reference logging subsystem
+(src/utils/logging.cpp + logger_backend.cpp, docs/logging_internals.md):
+leveled console+file logging, aligned info lines, section boxes, progress
+bar, and warning collection for a unified warnings block at the end of a run.
+The reference's stdout/stderr stream interception is unnecessary here — we
+own every print site.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Optional, TextIO
+
+LEVELS = {"trace": 5, "debug": 10, "info": 20, "success": 25,
+          "warning": 30, "error": 40, "quiet": 100}
+
+
+@dataclasses.dataclass
+class LoggingConfig:
+    console_level: str = "info"
+    file_level: str = "debug"
+    log_file: Optional[str] = None
+    use_color: bool = True
+
+
+class Logger:
+    def __init__(self, config: Optional[LoggingConfig] = None, stream: TextIO = None):
+        self.config = config or LoggingConfig()
+        self.stream = stream or sys.stdout
+        self._file = open(self.config.log_file, "a") if self.config.log_file else None
+        self.warnings: list[str] = []
+        self._t0 = time.time()
+
+    # ----- core -----
+    def _emit(self, level: str, msg: str, prefix: str = ""):
+        lv = LEVELS[level]
+        line = f"{prefix}{msg}"
+        if lv >= LEVELS[self.config.console_level]:
+            print(line, file=self.stream)
+        if self._file and lv >= LEVELS[self.config.file_level]:
+            ts = time.strftime("%Y-%m-%dT%H:%M:%S")
+            self._file.write(f"{ts} [{level.upper():7s}] {msg}\n")
+            self._file.flush()
+
+    def trace(self, msg):
+        self._emit("trace", msg, "  · ")
+
+    def debug(self, msg):
+        self._emit("debug", msg, "  › ")
+
+    def info(self, msg):
+        self._emit("info", msg)
+
+    def success(self, msg):
+        self._emit("success", msg, "✓ ")
+
+    def warning(self, msg):
+        self.warnings.append(str(msg))
+        self._emit("warning", msg, "⚠ ")
+
+    def error(self, msg):
+        self._emit("error", msg, "✗ ")
+
+    # ----- structured CLI pieces (reference: cli::ShowBanner/SectionBox) -----
+    def banner(self, title: str, version: str):
+        width = 64
+        self.info("╔" + "═" * (width - 2) + "╗")
+        body = f"{title}  v{version}"
+        self.info("║" + body.center(width - 2) + "║")
+        self.info("╚" + "═" * (width - 2) + "╝")
+
+    def header(self, title: str):
+        self.info("")
+        self.info(f"── {title} " + "─" * max(0, 60 - len(title)))
+
+    def aligned(self, label: str, value, bullet: str = "•", width: int = 28):
+        self.info(f"  {bullet} {label:<{width}} {value}")
+
+    def section_box(self, title: str, rows: list):
+        width = max([len(title)] + [len(f"{k}: {v}") for k, v in rows]) + 4
+        self.info("┌─ " + title + " " + "─" * max(0, width - len(title) - 3) + "┐")
+        for k, v in rows:
+            self.info(f"│  {k:<24} {v}")
+        self.info("└" + "─" * (width + 1) + "┘")
+
+    def progress(self, frac: float, extra: str = ""):
+        frac = min(max(frac, 0.0), 1.0)
+        width = 36
+        filled = int(width * frac)
+        bar = "█" * filled + "░" * (width - filled)
+        print(f"\r  [{bar}] {100 * frac:5.1f}% {extra}", end="", file=self.stream, flush=True)
+        if frac >= 1.0:
+            print(file=self.stream)
+
+    def show_warnings_block(self):
+        if not self.warnings:
+            return
+        self.header(f"Warnings ({len(self.warnings)})")
+        for w in self.warnings:
+            self.info(f"  ⚠ {w}")
+
+    def close(self):
+        if self._file:
+            self._file.close()
+            self._file = None
+
+
+_global: Optional[Logger] = None
+
+
+def initialize(config: Optional[LoggingConfig] = None) -> Logger:
+    global _global
+    _global = Logger(config)
+    return _global
+
+
+def get_logger() -> Logger:
+    global _global
+    if _global is None:
+        _global = Logger()
+    return _global
+
+
+def shutdown():
+    global _global
+    if _global is not None:
+        _global.close()
+        _global = None

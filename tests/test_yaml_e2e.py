@@ -1,0 +1,106 @@
+"""End-to-end YAML regression: the run_hydrochrono workflow.
+
+Drives the full CLI pipeline (setup.yaml -> model/simulation/hydro parsing ->
+scene build -> scan -> results HDF5 export) on the reference's iea_sphere
+decay case and compares against the frozen expected results.still.h5 using
+the same signal the reference's signal_adapter.py extracts.
+"""
+
+import os
+import shutil
+
+import h5py
+import numpy as np
+import pytest
+
+from hydrochrono_tpu import cli
+from hydrochrono_tpu.scene.builder import build_case
+
+CASE_DIR = "/root/reference/tests/regression/run_hydrochrono/iea_sphere/decay/inputs"
+EXPECTED = "/root/reference/tests/regression/run_hydrochrono/iea_sphere/decay/expected/results.still.h5"
+
+
+@pytest.fixture()
+def case_copy(tmp_path):
+    """Copy the case (inputs + assets) so outputs don't touch /root/reference."""
+    if not os.path.isdir(CASE_DIR):
+        pytest.skip("iea_sphere case not available")
+    root = tmp_path / "iea_sphere"
+    shutil.copytree(os.path.dirname(os.path.dirname(CASE_DIR)), root)
+    return str(root / "decay" / "inputs")
+
+
+def test_build_case_parses_everything(case_copy):
+    case = build_case(case_copy)
+    assert case.dt == 0.01 and case.end_time == 40.0
+    assert [b.name for b in case.model.bodies] == ["body1", "ground"]
+    assert case.system.bodies[1].fixed
+    assert case.model.joints[0].kind == "prismatic"
+    assert len(case.model.tsdas) == 1
+    assert case.hydro_spec.waves.kind == "still"
+    assert tuple(case.simulation.gravity) == (0.0, 0.0, -9.8)
+
+
+def test_cli_end_to_end_matches_expected(case_copy, tmp_path):
+    out_dir = str(tmp_path / "outputs")
+    rc = cli.main([case_copy, "--nogui", "--quiet", "--output-h5", out_dir])
+    assert rc == 0
+    out = os.path.join(out_dir, "results.still.h5")
+    assert os.path.exists(out)
+
+    with h5py.File(out) as f, h5py.File(EXPECTED) as ref:
+        t = f["results/time/time"][:]
+        t_ref = ref["results/time/time"][:]
+        n = min(len(t), len(t_ref))
+        np.testing.assert_allclose(t[:n], t_ref[:n], atol=1e-9)
+
+        z = f["results/model/bodies/body1/position"][:n, 2]
+        z_ref = ref["results/model/bodies/body1/position"][:n, 2]
+        diff = z - z_ref
+        l2 = np.linalg.norm(diff) / n
+        linf = np.abs(diff).max()
+        # reference sphere pass criteria (tests/regression/sphere/compare.py:50);
+        # the expected data was generated with HHT while we run the linearized
+        # implicit Euler — agreement is within the gates, not bit-exact
+        assert l2 <= 1e-4, f"L2 {l2}"
+        assert linf <= 0.02, f"Linf {linf}"
+
+        # schema v0.3 structure present
+        assert f["meta"].attrs["schema_version"] == "0.3"
+        for key in (
+            "inputs/model/bodies/body1/location",
+            "inputs/model/joints/names",
+            "inputs/model/tsdas/heave_spring_damper/point1",
+            "results/model/bodies/body1/orientation",
+            "results/model/bodies/body1/orientation_xyz",
+            "results/model/bodies/body1/angular_velocity",
+            "results/model/bodies/body1/acceleration",
+            "results/model/tsdas/heave_spring_damper/extension",
+            "results/model/joints/motion_constraint_heave/reaction1_force",
+            "meta/config/simulation_yaml",
+        ):
+            assert key in f, f"missing {key}"
+
+        # TSDA channels behave: extension tracks |heave - initial|
+        ext = f["results/model/tsdas/heave_spring_damper/extension"][:n]
+        np.testing.assert_allclose(ext, np.abs(z + 1.0) + 1.0 - 1.0, atol=2e-2)
+
+
+def test_signal_adapter_compatible(case_copy, tmp_path):
+    """The reference's own signal_adapter.py must read our output unchanged."""
+    import importlib.util
+
+    out_dir = str(tmp_path / "outputs")
+    rc = cli.main([case_copy, "--quiet", "--output-h5", out_dir])
+    assert rc == 0
+    adapter_path = (
+        "/root/reference/tests/regression/run_hydrochrono/iea_sphere/signal_adapter.py"
+    )
+    spec = importlib.util.spec_from_file_location("signal_adapter", adapter_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from pathlib import Path
+
+    t, sig, label = mod.select_signal(Path(out_dir) / "results.still.h5")
+    assert label == "Heave (m)"
+    assert len(t) == len(sig) == 4000
