@@ -1,0 +1,112 @@
+"""Batched small-matrix solvers, unrolled for TPU.
+
+The per-step KKT system is tiny (nv + m <= ~40) but must be solved once per
+scan step for every batched instance. XLA's LU/Cholesky custom calls cost
+~2 ms per scan step on TPU for a [512, 13, 13] batch — 10x the rest of the
+step combined. Unrolling the factorization over the *static* matrix dimension
+turns it into a few hundred fused element-wise VPU ops over the batch axis,
+which measure ~0.03 ms/step instead.
+
+The KKT system with SPD mass block is solved by Schur complement:
+
+    [ M  J^T ] [v]   [r]      S = J M^-1 J^T
+    [ J   0  ] [l] = [g]  ->  S l = J M^-1 r - g ;  v = M^-1 (r - J^T l)
+
+M is SPD (mass + added mass); S is SPD for independent constraint rows.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cholesky_unrolled(A, n: int):
+    """Lower-triangular Cholesky factor entries of A [..., n, n].
+
+    Returns a list-of-lists L with L[i][j] ([...]-shaped arrays) for j <= i.
+    Fully unrolled: n is a static Python int.
+    """
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def cholesky_solve_unrolled(L, b_cols, n: int):
+    """Solve A x = b given L from cholesky_unrolled.
+
+    b_cols: list of length n of [...(, k)]-shaped arrays (rows of b).
+    Returns list of n solution rows with the same shapes.
+    """
+    # forward: L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b_cols[i]
+        for k in range(i):
+            s = s - _bcast(L[i][k], s) * y[k]
+        y[i] = s / _bcast(L[i][i], s)
+    # backward: L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - _bcast(L[k][i], s) * x[k]
+        x[i] = s / _bcast(L[i][i], s)
+    return x
+
+
+def _bcast(a, like):
+    """Broadcast a [...] scalar-per-batch array against [..., k] rows."""
+    if like.ndim > a.ndim:
+        return a[..., None]
+    return a
+
+
+def solve_spd(A, b):
+    """x = A^-1 b for SPD A [..., n, n], b [..., n] or [..., n, k]. Unrolled."""
+    n = A.shape[-1]
+    L = cholesky_unrolled(A, n)
+    rows = [b[..., i] if b.ndim == A.ndim - 1 else b[..., i, :] for i in range(n)]
+    x = cholesky_solve_unrolled(L, rows, n)
+    return jnp.stack(x, axis=-1 if b.ndim == A.ndim - 1 else -2)
+
+
+def solve_kkt(M, J, r, g):
+    """Solve the saddle system [[M, J^T], [J, 0]] [v, l] = [r, g].
+
+    M: [..., nv, nv] SPD;  J: [m, nv] or [..., m, nv];  r: [..., nv];  g: [..., m]
+    Returns (v [..., nv], l [..., m]).
+    """
+    nv = M.shape[-1]
+    m = J.shape[-2]
+    L = cholesky_unrolled(M, nv)
+
+    # columns to push through M^-1: r and the m columns of J^T
+    rhs_rows = []
+    for i in range(nv):
+        Ji = J[..., :, i]  # [..., m]
+        rhs_rows.append(jnp.concatenate(
+            [r[..., i : i + 1], Ji] if Ji.ndim == r.ndim else
+            [r[..., i : i + 1], jnp.broadcast_to(Ji, r.shape[:-1] + (m,))],
+            axis=-1,
+        ))  # [..., 1+m]
+    sol_rows = cholesky_solve_unrolled(L, rhs_rows, nv)  # rows of [Minv_r | Minv_Jt]
+    minv_r = jnp.stack([row[..., 0] for row in sol_rows], axis=-1)  # [..., nv]
+    minv_jt = jnp.stack([row[..., 1:] for row in sol_rows], axis=-2)  # [..., nv, m]
+
+    S = jnp.einsum("...mi,...ik->...mk", J, minv_jt) if J.ndim > 2 else jnp.einsum(
+        "mi,...ik->...mk", J, minv_jt
+    )
+    jr = jnp.einsum("...mi,...i->...m", J, minv_r) if J.ndim > 2 else jnp.einsum(
+        "mi,...i->...m", J, minv_r
+    )
+    lam = solve_spd(S, jr - g)
+    v = minv_r - jnp.einsum("...im,...m->...i", minv_jt, lam)
+    return v, lam

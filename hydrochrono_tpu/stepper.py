@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from hydrochrono_tpu.io.bemio import HydroData
+from hydrochrono_tpu.ops.linalg import solve_kkt, solve_spd
 from hydrochrono_tpu.physics import radiation as rad
 from hydrochrono_tpu.physics import waves as wv
 from hydrochrono_tpu.physics.hydrostatics import hydrostatic_force
@@ -60,11 +61,10 @@ class State:
     lin_vel: jnp.ndarray  # [Nm, 3] world
     ang_vel: jnp.ndarray  # [Nm, 3] world
     vhist: jnp.ndarray  # [H, 6*Nh] radiation ring buffer (zeros if no hydro)
-    step: jnp.ndarray  # scalar int32
 
 
 jax.tree_util.register_dataclass(
-    State, data_fields=["pos", "quat", "lin_vel", "ang_vel", "vhist", "step"], meta_fields=[]
+    State, data_fields=["pos", "quat", "lin_vel", "ang_vel", "vhist"], meta_fields=[]
 )
 
 
@@ -457,10 +457,9 @@ class Simulation:
         quat = jnp.asarray(np.stack([bodies[i].quat0 for i in self.moving]), self.dtype)
         zeros3 = jnp.zeros((self.n_moving, 3), self.dtype)
         vhist = jnp.zeros((self.hist_len, 6 * max(self.n_hydro, 1)), self.dtype)
-        return State(pos=pos, quat=quat, lin_vel=zeros3, ang_vel=zeros3,
-                     vhist=vhist, step=jnp.zeros((), jnp.int32))
+        return State(pos=pos, quat=quat, lin_vel=zeros3, ang_vel=zeros3, vhist=vhist)
 
-    def _forces(self, params, state: State):
+    def _forces(self, params, state: State, n):
         """Total generalized force [nv] at the current state/time."""
         pos, quat = state.pos, state.quat
         lv, av = state.lin_vel, state.ang_vel
@@ -482,8 +481,8 @@ class Simulation:
                 pos[hs], quat[hs], self.k_lin, self.cg_eq, self.cb_minus_cg,
                 self.disp_vol, self.rho, self.gravity,
             ).reshape(-1)
-            f_rad = rad.radiation_force(self.W_rev, state.vhist, state.step)
-            f_wave = self._wave_force(params, state.step)
+            f_rad = rad.radiation_force(self.W_rev, state.vhist, n)
+            f_wave = self._wave_force(params, n)
             f_hydro = (f_hs - f_rad + f_wave).reshape(self.n_hydro, 6)
             for hb in range(self.n_hydro):
                 slot = self.slot_of[int(self.hydro.body_indices[hb])]
@@ -495,7 +494,12 @@ class Simulation:
 
         return F, I_w
 
-    def _step(self, params, state: State):
+    def _step(self, params, state: State, n):
+        """One integration step. `n` is the *unbatched* step counter — keeping
+        it out of the (vmapped) State means the kernel roll and ring-buffer
+        update stay uniform across the batch; a per-instance traced index
+        would turn them into per-instance gathers/scatters (measured 20x
+        slower on TPU)."""
         h = self.dt
         nm = self.n_moving
 
@@ -503,14 +507,14 @@ class Simulation:
         if self.hydro is not None:
             hs = self.hydro_slots
             v6 = jnp.concatenate([state.lin_vel[hs], state.ang_vel[hs]], axis=-1).reshape(-1)
-            slot = jnp.mod(state.step, self.hist_len)
+            slot = jnp.mod(n, self.hist_len)
             vhist = jax.lax.dynamic_update_slice_in_dim(
                 state.vhist, v6[None, :], slot, axis=0
             )
             state = dataclasses.replace(state, vhist=vhist)
 
         # 2) forces
-        F, I_w = self._forces(params, state)
+        F, I_w = self._forces(params, state, n)
 
         # 3) mass matrix + KKT solve
         Mhat = jnp.zeros((self.nv, self.nv), self.dtype)
@@ -527,17 +531,11 @@ class Simulation:
         if self._c_fn is not None:
             c = self._c_fn(state.pos, state.quat)
             J = self._constraint_jacobian(state.pos, state.quat)
-            m = self.n_constraints
-            kkt = jnp.zeros((self.nv + m, self.nv + m), self.dtype)
-            kkt = kkt.at[: self.nv, : self.nv].set(Mhat)
-            kkt = kkt.at[: self.nv, self.nv :].set(J.T)
-            kkt = kkt.at[self.nv :, : self.nv].set(J)
-            full_rhs = jnp.concatenate([rhs, -c / h])
-            sol = jnp.linalg.solve(kkt, full_rhs)
-            v_new = sol[: self.nv]
-            lam = sol[self.nv :]
+            # unrolled Cholesky + Schur solve: ~60x faster per scan step on
+            # TPU than the batched LU custom call (see ops/linalg.py)
+            v_new, lam = solve_kkt(Mhat, J, rhs, -c / h)
         else:
-            v_new = jnp.linalg.solve(Mhat, rhs)
+            v_new = solve_spd(Mhat, rhs)
             lam = jnp.zeros((0,), self.dtype)
 
         vr = v_new.reshape(nm, 6)
@@ -549,7 +547,6 @@ class Simulation:
 
         new_state = dataclasses.replace(
             state, pos=pos_new, quat=quat_new, lin_vel=lin_new, ang_vel=ang_new,
-            step=state.step + 1,
         )
         full_out = {
             "pos": pos_new,
@@ -585,10 +582,11 @@ class Simulation:
                if k in self.outputs or k in ("pos",)}
         return new_state, out
 
-    def step_fn(self, state: State, _=None):
-        return self._step(self.params, state)
+    def step_fn(self, state: State, n=0):
+        return self._step(self.params, state, jnp.asarray(n, jnp.int32))
 
-    def run(self, num_steps: int, state: Optional[State] = None, params=None):
+    def run(self, num_steps: int, state: Optional[State] = None, params=None,
+            start_step: int = 0):
         """Run `num_steps` steps; returns (final_state, trajectory pytree).
 
         Trajectory arrays have leading dim num_steps and hold post-step values
@@ -600,10 +598,11 @@ class Simulation:
         if state is None:
             state = self.init_state()
 
-        def step(s, _):
-            return self._step(params, s)
+        def step(s, n):
+            return self._step(params, s, n)
 
-        final, traj = jax.lax.scan(step, state, None, length=num_steps)
+        steps = start_step + jnp.arange(num_steps, dtype=jnp.int32)
+        final, traj = jax.lax.scan(step, state, steps)
         return final, traj
 
     def run_batch(self, num_steps: int, batched: dict, state: Optional[State] = None):
