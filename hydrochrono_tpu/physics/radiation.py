@@ -159,3 +159,63 @@ def radiation_force_linear(W: jnp.ndarray, vhist_recent: jnp.ndarray) -> jnp.nda
     vhist_recent: [..., H, 6N] with index m = lag m*dt. Mainly for tests.
     """
     return jnp.einsum("mij,...mj->...i", W, vhist_recent)
+
+
+# ---------------------------------------------------------------------------
+# blocked (far-field) convolution
+# ---------------------------------------------------------------------------
+#
+# The per-step formulation reads the whole velocity history every step —
+# arithmetic intensity 6N/2 flops/byte, i.e. HBM-bandwidth-bound on TPU. The
+# blocked scheme splits F[n0+d] = sum_m W[m] v[n0+d-m] at m = d:
+#
+#   intra (m <= d):  uses only this block's velocities — tiny, stays in the
+#                    inner scan
+#   far   (m > d):   uses only pre-block history — computed ONCE per block for
+#                    all T_b offsets as a single MXU matmul against a
+#                    precomputed Hankel expansion of W:
+#
+#       F_far[d] = sum_j W[d+1+j] . Vold[j],   Vold[j] = v[n0-1-j]
+#                = [B, (H-1)*6N] @ Hankel(W)[(H-1)*6N, T_b*6N]
+#
+# Hankel(W) is static (built once, shared across the batch); the history is
+# read once per T_b steps instead of every step — bandwidth / T_b.
+
+
+def build_hankel_far_kernel(W: np.ndarray, block: int) -> np.ndarray:
+    """Hankel expansion Wfar[d, j] = W[d+1+j] (zero past the end).
+
+    W: [H, K, K]; returns [block, H-1, K, K] (float64 host-side; cast at use).
+    """
+    H, K, _ = W.shape
+    Wfar = np.zeros((block, H - 1, K, K), dtype=W.dtype)
+    for d in range(block):
+        n = H - 1 - d  # number of valid j entries
+        if n > 0:
+            Wfar[d, :n] = W[d + 1 : d + 1 + n]
+    return Wfar
+
+
+def far_field_block(Wfar: jnp.ndarray, vold: jnp.ndarray) -> jnp.ndarray:
+    """F_far [..., T_b, K] from newest-first old history vold [..., Hj, K]."""
+    return jnp.einsum("djik,...jk->...di", Wfar, vold)
+
+
+def build_hankel_excitation(E: np.ndarray, block: int) -> np.ndarray:
+    """Hankel expansion of the eta-space excitation kernel.
+
+    E: [K, M] with F_exc[n, i] = sum_u E[i, u] eta[n+u]. For a block of T_b
+    steps the window eta[n0 : n0+T_b-1+M] gives
+        F_exc[d, i] = sum_j EH[d, j, i] etaw[j],  EH[d, j, i] = E[i, j-d]
+    Returns EH [block, M+block-1, K].
+    """
+    K, M = E.shape
+    EH = np.zeros((block, M + block - 1, K), dtype=E.dtype)
+    for d in range(block):
+        EH[d, d : d + M] = E.T
+    return EH
+
+
+def excitation_block(EH: jnp.ndarray, eta_window: jnp.ndarray) -> jnp.ndarray:
+    """F_exc [..., T_b, K] for the block from eta window [..., M+T_b-1]."""
+    return jnp.einsum("djk,...j->...dk", EH, eta_window)

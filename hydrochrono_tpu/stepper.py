@@ -18,13 +18,20 @@ timestepper (verified to reproduce the reference golden trajectories to
     4. x+ = x + h u+ ; q+ = exp(h w+/2) * q   (semi-implicit update)
 
 The radiation convolution uses the dt-resampled history kernel
-(physics/radiation.py) so the per-step hot loop is one MXU matmul.
+(physics/radiation.py) so the per-step hot loop is one MXU matmul; blocked
+mode (block_size) additionally amortizes all history reads over a block.
+
+PERFORMANCE INVARIANT: every device array referenced inside the scan body is
+threaded through the `params` pytree (under params["_const"] for shared
+read-only tensors) rather than closed over. Closed-over jnp arrays are baked
+into the program as XLA constants, which the TPU runtime re-streams on every
+scan iteration — measured ~66 us/step per touched constant vs ~0.1 us for
+the same array passed as an argument.
 
 Batching: every per-instance-variable quantity (wave arrays, PTO
-coefficients, body masses) lives in a `params` pytree that `run` takes
-explicitly; `run_batch` vmaps over any subset of those leaves, which is how
-the reference's serial YAML period sweeps (hydro_yaml_parser.cpp:409-524)
-become one batched device program.
+coefficients, body masses) is a top-level `params` leaf; `run_batch` vmaps
+over any subset of them, which is how the reference's serial YAML period
+sweeps (hydro_yaml_parser.cpp:409-524) become one batched device program.
 """
 
 from __future__ import annotations
@@ -37,7 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from hydrochrono_tpu.io.bemio import HydroData
-from hydrochrono_tpu.ops.linalg import solve_kkt, solve_spd
+from hydrochrono_tpu.ops.linalg import make_kkt_cache, solve_kkt, solve_kkt_refined, solve_spd
 from hydrochrono_tpu.physics import radiation as rad
 from hydrochrono_tpu.physics import waves as wv
 from hydrochrono_tpu.physics.hydrostatics import hydrostatic_force
@@ -90,22 +97,46 @@ def _rot_np(q0):
     ])
 
 
+def _quat_mul_np(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ])
+
+
 class Simulation:
     """Compiled simulation: static metadata + device arrays + scan step.
 
-    `self.params` is the default parameter pytree; pass modified / batched
-    versions to `run` / `run_batch` for sweeps without rebuilding.
+    `self.params` is the default parameter pytree (including the shared
+    read-only tensors under "_const"); pass modified / batched versions to
+    `run` / `run_batch` for sweeps without rebuilding.
     """
 
     def __init__(self, spec: SystemSpec, dt: float, wave=None, duration: Optional[float] = None,
                  dtype=None, tapered: Optional[rad.TaperedDirectOptions] = None,
-                 outputs: tuple = ("pos", "quat", "lin_vel", "ang_vel")):
+                 outputs: tuple = ("pos", "quat", "lin_vel", "ang_vel"),
+                 block_size: Optional[int] = None, far_dtype=None,
+                 refined_solver: Optional[bool] = None):
+        """block_size: enable the blocked far-field convolution (see
+        physics/radiation.py) — the history buffer is then read once per
+        `block_size` steps instead of every step. far_dtype optionally lowers
+        the far-field Hankel kernel precision (e.g. bfloat16)."""
         self.spec = spec
         self.dt = float(dt)
         self.dtype = dtype if dtype is not None else jnp.zeros(0).dtype
         self.wave = wave if wave is not None else wv.NoWave()
         self.duration = duration
         self.outputs = outputs
+        self.block_size = block_size
+        self.far_dtype = far_dtype if far_dtype is not None else self.dtype
+        # cached-inverse + iterative-refinement mass solver: dependency-free
+        # matvecs per step instead of a fresh factorization; defaults on in
+        # blocked mode where the per-block cache lives
+        self.refined_solver = (block_size is not None) if refined_solver is None else refined_solver
 
         bodies = spec.bodies
         self.moving = [i for i, b in enumerate(bodies) if not b.fixed]
@@ -115,20 +146,25 @@ class Simulation:
         self.nv = DOF * nm
 
         params = {}
+        const = {}
+        params["_const"] = const
         params["mass"] = jnp.asarray([bodies[i].mass for i in self.moving], self.dtype)
-        self.inertia_body = jnp.asarray(
+        const["inertia_body"] = jnp.asarray(
             np.stack([bodies[i].inertia_matrix() for i in self.moving]), self.dtype
         )
-        self.gravity = jnp.asarray(spec.gravity, self.dtype)
+        const["gravity"] = jnp.asarray(spec.gravity, self.dtype)
 
-        # fixed-body poses (anchors for constraints)
-        self.fixed_pos = {
-            i: np.asarray(bodies[i].pos0, dtype=np.float64)
+        # fixed-body poses (anchors for constraints/elements), host-side
+        self.fixed_pose_np = {
+            i: (np.asarray(bodies[i].pos0, dtype=np.float64),
+                np.asarray(bodies[i].quat0, dtype=np.float64))
             for i, b in enumerate(bodies) if b.fixed
         }
-        self.fixed_quat = {
-            i: np.asarray(bodies[i].quat0, dtype=np.float64)
-            for i, b in enumerate(bodies) if b.fixed
+        const["fixed_pos"] = {
+            str(i): jnp.asarray(p, self.dtype) for i, (p, q) in self.fixed_pose_np.items()
+        }
+        const["fixed_quat"] = {
+            str(i): jnp.asarray(q, self.dtype) for i, (p, q) in self.fixed_pose_np.items()
         }
 
         # ----- hydro attachment -----
@@ -136,21 +172,32 @@ class Simulation:
         if self.hydro is not None:
             hd: HydroData = self.hydro.hydro
             nh = hd.num_bodies
-            self.hydro_slots = jnp.asarray(
-                [self.slot_of[i] for i in self.hydro.body_indices], jnp.int32
-            )
-            self.k_lin = jnp.asarray(hd.lin_stiffness, self.dtype)
-            self.cg_eq = jnp.asarray(hd.cg, self.dtype)
-            self.cb_minus_cg = jnp.asarray(hd.cb - hd.cg, self.dtype)
-            self.disp_vol = jnp.asarray(hd.disp_vol, self.dtype)
+            self.hydro_slots = [self.slot_of[i] for i in self.hydro.body_indices]
+            const["k_lin"] = jnp.asarray(hd.lin_stiffness, self.dtype)
+            const["cg_eq"] = jnp.asarray(hd.cg, self.dtype)
+            const["cb_minus_cg"] = jnp.asarray(hd.cb - hd.cg, self.dtype)
+            const["disp_vol"] = jnp.asarray(hd.disp_vol, self.dtype)
             self.rho = float(hd.rho)
 
             kernel = hd.rirf
             if tapered is not None:
                 kernel = rad.preprocess_rirf_tapered(kernel, hd.rirf_time, tapered)
             W = rad.resample_kernel_to_history(kernel, hd.rirf_time, self.dt)
-            self.hist_len = W.shape[0]
-            self.W_rev = jnp.asarray(W[::-1].copy(), self.dtype)
+            H = W.shape[0]
+            if block_size:
+                tb = block_size
+                # ring must hold the last H-1 samples at any block boundary
+                # and stay block-aligned so per-block writes are contiguous
+                self.hist_len = ((H + tb - 1) // tb + 1) * tb
+                wsmall = np.zeros((tb,) + W.shape[1:])
+                wsmall[: min(tb, H)] = W[: min(tb, H)]
+                const["W_small_rev"] = jnp.asarray(wsmall[::-1].copy(), self.dtype)
+                const["W_far"] = jnp.asarray(
+                    rad.build_hankel_far_kernel(W, tb), self.far_dtype
+                )
+            else:
+                self.hist_len = H
+            const["W_rev"] = jnp.asarray(W[::-1].copy(), self.dtype)
 
             # A_inf padded to the full moving-body system (chloadaddedmass.cpp:34-42)
             ainf_sys = np.zeros((self.nv, self.nv))
@@ -160,22 +207,22 @@ class Simulation:
                     ainf_sys[s1 * 6 : s1 * 6 + 6, s2 * 6 : s2 * 6 + 6] = hd.inf_added_mass[
                         hb1 * 6 : hb1 * 6 + 6, hb2 * 6 : hb2 * 6 + 6
                     ]
-            self.ainf = jnp.asarray(ainf_sys, self.dtype)
+            const["ainf"] = jnp.asarray(ainf_sys, self.dtype)
             self.n_hydro = nh
         else:
             self.hist_len = 1
             self.n_hydro = 0
-            self.ainf = jnp.zeros((self.nv, self.nv), self.dtype)
-            self.hydro_slots = jnp.zeros((0,), jnp.int32)
+            self.hydro_slots = []
+            const["ainf"] = jnp.zeros((self.nv, self.nv), self.dtype)
 
         # ----- wave force arrays -----
         self._build_wave_arrays(params)
 
         # ----- constraints -----
-        self._build_constraints()
+        self._build_constraints(const)
 
         # ----- TSDA / RSDA -----
-        self._build_force_elements(params)
+        self._build_force_elements(params, const)
 
         self.params = params
 
@@ -209,7 +256,13 @@ class Simulation:
                 pad = need - eta.shape[-1]
                 eta = np.concatenate([eta, np.zeros(eta.shape[:-1] + (pad,))], axis=-1)
             params["irr_eta"] = jnp.asarray(eta, self.dtype)
-            self.irr_kernel = jnp.asarray(data.exc_kernel, self.dtype)
+            params["_const"]["irr_kernel"] = jnp.asarray(data.exc_kernel, self.dtype)
+            self._exc_window = data.exc_kernel.shape[1]
+            if self.block_size:
+                params["_const"]["eh_kernel"] = jnp.asarray(
+                    rad.build_hankel_excitation(data.exc_kernel, self.block_size),
+                    self.far_dtype,
+                )
         else:
             raise TypeError(f"unknown wave model {wave!r}")
 
@@ -224,105 +277,117 @@ class Simulation:
                 params["reg_omega"] * t + params["reg_phase"]
             )
         # irregular: windowed dot against the precomputed eta series
-        M = self.irr_kernel.shape[1]
-        window = jax.lax.dynamic_slice_in_dim(params["irr_eta"], n, M, axis=-1)
-        return self.irr_kernel @ window
+        window = jax.lax.dynamic_slice_in_dim(
+            params["irr_eta"], n, self._exc_window, axis=-1
+        )
+        return params["_const"]["irr_kernel"] @ window
 
     # ------------------------------------------------------------------
-    def _build_constraints(self):
-        """Compile joint residual functions c(pos, quat) -> [m]."""
-        spec = self.spec
-        residual_fns = []
-        self.joint_rows = []  # (kind, nrows) for reporting
+    def _pose_of(self, i, const, pos, quat):
+        if i < 0 or self.spec.bodies[i].fixed:
+            if i in self.fixed_pose_np:
+                return const["fixed_pos"][str(i)], const["fixed_quat"][str(i)]
+            z = jnp.zeros((3,), self.dtype)
+            return z, jnp.asarray([1.0, 0.0, 0.0, 0.0], self.dtype)
+        s = self.slot_of[i]
+        return pos[s], quat[s]
 
-        def pose_of(i, pos, quat):
-            if i < 0 or spec.bodies[i].fixed:
-                p = jnp.asarray(self.fixed_pos.get(i, np.zeros(3)), self.dtype)
-                q = jnp.asarray(self.fixed_quat.get(i, np.array([1.0, 0, 0, 0])), self.dtype)
-                return p, q
-            s = self.slot_of[i]
-            return pos[s], quat[s]
+    def _vel_of(self, i, lin_vel, ang_vel):
+        if i < 0 or self.spec.bodies[i].fixed:
+            z = jnp.zeros((3,), self.dtype)
+            return z, z
+        s = self.slot_of[i]
+        return lin_vel[s], ang_vel[s]
+
+    def _initial_pose(self, i):
+        if i < 0:
+            return np.zeros(3), np.array([1.0, 0, 0, 0])
+        b = self.spec.bodies[i]
+        return np.asarray(b.pos0, dtype=np.float64), np.asarray(b.quat0, dtype=np.float64)
+
+    # ------------------------------------------------------------------
+    def _build_constraints(self, const):
+        """Compile joint metadata; residuals read their constants from params."""
+        spec = self.spec
+        self.joint_rows = []  # (kind, locked, nrows)
+        joint_consts = []
 
         for j in spec.joints:
-            b1, b2 = j.body1, j.body2
             loc = np.asarray(j.location, dtype=np.float64)
             axis = np.asarray(j.axis, dtype=np.float64)
             a_hat, n1, n2 = _orthonormal_basis(axis)
 
-            p01, q01 = self._initial_pose(b1)
-            p02, q02 = self._initial_pose(b2)
-            l1 = jnp.asarray(_rot_np(q01).T @ (loc - p01), self.dtype)
-            l2 = jnp.asarray(_rot_np(q02).T @ (loc - p02), self.dtype)
-            a2 = jnp.asarray(_rot_np(q02).T @ a_hat, self.dtype)
-            n1l = jnp.asarray(_rot_np(q01).T @ n1, self.dtype)
-            n2l = jnp.asarray(_rot_np(q01).T @ n2, self.dtype)
-            q_rel0 = quat_multiply(
-                _quat_conj(jnp.asarray(q01, self.dtype)), jnp.asarray(q02, self.dtype)
-            )
+            p01, q01 = self._initial_pose(j.body1)
+            p02, q02 = self._initial_pose(j.body2)
+            jc = {
+                "l1": _rot_np(q01).T @ (loc - p01),
+                "l2": _rot_np(q02).T @ (loc - p02),
+                "a2": _rot_np(q02).T @ a_hat,
+                "n1l": _rot_np(q01).T @ n1,
+                "n2l": _rot_np(q01).T @ n2,
+                "q_rel0": _quat_mul_np(q01 * np.array([1, -1, -1, -1]), q02),
+            }
+            joint_consts.append({k: jnp.asarray(v, self.dtype) for k, v in jc.items()})
 
             kind = j.kind.lower()
-            locked = j.locked
-
-            def make_res(b1=b1, b2=b2, l1=l1, l2=l2, a2=a2,
-                         n1l=n1l, n2l=n2l, q_rel0=q_rel0, kind=kind, locked=locked):
-                def res(pos, quat):
-                    p1, q1 = pose_of(b1, pos, quat)
-                    p2, q2 = pose_of(b2, pos, quat)
-                    P1 = p1 + quat_rotate(q1, l1)
-                    P2 = p2 + quat_rotate(q2, l2)
-                    parts = []
-                    if kind in ("spherical", "revolute", "fixed"):
-                        parts.append(P1 - P2)
-                    if kind == "prismatic":
-                        d = P2 - P1
-                        w1 = quat_rotate(q1, n1l)
-                        w2 = quat_rotate(q1, n2l)
-                        parts.append(jnp.stack([jnp.dot(d, w1), jnp.dot(d, w2)]))
-                    if kind == "revolute" and not locked:
-                        aw2 = quat_rotate(q2, a2)
-                        w1 = quat_rotate(q1, n1l)
-                        w2 = quat_rotate(q1, n2l)
-                        parts.append(jnp.stack([jnp.dot(aw2, w1), jnp.dot(aw2, w2)]))
-                    if kind in ("prismatic", "fixed") or (kind == "revolute" and locked):
-                        # full rotation lock: small-angle rotation vector of the
-                        # relative-orientation error
-                        q_err = quat_multiply(_quat_conj(quat_multiply(q1, q_rel0)), q2)
-                        parts.append(2.0 * jnp.sign(q_err[0]) * q_err[1:4])
-                    return jnp.concatenate(parts)
-
-                return res
-
-            residual_fns.append(make_res())
             nrows = {"spherical": 3, "revolute": 5, "prismatic": 5, "fixed": 6}[kind]
-            if kind == "revolute" and locked:
+            if kind == "revolute" and j.locked:
                 nrows = 6
-            self.joint_rows.append((kind, nrows))
+            self.joint_rows.append((kind, j.locked, nrows))
 
-        self.n_constraints = sum(r for _, r in self.joint_rows)
-        if residual_fns:
-            def c_all(pos, quat):
-                return jnp.concatenate([f(pos, quat) for f in residual_fns])
-            self._c_fn = c_all
-        else:
-            self._c_fn = None
+        const["joints"] = joint_consts
+        self.n_constraints = sum(r for _, _, r in self.joint_rows)
+        self.has_constraints = self.n_constraints > 0
 
-    def _constraint_jacobian(self, pos, quat):
+    def _constraint_residual(self, const, pos, quat):
+        parts = []
+        for (kind, locked, _), j, jc in zip(
+            self.joint_rows, self.spec.joints, const["joints"]
+        ):
+            p1, q1 = self._pose_of(j.body1, const, pos, quat)
+            p2, q2 = self._pose_of(j.body2, const, pos, quat)
+            P1 = p1 + quat_rotate(q1, jc["l1"])
+            P2 = p2 + quat_rotate(q2, jc["l2"])
+            if kind in ("spherical", "revolute", "fixed"):
+                parts.append(P1 - P2)
+            if kind == "prismatic":
+                d = P2 - P1
+                w1 = quat_rotate(q1, jc["n1l"])
+                w2 = quat_rotate(q1, jc["n2l"])
+                parts.append(jnp.stack([jnp.dot(d, w1), jnp.dot(d, w2)]))
+            if kind == "revolute" and not locked:
+                aw2 = quat_rotate(q2, jc["a2"])
+                w1 = quat_rotate(q1, jc["n1l"])
+                w2 = quat_rotate(q1, jc["n2l"])
+                parts.append(jnp.stack([jnp.dot(aw2, w1), jnp.dot(aw2, w2)]))
+            if kind in ("prismatic", "fixed") or (kind == "revolute" and locked):
+                # full rotation lock: small-angle rotation vector of the
+                # relative-orientation error
+                q_err = quat_multiply(_quat_conj(quat_multiply(q1, jc["q_rel0"])), q2)
+                parts.append(2.0 * jnp.sign(q_err[0]) * q_err[1:4])
+        return jnp.concatenate(parts)
+
+    def _constraint_jacobian(self, const, pos, quat):
         """J [m, nv] with v = [u0, w0, u1, w1, ...] (world frame) via jvp."""
         def cdot(v):
             v = v.reshape(self.n_moving, 6)
             u, w = v[:, :3], v[:, 3:]
             wq = jnp.concatenate([jnp.zeros_like(w[:, :1]), w], axis=-1)
             qdot = 0.5 * quat_multiply(wq, quat)
-            _, out = jax.jvp(self._c_fn, (pos, quat), (u, qdot))
+            _, out = jax.jvp(
+                lambda p, q: self._constraint_residual(const, p, q),
+                (pos, quat), (u, qdot),
+            )
             return out
 
         return jax.jacfwd(cdot)(jnp.zeros((self.nv,), self.dtype))
 
     # ------------------------------------------------------------------
-    def _build_force_elements(self, params):
+    def _build_force_elements(self, params, const):
         spec = self.spec
-        self._tsda = []
+        tsda_consts = []
         tsda_k, tsda_c = [], []
+        self.tsda_rest = []
         for t in spec.tsdas:
             p1 = np.asarray(t.point1, dtype=np.float64)
             p2 = np.asarray(t.point2, dtype=np.float64)
@@ -331,70 +396,73 @@ class Simulation:
                 # ChLinkTSDA computes rest length from the initial distance
                 # when not set (demo_sphere_reg_waves.cpp:120-122)
                 L0 = float(np.linalg.norm(p2 - p1))
+            self.tsda_rest.append(L0)
             p01, q01 = self._initial_pose(t.body1)
             p02, q02 = self._initial_pose(t.body2)
-            l1 = jnp.asarray(_rot_np(q01).T @ (p1 - p01), self.dtype)
-            l2 = jnp.asarray(_rot_np(q02).T @ (p2 - p02), self.dtype)
-            self._tsda.append((t, l1, l2, L0))
+            tc = {
+                "l1": jnp.asarray(_rot_np(q01).T @ (p1 - p01), self.dtype),
+                "l2": jnp.asarray(_rot_np(q02).T @ (p2 - p02), self.dtype),
+            }
+            if t.spring_curve is not None:
+                tc["spring_x"] = jnp.asarray(t.spring_curve[:, 0], self.dtype)
+                tc["spring_f"] = jnp.asarray(t.spring_curve[:, 1], self.dtype)
+            if t.damping_curve is not None:
+                tc["damp_x"] = jnp.asarray(t.damping_curve[:, 0], self.dtype)
+                tc["damp_f"] = jnp.asarray(t.damping_curve[:, 1], self.dtype)
+            tsda_consts.append(tc)
             tsda_k.append(t.spring_coeff)
             tsda_c.append(t.damping_coeff)
-        if self._tsda:
+        const["tsda"] = tsda_consts
+        if spec.tsdas:
             params["tsda_k"] = jnp.asarray(tsda_k, self.dtype)
             params["tsda_c"] = jnp.asarray(tsda_c, self.dtype)
 
-        self._rsda = []
+        rsda_consts = []
         rsda_k, rsda_c = [], []
         for r in spec.rsdas:
             a = np.asarray(r.axis, dtype=np.float64)
             a = a / np.linalg.norm(a)
             _, q01 = self._initial_pose(r.body1)
-            a1l = jnp.asarray(_rot_np(q01).T @ a, self.dtype)
-            self._rsda.append((r, a1l))
+            rsda_consts.append({"a1l": jnp.asarray(_rot_np(q01).T @ a, self.dtype)})
             rsda_k.append(r.spring_coeff)
             rsda_c.append(r.damping_coeff)
-        if self._rsda:
+        const["rsda"] = rsda_consts
+        if spec.rsdas:
             params["rsda_k"] = jnp.asarray(rsda_k, self.dtype)
             params["rsda_c"] = jnp.asarray(rsda_c, self.dtype)
 
-    def _initial_pose(self, i):
-        if i < 0:
-            return np.zeros(3), np.array([1.0, 0, 0, 0])
-        b = self.spec.bodies[i]
-        return np.asarray(b.pos0, dtype=np.float64), np.asarray(b.quat0, dtype=np.float64)
-
-    def _body_pose(self, i, pos, quat):
-        if i < 0 or self.spec.bodies[i].fixed:
-            p = jnp.asarray(self.fixed_pos.get(i, np.zeros(3)), self.dtype)
-            q = jnp.asarray(self.fixed_quat.get(i, np.array([1.0, 0, 0, 0])), self.dtype)
-            return p, q
-        s = self.slot_of[i]
-        return pos[s], quat[s]
-
-    def _body_vel(self, i, lin_vel, ang_vel):
-        if i < 0 or self.spec.bodies[i].fixed:
-            z = jnp.zeros((3,), self.dtype)
-            return z, z
-        s = self.slot_of[i]
-        return lin_vel[s], ang_vel[s]
-
-    def _tsda_state(self, idx, pos, quat, lin_vel, ang_vel):
-        """Geometry of TSDA `idx`: (P1, P2, L, Ldot, dhat, pb1, pb2)."""
-        t, l1, l2, L0 = self._tsda[idx]
-        pb1, qb1 = self._body_pose(t.body1, pos, quat)
-        pb2, qb2 = self._body_pose(t.body2, pos, quat)
-        P1 = pb1 + quat_rotate(qb1, l1)
-        P2 = pb2 + quat_rotate(qb2, l2)
-        u1, w1 = self._body_vel(t.body1, lin_vel, ang_vel)
-        u2, w2 = self._body_vel(t.body2, lin_vel, ang_vel)
+    def _tsda_state(self, idx, const, pos, quat, lin_vel, ang_vel):
+        """Geometry of TSDA `idx`: (P1, P2, L, Ldot, dhat, pb1, pb2, L0)."""
+        t = self.spec.tsdas[idx]
+        tc = const["tsda"][idx]
+        pb1, qb1 = self._pose_of(t.body1, const, pos, quat)
+        pb2, qb2 = self._pose_of(t.body2, const, pos, quat)
+        P1 = pb1 + quat_rotate(qb1, tc["l1"])
+        P2 = pb2 + quat_rotate(qb2, tc["l2"])
+        u1, w1 = self._vel_of(t.body1, lin_vel, ang_vel)
+        u2, w2 = self._vel_of(t.body2, lin_vel, ang_vel)
         V1 = u1 + jnp.cross(w1, P1 - pb1)
         V2 = u2 + jnp.cross(w2, P2 - pb2)
         d = P2 - P1
         L = jnp.linalg.norm(d)
         dhat = d / jnp.maximum(L, 1e-12)
         Ldot = jnp.dot(V2 - V1, dhat)
-        return P1, P2, L, Ldot, dhat, pb1, pb2, L0
+        return P1, P2, L, Ldot, dhat, pb1, pb2, self.tsda_rest[idx]
 
-    def _element_forces(self, params, pos, quat, lin_vel, ang_vel):
+    def _tsda_forces_scalar(self, idx, params, const, L, Ldot, L0):
+        t = self.spec.tsdas[idx]
+        tc = const["tsda"][idx]
+        if t.spring_curve is not None:
+            f_spring = -jnp.interp(L - L0, tc["spring_x"], tc["spring_f"])
+        else:
+            f_spring = -params["tsda_k"][idx] * (L - L0)
+        if t.damping_curve is not None:
+            f_damp = -jnp.interp(Ldot, tc["damp_x"], tc["damp_f"])
+        else:
+            f_damp = -params["tsda_c"][idx] * Ldot
+        return f_spring, f_damp
+
+    def _element_forces(self, params, const, pos, quat, lin_vel, ang_vel):
         """TSDA/RSDA generalized forces, accumulated into [nv]."""
         F = jnp.zeros((self.nv,), self.dtype)
 
@@ -406,40 +474,28 @@ class Simulation:
             F = F.at[s * 6 + 3 : s * 6 + 6].add(torque)
             return F
 
-        for idx, (t, l1, l2, L0) in enumerate(self._tsda):
+        for idx, t in enumerate(self.spec.tsdas):
             P1, P2, L, Ldot, dhat, pb1, pb2, L0 = self._tsda_state(
-                idx, pos, quat, lin_vel, ang_vel
+                idx, const, pos, quat, lin_vel, ang_vel
             )
-            if t.spring_curve is not None:
-                xs = jnp.asarray(t.spring_curve[:, 0], self.dtype)
-                ys = jnp.asarray(t.spring_curve[:, 1], self.dtype)
-                f_spring = -jnp.interp(L - L0, xs, ys)
-            else:
-                f_spring = -params["tsda_k"][idx] * (L - L0)
-            if t.damping_curve is not None:
-                xs = jnp.asarray(t.damping_curve[:, 0], self.dtype)
-                ys = jnp.asarray(t.damping_curve[:, 1], self.dtype)
-                f_damp = -jnp.interp(Ldot, xs, ys)
-            else:
-                f_damp = -params["tsda_c"][idx] * Ldot
+            f_spring, f_damp = self._tsda_forces_scalar(idx, params, const, L, Ldot, L0)
             fmag = f_spring + f_damp  # >0 pushes bodies apart
-
             fvec2 = fmag * dhat  # force on body2
             F = add_wrench(F, t.body2, fvec2, jnp.cross(P2 - pb2, fvec2))
             F = add_wrench(F, t.body1, -fvec2, jnp.cross(P1 - pb1, -fvec2))
 
-        for idx, (r, a1l) in enumerate(self._rsda):
-            _, qb1 = self._body_pose(r.body1, pos, quat)
-            ahat = quat_rotate(qb1, a1l)
-            _, q1 = self._body_pose(r.body1, pos, quat)
-            _, q2 = self._body_pose(r.body2, pos, quat)
+        for idx, r in enumerate(self.spec.rsdas):
+            rc = const["rsda"][idx]
+            _, qb1 = self._pose_of(r.body1, const, pos, quat)
+            ahat = quat_rotate(qb1, rc["a1l"])
+            _, q1 = self._pose_of(r.body1, const, pos, quat)
+            _, q2 = self._pose_of(r.body2, const, pos, quat)
             q_rel = quat_multiply(_quat_conj(q1), q2)
             rotvec = 2.0 * jnp.sign(q_rel[0]) * q_rel[1:4]
             theta = jnp.dot(quat_rotate(q1, rotvec), ahat)
-            u1, w1 = self._body_vel(r.body1, lin_vel, ang_vel)
-            u2, w2 = self._body_vel(r.body2, lin_vel, ang_vel)
+            u1, w1 = self._vel_of(r.body1, lin_vel, ang_vel)
+            u2, w2 = self._vel_of(r.body2, lin_vel, ang_vel)
             theta_dot = jnp.dot(w2 - w1, ahat)
-
             tau = (
                 -params["rsda_k"][idx] * (theta - r.rest_angle)
                 - params["rsda_c"][idx] * theta_dot
@@ -459,38 +515,51 @@ class Simulation:
         vhist = jnp.zeros((self.hist_len, 6 * max(self.n_hydro, 1)), self.dtype)
         return State(pos=pos, quat=quat, lin_vel=zeros3, ang_vel=zeros3, vhist=vhist)
 
-    def _forces(self, params, state: State, n):
+    def _hydro_velocity(self, state: State):
+        # static-index stack (no gather with a device index array)
+        rows = [
+            jnp.concatenate([state.lin_vel[s], state.ang_vel[s]])
+            for s in self.hydro_slots
+        ]
+        return jnp.concatenate(rows)
+
+    def _forces(self, params, state: State, n, f_rad=None, f_wave=None):
         """Total generalized force [nv] at the current state/time."""
+        const = params["_const"]
         pos, quat = state.pos, state.quat
         lv, av = state.lin_vel, state.ang_vel
         F = jnp.zeros((self.n_moving, 6), self.dtype)
 
         # gravity
-        F = F.at[:, :3].add(params["mass"][:, None] * self.gravity[None, :])
+        F = F.at[:, :3].add(params["mass"][:, None] * const["gravity"][None, :])
 
         # gyroscopic torque: -w x (I_w w)
         R = quat_to_matrix(quat)
-        I_w = R @ self.inertia_body @ jnp.swapaxes(R, -1, -2)
+        I_w = R @ const["inertia_body"] @ jnp.swapaxes(R, -1, -2)
         F = F.at[:, 3:].add(-jnp.cross(av, jnp.einsum("nij,nj->ni", I_w, av)))
         F = F.reshape(self.nv)
 
         # hydro forces
         if self.hydro is not None:
             hs = self.hydro_slots
+            hpos = jnp.stack([pos[s] for s in hs])
+            hquat = jnp.stack([quat[s] for s in hs])
             f_hs = hydrostatic_force(
-                pos[hs], quat[hs], self.k_lin, self.cg_eq, self.cb_minus_cg,
-                self.disp_vol, self.rho, self.gravity,
+                hpos, hquat, const["k_lin"], const["cg_eq"], const["cb_minus_cg"],
+                const["disp_vol"], self.rho, const["gravity"],
             ).reshape(-1)
-            f_rad = rad.radiation_force(self.W_rev, state.vhist, n)
-            f_wave = self._wave_force(params, n)
+            if f_rad is None:
+                f_rad = rad.radiation_force(const["W_rev"], state.vhist, n)
+            if f_wave is None:
+                f_wave = self._wave_force(params, n)
             f_hydro = (f_hs - f_rad + f_wave).reshape(self.n_hydro, 6)
             for hb in range(self.n_hydro):
                 slot = self.slot_of[int(self.hydro.body_indices[hb])]
                 F = F.at[slot * 6 : slot * 6 + 6].add(f_hydro[hb])
 
         # spring-dampers
-        if self._tsda or self._rsda:
-            F = F + self._element_forces(params, pos, quat, lv, av)
+        if self.spec.tsdas or self.spec.rsdas:
+            F = F + self._element_forces(params, const, pos, quat, lv, av)
 
         return F, I_w
 
@@ -500,48 +569,70 @@ class Simulation:
         update stay uniform across the batch; a per-instance traced index
         would turn them into per-instance gathers/scatters (measured 20x
         slower on TPU)."""
-        h = self.dt
-        nm = self.n_moving
-
-        # 1) record current velocity in the ring buffer
         if self.hydro is not None:
-            hs = self.hydro_slots
-            v6 = jnp.concatenate([state.lin_vel[hs], state.ang_vel[hs]], axis=-1).reshape(-1)
+            v6 = self._hydro_velocity(state)
             slot = jnp.mod(n, self.hist_len)
             vhist = jax.lax.dynamic_update_slice_in_dim(
                 state.vhist, v6[None, :], slot, axis=0
             )
             state = dataclasses.replace(state, vhist=vhist)
+        return self._step_core(params, state, n)
 
-        # 2) forces
-        F, I_w = self._forces(params, state, n)
-
-        # 3) mass matrix + KKT solve
+    def _assemble_mass(self, params, I_w):
+        """M^ = blockdiag(m I3, I_world) + A_inf, [nv, nv]."""
         Mhat = jnp.zeros((self.nv, self.nv), self.dtype)
-        for s in range(nm):
+        for s in range(self.n_moving):
             Mhat = Mhat.at[s * 6 : s * 6 + 3, s * 6 : s * 6 + 3].add(
                 params["mass"][s] * jnp.eye(3, dtype=self.dtype)
             )
             Mhat = Mhat.at[s * 6 + 3 : s * 6 + 6, s * 6 + 3 : s * 6 + 6].add(I_w[s])
-        Mhat = Mhat + self.ainf
+        return Mhat + params["_const"]["ainf"]
+
+    def _world_inertia(self, params, quat):
+        R = quat_to_matrix(quat)
+        return R @ params["_const"]["inertia_body"] @ jnp.swapaxes(R, -1, -2)
+
+    def _solver_cache(self, params, state: State):
+        """Per-block cache for the refined KKT solver (ops/linalg.py)."""
+        const = params["_const"]
+        Mhat = self._assemble_mass(params, self._world_inertia(params, state.quat))
+        J = (self._constraint_jacobian(const, state.pos, state.quat)
+             if self.has_constraints else None)
+        return make_kkt_cache(Mhat, J)
+
+    def _step_core(self, params, state: State, n, f_rad=None, f_wave=None,
+                   solver_cache=None):
+        """Forces + KKT solve + semi-implicit update (no history bookkeeping)."""
+        h = self.dt
+        nm = self.n_moving
+        const = params["_const"]
+
+        F, I_w = self._forces(params, state, n, f_rad=f_rad, f_wave=f_wave)
+
+        Mhat = self._assemble_mass(params, I_w)
 
         v = jnp.concatenate([state.lin_vel, state.ang_vel], axis=-1).reshape(self.nv)
-        rhs = Mhat @ v + h * F
+        rhs = (Mhat * v[None, :]).sum(-1) + h * F
 
-        if self._c_fn is not None:
-            c = self._c_fn(state.pos, state.quat)
-            J = self._constraint_jacobian(state.pos, state.quat)
-            # unrolled Cholesky + Schur solve: ~60x faster per scan step on
-            # TPU than the batched LU custom call (see ops/linalg.py)
-            v_new, lam = solve_kkt(Mhat, J, rhs, -c / h)
+        if self.has_constraints:
+            c = self._constraint_residual(const, state.pos, state.quat)
+            J = self._constraint_jacobian(const, state.pos, state.quat)
+            if solver_cache is not None:
+                v_new, lam = solve_kkt_refined(Mhat, J, rhs, -c / h, solver_cache)
+            else:
+                # unrolled Cholesky + Schur solve: much faster per scan step
+                # on TPU than the batched LU custom call (see ops/linalg.py)
+                v_new, lam = solve_kkt(Mhat, J, rhs, -c / h)
         else:
-            v_new = solve_spd(Mhat, rhs)
-            lam = jnp.zeros((0,), self.dtype)
+            if solver_cache is not None:
+                v_new, lam = solve_kkt_refined(Mhat, None, rhs, None, solver_cache)
+            else:
+                v_new = solve_spd(Mhat, rhs)
+                lam = jnp.zeros((0,), self.dtype)
 
         vr = v_new.reshape(nm, 6)
         lin_new, ang_new = vr[:, :3], vr[:, 3:]
 
-        # 4) semi-implicit position update
         pos_new = state.pos + h * lin_new
         quat_new = quat_integrate(state.quat, ang_new, h)
 
@@ -556,29 +647,20 @@ class Simulation:
             "acc": ((v_new - v) / h).reshape(nm, 6),
             "lambda": lam,
         }
-        if "tsda" in self.outputs and self._tsda:
+        if "tsda" in self.outputs and self.spec.tsdas:
             # per-TSDA scalars for the exporter (simulation_exporter.cpp:763-807)
             rows = []
-            for idx, (t, l1, l2, L0) in enumerate(self._tsda):
+            for idx in range(len(self.spec.tsdas)):
                 P1, P2, L, Ldot, dhat, pb1, pb2, L0 = self._tsda_state(
-                    idx, pos_new, quat_new, lin_new, ang_new
+                    idx, const, pos_new, quat_new, lin_new, ang_new
                 )
-                if t.spring_curve is not None:
-                    xs = jnp.asarray(t.spring_curve[:, 0], self.dtype)
-                    ys = jnp.asarray(t.spring_curve[:, 1], self.dtype)
-                    f_spring = -jnp.interp(L - L0, xs, ys)
-                else:
-                    f_spring = -params["tsda_k"][idx] * (L - L0)
-                if t.damping_curve is not None:
-                    xs = jnp.asarray(t.damping_curve[:, 0], self.dtype)
-                    ys = jnp.asarray(t.damping_curve[:, 1], self.dtype)
-                    f_damp = -jnp.interp(Ldot, xs, ys)
-                else:
-                    f_damp = -params["tsda_c"][idx] * Ldot
+                f_spring, f_damp = self._tsda_forces_scalar(
+                    idx, params, const, L, Ldot, L0
+                )
                 rows.append(jnp.stack([L, Ldot, f_spring, f_damp]))
             full_out["tsda"] = jnp.stack(rows)  # [n_tsda, 4] = (len, speed, fs, fd)
 
-        out = {k: v for k, v in full_out.items()
+        out = {k: val for k, val in full_out.items()
                if k in self.outputs or k in ("pos",)}
         return new_state, out
 
@@ -598,11 +680,84 @@ class Simulation:
         if state is None:
             state = self.init_state()
 
+        if self.block_size and self.hydro is not None:
+            return self._run_blocked(num_steps, state, params, start_step)
+
         def step(s, n):
             return self._step(params, s, n)
 
         steps = start_step + jnp.arange(num_steps, dtype=jnp.int32)
         final, traj = jax.lax.scan(step, state, steps)
+        return final, traj
+
+    def _run_blocked(self, num_steps: int, state: State, params, start_step: int):
+        """Blocked scan: far-field radiation (and irregular excitation) are
+        computed once per block as Hankel-kernel matmuls; the inner scan only
+        touches this block's velocities. Matches the per-step path up to
+        float reassociation (exactly, when refined_solver=False)."""
+        if start_step != 0:
+            raise NotImplementedError("blocked mode resumes at block boundaries only")
+        tb = self.block_size
+        nblocks = -(-num_steps // tb)
+        H2 = self.hist_len
+        K = 6 * self.n_hydro
+        const = params["_const"]
+        Hj = const["W_far"].shape[1]  # = H - 1
+
+        irregular = self.wave_kind == "IrregularWaveParams"
+
+        def block(carry, b):
+            st = carry
+            n0 = b * tb
+            cache = self._solver_cache(params, st) if self.refined_solver else None
+
+            # newest-first pre-block history: vold[j] = v[n0-1-j]
+            p0 = jnp.mod(n0, H2)
+            vold = jnp.roll(st.vhist[::-1], p0, axis=0)[:Hj]
+            f_far = rad.far_field_block(
+                const["W_far"], vold.astype(self.far_dtype)
+            ).astype(self.dtype)  # [tb, K]
+
+            if irregular:
+                M = self._exc_window
+                etaw = jax.lax.dynamic_slice_in_dim(
+                    params["irr_eta"], n0, M + tb - 1, axis=-1
+                )
+                f_exc = rad.excitation_block(
+                    const["eh_kernel"], etaw.astype(self.far_dtype)
+                ).astype(self.dtype)  # [tb, K]
+
+            def inner(ic, d):
+                st, vblock = ic
+                n = n0 + d
+                v6 = self._hydro_velocity(st)
+                vblock = jax.lax.dynamic_update_slice_in_dim(
+                    vblock, v6[None, :], d, axis=0
+                )
+                # intra-block radiation: rows past d are zero in vblock
+                wd = jnp.roll(const["W_small_rev"], d + 1, axis=0)
+                f_intra = jnp.einsum("mij,mj->i", wd, vblock)
+                f_rad = f_far[d] + f_intra
+                f_wave = f_exc[d] if irregular else self._wave_force(params, n)
+                st2, out = self._step_core(params, st, n, f_rad=f_rad,
+                                           f_wave=f_wave, solver_cache=cache)
+                return (st2, vblock), out
+
+            (st2, vblock), outs = jax.lax.scan(
+                inner, (st, jnp.zeros((tb, K), self.dtype)),
+                jnp.arange(tb, dtype=jnp.int32),
+            )
+            vhist = jax.lax.dynamic_update_slice_in_dim(st2.vhist, vblock, p0, axis=0)
+            st2 = dataclasses.replace(st2, vhist=vhist)
+            return st2, outs
+
+        final, traj = jax.lax.scan(
+            block, state, jnp.arange(nblocks, dtype=jnp.int32)
+        )
+        # [nblocks, tb, ...] -> [nblocks*tb, ...] -> trim padding
+        traj = jax.tree.map(
+            lambda x: x.reshape((nblocks * tb,) + x.shape[2:])[:num_steps], traj
+        )
         return final, traj
 
     def run_batch(self, num_steps: int, batched: dict, state: Optional[State] = None):

@@ -63,7 +63,9 @@ def test_rm3_regular_waves(synth):
     import jax.numpy as jnp
 
     for k in (0, 500, 1500, 1999):
-        c = np.asarray(sim._c_fn(jnp.asarray(pos[k]), jnp.asarray(quat[k])))
+        c = np.asarray(sim._constraint_residual(
+            sim.params["_const"], jnp.asarray(pos[k]), jnp.asarray(quat[k])
+        ))
         assert np.abs(c).max() < 1e-3, f"step {k}: |c|={np.abs(c).max()}"
     # bodies respond to the waves
     assert np.abs(pos[:, 0, 2] + 0.72).max() > 1e-4
