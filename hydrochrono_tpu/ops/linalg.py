@@ -70,12 +70,21 @@ def _bcast(a, like):
 
 
 def solve_spd(A, b):
-    """x = A^-1 b for SPD A [..., n, n], b [..., n] or [..., n, k]. Unrolled."""
+    """x = A^-1 b for SPD A [..., n, n], b [..., n] or [..., n, k]. Unrolled.
+
+    Single-RHS inputs are routed through the multi-RHS ([..., n, 1]) form:
+    the scalar-row variant compiles to ~15x slower code on current TPU
+    runtimes (measured 865 vs 56 us/step inside a scan).
+    """
     n = A.shape[-1]
+    single = b.ndim == A.ndim - 1
+    if single:
+        b = b[..., None]
     L = cholesky_unrolled(A, n)
-    rows = [b[..., i] if b.ndim == A.ndim - 1 else b[..., i, :] for i in range(n)]
+    rows = [b[..., i, :] for i in range(n)]
     x = cholesky_solve_unrolled(L, rows, n)
-    return jnp.stack(x, axis=-1 if b.ndim == A.ndim - 1 else -2)
+    out = jnp.stack(x, axis=-2)
+    return out[..., 0] if single else out
 
 
 def inv_spd(A):

@@ -133,10 +133,12 @@ class Simulation:
         self.outputs = outputs
         self.block_size = block_size
         self.far_dtype = far_dtype if far_dtype is not None else self.dtype
-        # cached-inverse + iterative-refinement mass solver: dependency-free
-        # matvecs per step instead of a fresh factorization; defaults on in
-        # blocked mode where the per-block cache lives
-        self.refined_solver = (block_size is not None) if refined_solver is None else refined_solver
+        # cached-inverse + iterative-refinement mass solver. Measured SLOWER
+        # than the unrolled exact factorization on current TPU runtimes (the
+        # refinement's batched tiny matvecs cost ~50us each per scan step
+        # while the unrolled scalar chains fuse into one kernel), so default
+        # off; kept as an option for platforms where factorization dominates.
+        self.refined_solver = False if refined_solver is None else refined_solver
 
         bodies = spec.bodies
         self.moving = [i for i, b in enumerate(bodies) if not b.fixed]
