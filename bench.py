@@ -1,17 +1,17 @@
-"""Headline benchmark: batched sphere-decay throughput on TPU.
+"""Headline benchmark on TPU — the two BASELINE.md workloads:
 
-Runs B independent 40 s sphere heave-decay simulations (the reference's
-demos/sphere workload: dt=0.015, 2667 steps, RIRF 6x6x1001 — real BEMIO
-coefficients from the reference repo) as ONE batched device program in
-float32, and prints a single JSON line:
+  1. RM3 two-body point absorber with TSDA PTO in irregular (PM) waves,
+     dt=0.01, blocked radiation convolution. The reference rm3.h5 is a
+     missing LFS blob, so RM3-class synthetic BEMIO coefficients are used
+     (2 bodies, 12x12 A_inf/RIRF, 15 s kernel @ 1501 samples — the sphere
+     file's real kernel resolution).  <- primary metric
+  2. Batched sphere heave decay (real sphere.h5 coefficients), dt=0.015,
+     2667 steps — the reference demos/sphere workload.
 
-  {"metric": "batched_sphere_decay_sims_per_sec", "value": ..., "unit":
-   "sims/s", "vs_baseline": ...}
-
-vs_baseline is the per-instance real-time factor divided by the BASELINE.md
-target of 100x real time per instance (>= 1.0 means the north-star target is
-met at this batch size on this chip). The reference publishes no wall-time
-numbers (BASELINE.md) so there is no reference ratio to report.
+Prints ONE JSON line. vs_baseline is the RM3 per-instance real-time factor
+divided by the BASELINE.md target (100x real time per instance at 4096
+instances on v5e-8 == 512 instances per chip); >= 1.0 means target met.
+The reference itself publishes no wall-time numbers (BASELINE.md).
 """
 
 import json
@@ -22,80 +22,93 @@ import time
 import numpy as np
 
 
+def _timed(fn, *args):
+    out = np.asarray(fn(*args))  # host transfer == reliable sync
+    t0 = time.time()
+    out = np.asarray(fn(*args))
+    return time.time() - t0, out
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from hydrochrono_tpu.io.bemio import load_bemio_h5
-    from hydrochrono_tpu.parallel.sharding import batch_mesh, make_batched_states, shard_batch
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+    from hydrochrono_tpu.models import rm3
+    from hydrochrono_tpu.parallel.sharding import make_batched_states
     from hydrochrono_tpu.physics.system import Body, HydroAttachment, SystemSpec
+    from hydrochrono_tpu.physics.waves import IrregularWaveParams
     from hydrochrono_tpu.stepper import Simulation
 
-    h5 = "/root/reference/demos/sphere/hydroData/sphere.h5"
-    if not os.path.exists(h5):
-        h5 = os.path.join(os.path.dirname(__file__), "tests", "data", "sphere.h5")
-
     n_dev = len(jax.devices())
-    batch = int(os.environ.get("BENCH_BATCH", "512")) * n_dev
-    sim_seconds = 40.0
-    dt = 0.015
-    nsteps = 2667
+    B = int(os.environ.get("BENCH_BATCH", "512")) * n_dev
 
-    hydro = load_bemio_h5(h5, num_bodies=1)
-    spec = SystemSpec(
-        bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.0))],
-        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
-        gravity=(0.0, 0.0, -9.81),
-    )
-    sim = Simulation(spec, dt=dt, dtype=jnp.float32)
-
-    # vary initial depth per instance: a real decay sweep, not clones
-    rng = np.random.RandomState(0)
-    offsets = np.zeros((batch, 1, 3), dtype=np.float32)
-    offsets[:, 0, 2] = rng.uniform(-0.5, 0.5, size=batch)
-
-    mesh = batch_mesh()
-    states = make_batched_states(sim, batch, pos_offsets=offsets)
-    states = shard_batch(states, mesh)
-
-    run = jax.jit(jax.vmap(lambda s: sim.run(nsteps, state=s)))
-
-    # compile
+    # ---------------- RM3 irregular (primary) ----------------
+    rm3_h5 = "/tmp/hydrochrono_tpu_bench_rm3.h5"
+    if not os.path.exists(rm3_h5):
+        write_bemio_h5(
+            rm3_h5, 2, seed=11,
+            cg_list=[np.array([0.0, 0.0, -0.72]), np.array([0.0, 0.0, -21.29])],
+            rirf_tmax=15.0, rirf_steps=1501,
+        )
+    wave = IrregularWaveParams(height=2.0, period=8.0, nfrequencies=1000,
+                               ramp_duration=20.0)
+    sim_t = 100.0
+    dt = 0.01
+    tb = 128
+    n = (int(sim_t / dt) + tb - 1) // tb * tb
+    sim = Simulation(rm3(rm3_h5, pto_damping=1.2e6), dt=dt, wave=wave,
+                     duration=2 * sim_t, dtype=jnp.float32, block_size=tb)
+    states = make_batched_states(sim, B)
+    run = jax.jit(jax.vmap(lambda s, p: sim.run(n, state=s, params=p)[0].pos,
+                           in_axes=(0, None)))
     t0 = time.time()
-    final, traj = run(states)
-    jax.block_until_ready(final.pos)
-    compile_and_first = time.time() - t0
+    wall_rm3, out = _timed(run, states, sim.params)
+    compile_rm3 = time.time() - t0 - wall_rm3
+    ok_rm3 = bool(np.isfinite(out).all())
+    rm3_rt = n * dt / wall_rm3
+    rm3_steps_s = B * n / wall_rm3
 
-    # timed runs
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        final, traj = run(states)
-        jax.block_until_ready(final.pos)
-    wall = (time.time() - t0) / reps
-
-    sims_per_sec = batch / wall
-    per_instance_rt = sim_seconds / wall  # each instance simulates 40 s in `wall`
-    target = 100.0  # BASELINE.md: >=100x real time per instance
-
-    # sanity: finite results
-    ok = bool(np.isfinite(np.asarray(final.pos)).all())
+    # ---------------- sphere decay (secondary) ----------------
+    sph_h5 = "/root/reference/demos/sphere/hydroData/sphere.h5"
+    ok_sph = True
+    sph_sims_s = sph_rt = 0.0
+    if os.path.exists(sph_h5):
+        hydro = load_bemio_h5(sph_h5, num_bodies=1)
+        spec = SystemSpec(
+            bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.0))],
+            hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+            gravity=(0.0, 0.0, -9.81),
+        )
+        sim2 = Simulation(spec, dt=0.015, dtype=jnp.float32)
+        rng = np.random.RandomState(0)
+        offs = np.zeros((B, 1, 3), dtype=np.float32)
+        offs[:, 0, 2] = rng.uniform(-0.5, 0.5, size=B)
+        st2 = make_batched_states(sim2, B, pos_offsets=offs)
+        run2 = jax.jit(jax.vmap(lambda s, p: sim2.run(2667, state=s, params=p)[0].pos,
+                                in_axes=(0, None)))
+        wall_sph, out2 = _timed(run2, st2, sim2.params)
+        ok_sph = bool(np.isfinite(out2).all())
+        sph_sims_s = B / wall_sph
+        sph_rt = 40.0 / wall_sph
 
     result = {
-        "metric": "batched_sphere_decay_sims_per_sec",
-        "value": round(sims_per_sec, 2),
-        "unit": "sims/s",
-        "vs_baseline": round(per_instance_rt / target, 3),
-        "batch": batch,
+        "metric": "rm3_irregular_steps_per_sec",
+        "value": round(rm3_steps_s, 0),
+        "unit": "instance-steps/s",
+        "vs_baseline": round(rm3_rt / 100.0, 3),
+        "batch": B,
         "devices": n_dev,
-        "steps": nsteps,
-        "wall_s": round(wall, 4),
-        "per_instance_realtime_factor": round(per_instance_rt, 1),
-        "compile_s": round(compile_and_first, 2),
-        "finite": ok,
+        "rm3_per_instance_realtime_factor": round(rm3_rt, 1),
+        "rm3_wall_s": round(wall_rm3, 3),
+        "rm3_compile_s": round(compile_rm3, 1),
+        "sphere_decay_sims_per_sec": round(sph_sims_s, 1),
+        "sphere_per_instance_realtime_factor": round(sph_rt, 1),
+        "finite": ok_rm3 and ok_sph,
     }
     print(json.dumps(result))
-    return 0 if ok else 1
+    return 0 if (ok_rm3 and ok_sph) else 1
 
 
 if __name__ == "__main__":
