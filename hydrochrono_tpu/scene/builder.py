@@ -52,8 +52,17 @@ class Case:
         # (run_hydrochrono_from_yaml.cpp:716-764)
         return int(round(self.end_time / self.dt))
 
-    def build_simulation(self, dtype=None, outputs=("pos", "quat", "lin_vel", "ang_vel")):
+    def build_simulation(self, dtype=None, outputs=("pos", "quat", "lin_vel", "ang_vel"),
+                         block_size=None):
         from hydrochrono_tpu.stepper import Simulation
+
+        # YAML integrator selection (simulation_file integrator.type;
+        # Chrono's ChTimestepperHHT default alpha is -0.2)
+        integ_cfg = self.simulation.integrator or {}
+        integ_type = str(integ_cfg.get("type", "")).lower()
+        integrator = "hht" if integ_type == "hht" else "euler_implicit_linearized"
+        if integrator == "hht":
+            block_size = None  # HHT is per-step only for now
 
         tapered = None
         if self.hydro_spec is not None and self.hydro_spec.convolution.mode in (
@@ -71,6 +80,7 @@ class Case:
         return Simulation(
             self.system, dt=self.dt, wave=self.wave, duration=self.end_time,
             dtype=dtype, tapered=tapered, outputs=outputs,
+            integrator=integrator, block_size=block_size,
         )
 
 

