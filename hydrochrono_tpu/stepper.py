@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from hydrochrono_tpu.io.bemio import HydroData
 from hydrochrono_tpu.ops.linalg import make_kkt_cache, solve_kkt, solve_kkt_refined, solve_spd
 from hydrochrono_tpu.physics import radiation as rad
+from hydrochrono_tpu.physics import statespace as ssr
 from hydrochrono_tpu.physics import waves as wv
 from hydrochrono_tpu.physics.hydrostatics import hydrostatic_force
 from hydrochrono_tpu.physics.rotations import (
@@ -68,10 +69,12 @@ class State:
     lin_vel: jnp.ndarray  # [Nm, 3] world
     ang_vel: jnp.ndarray  # [Nm, 3] world
     vhist: jnp.ndarray  # [H, 6*Nh] radiation ring buffer (zeros if no hydro)
+    ss: jnp.ndarray  # [6Nh, 6Nh, order] state-space radiation states (or [0])
 
 
 jax.tree_util.register_dataclass(
-    State, data_fields=["pos", "quat", "lin_vel", "ang_vel", "vhist"], meta_fields=[]
+    State, data_fields=["pos", "quat", "lin_vel", "ang_vel", "vhist", "ss"],
+    meta_fields=[],
 )
 
 
@@ -122,7 +125,8 @@ class Simulation:
                  block_size: Optional[int] = None, far_dtype=None,
                  refined_solver: Optional[bool] = None,
                  integrator: str = "euler_implicit_linearized",
-                 hht_alpha: float = -0.2, hht_iterations: int = 3):
+                 hht_alpha: float = -0.2, hht_iterations: int = 3,
+                 radiation: str = "convolution"):
         """block_size: enable the blocked far-field convolution (see
         physics/radiation.py) — the history buffer is then read once per
         `block_size` steps instead of every step. far_dtype optionally lowers
@@ -148,6 +152,14 @@ class Simulation:
             raise NotImplementedError("HHT is per-step only (no blocked mode yet)")
         self.hht_alpha = float(hht_alpha)
         self.hht_iterations = int(hht_iterations)
+        self.radiation = radiation
+        if radiation not in ("convolution", "state_space"):
+            raise ValueError(f"unknown radiation model {radiation!r}")
+        if radiation == "state_space" and (block_size or integrator == "hht"):
+            raise NotImplementedError(
+                "state-space radiation currently pairs with the per-step "
+                "linearized-Euler path"
+            )
 
         bodies = spec.bodies
         self.moving = [i for i, b in enumerate(bodies) if not b.fixed]
@@ -190,6 +202,13 @@ class Simulation:
             const["disp_vol"] = jnp.asarray(hd.disp_vol, self.dtype)
             self.rho = float(hd.rho)
 
+            if radiation == "state_space":
+                ss = ssr.load_state_space(hd.file_path, nh, hd.rho, self.dt)
+                self.ss_order = ss.order
+                const["ss_Ad"] = jnp.asarray(ss.Ad, self.dtype)
+                const["ss_Bd"] = jnp.asarray(ss.Bd, self.dtype)
+                const["ss_C"] = jnp.asarray(ss.Cm, self.dtype)
+                const["ss_D"] = jnp.asarray(ss.Dm, self.dtype)
             kernel = hd.rirf
             if tapered is not None:
                 kernel = rad.preprocess_rirf_tapered(kernel, hd.rirf_time, tapered)
@@ -523,8 +542,15 @@ class Simulation:
         pos = jnp.asarray(np.stack([bodies[i].pos0 for i in self.moving]), self.dtype)
         quat = jnp.asarray(np.stack([bodies[i].quat0 for i in self.moving]), self.dtype)
         zeros3 = jnp.zeros((self.n_moving, 3), self.dtype)
-        vhist = jnp.zeros((self.hist_len, 6 * max(self.n_hydro, 1)), self.dtype)
-        return State(pos=pos, quat=quat, lin_vel=zeros3, ang_vel=zeros3, vhist=vhist)
+        if self.radiation == "state_space" and self.hydro is not None:
+            vhist = jnp.zeros((1, 6 * self.n_hydro), self.dtype)
+            ss = jnp.zeros((6 * self.n_hydro, 6 * self.n_hydro, self.ss_order),
+                           self.dtype)
+        else:
+            vhist = jnp.zeros((self.hist_len, 6 * max(self.n_hydro, 1)), self.dtype)
+            ss = jnp.zeros((0,), self.dtype)
+        return State(pos=pos, quat=quat, lin_vel=zeros3, ang_vel=zeros3,
+                     vhist=vhist, ss=ss)
 
     def _hydro_velocity(self, state: State):
         # static-index stack (no gather with a device index array)
@@ -587,6 +613,13 @@ class Simulation:
         update stay uniform across the batch; a per-instance traced index
         would turn them into per-instance gathers/scatters (measured 20x
         slower on TPU)."""
+        if self.hydro is not None and self.radiation == "state_space":
+            const = params["_const"]
+            v6 = self._hydro_velocity(state)
+            f_rad = ssr.radiation_force_ss(const["ss_C"], const["ss_D"], state.ss, v6)
+            ss_new = ssr.advance_ss(const["ss_Ad"], const["ss_Bd"], state.ss, v6)
+            state = dataclasses.replace(state, ss=ss_new)
+            return self._step_core(params, state, n, f_rad=f_rad)
         if self.hydro is not None:
             v6 = self._hydro_velocity(state)
             slot = jnp.mod(n, self.hist_len)
