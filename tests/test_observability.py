@@ -1,0 +1,77 @@
+"""Checkpoint/resume, guarded execution, profiling breakdown."""
+
+import numpy as np
+import pytest
+
+from hydrochrono_tpu.io.bemio import load_bemio_h5
+from hydrochrono_tpu.physics.system import Body, HydroAttachment, SystemSpec
+from hydrochrono_tpu.stepper import Simulation
+from hydrochrono_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from hydrochrono_tpu.utils.guards import run_guarded
+from hydrochrono_tpu.utils.profiling import component_breakdown
+
+
+@pytest.fixture(scope="module")
+def sphere_sim(sphere_h5):
+    hydro = load_bemio_h5(sphere_h5, num_bodies=1)
+    spec = SystemSpec(
+        bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.0))],
+        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    return Simulation(spec, dt=0.015)
+
+
+def test_checkpoint_resume_bit_exact(sphere_sim, tmp_path):
+    sim = sphere_sim
+    n1, n2 = 300, 200
+    st_mid, _ = sim.run(n1)
+    path = save_checkpoint(str(tmp_path / "ckpt"), st_mid, n1, meta={"case": "sphere"})
+    st_loaded, step = load_checkpoint(path)
+    assert step == n1
+    _, traj_resumed = sim.run(n2, state=st_loaded, start_step=step)
+    _, traj_full = sim.run(n1 + n2)
+    np.testing.assert_array_equal(
+        np.asarray(traj_resumed["pos"]), np.asarray(traj_full["pos"][n1:])
+    )
+
+
+def test_run_guarded_completes(sphere_sim):
+    final, traj, report = run_guarded(sphere_sim, 700, chunk=250)
+    assert not report.diverged
+    assert report.completed_steps == 700
+    assert traj["pos"].shape[0] == 700
+    # identical to a straight run
+    _, ref = sphere_sim.run(700)
+    np.testing.assert_array_equal(traj["pos"], np.asarray(ref["pos"]))
+
+
+def test_run_guarded_detects_divergence(sphere_h5):
+    hydro = load_bemio_h5(sphere_h5, num_bodies=1)
+    # negative mass -> guaranteed blow-up
+    spec = SystemSpec(
+        bodies=[Body(name="body1", mass=-5.0, pos0=(0.0, 0.0, -1.0))],
+        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    sim = Simulation(spec, dt=0.15)
+    final, traj, report = run_guarded(sim, 2000, chunk=100)
+    assert report.diverged
+    assert report.completed_steps < 2000
+    assert report.state_dump is not None
+    assert "body1" in report.state_dump
+
+
+def test_checkpointing_during_guarded_run(sphere_sim, tmp_path):
+    path = str(tmp_path / "auto")
+    final, traj, report = run_guarded(
+        sphere_sim, 400, chunk=100, checkpoint_path=path, checkpoint_every=200
+    )
+    st, step = load_checkpoint(path)
+    assert step in (200, 400)
+
+
+def test_component_breakdown(sphere_sim):
+    bd = component_breakdown(sphere_sim, reps=3)
+    assert {"hydrostatics", "radiation", "full_step"} <= set(bd)
+    assert all(v > 0 for v in bd.values())

@@ -1,0 +1,52 @@
+"""The regression harness tools run end-to-end on the reference iea_sphere case."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+CASES_SRC = "/root/reference/tests/regression/run_hydrochrono/iea_sphere"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def cases_root(tmp_path):
+    if not os.path.isdir(CASES_SRC):
+        pytest.skip("iea_sphere case unavailable")
+    root = tmp_path / "cases"
+    shutil.copytree(CASES_SRC, root / "iea_sphere")
+    return str(root)
+
+
+def test_run_tests_harness(cases_root, tmp_path):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_tests.py"),
+         "--root", cases_root, "--out", str(tmp_path / "outputs"),
+         "--report", str(tmp_path / "report.md"),
+         "--plots", str(tmp_path / "plots")],
+        capture_output=True, text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "PASS" in out.stdout
+    assert os.path.exists(tmp_path / "report.md")
+    pngs = list((tmp_path / "plots").glob("*.png"))
+    assert pngs, "comparison plot not rendered"
+
+
+def test_compare_results_cli(cases_root, tmp_path):
+    expected = os.path.join(cases_root, "iea_sphere", "decay", "expected",
+                            "results.still.h5")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "compare_results.py"),
+         expected, expected, "--json"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    import json
+
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["passed"] and res["l2"] == 0.0

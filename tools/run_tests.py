@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""End-to-end YAML regression driver.
+
+Port of the reference harness (tests/regression/run_hydrochrono/run_tests.py):
+discovers case directories shaped like
+
+    <model>/<case>/inputs/*.setup.yaml
+    <model>/<case>/expected/results.<wave>.h5   (or baseline.h5 / legacy txt)
+
+runs each case through the CLI pipeline, compares the produced results
+against the expected baseline (per-model signal_adapter.py when present),
+and renders a markdown report. `--update-baseline` refreshes the expected
+files from the current outputs.
+
+Usage:
+    python tools/run_tests.py --root <cases_dir> [--case NAME] [--update-baseline]
+                              [--l2 1e-4] [--linf 0.02] [--report report.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from compare_results import compare, load_series, render_plot  # noqa: E402
+
+
+def discover_cases(root: str):
+    cases = []
+    for setup in sorted(glob.glob(os.path.join(root, "**", "inputs", "*.setup.yaml"),
+                                  recursive=True)):
+        case_dir = os.path.dirname(os.path.dirname(setup))
+        expected = sorted(
+            glob.glob(os.path.join(case_dir, "expected", "*.h5"))
+            + glob.glob(os.path.join(case_dir, "expected", "*.txt"))
+        )
+        adapter = None
+        probe = case_dir
+        for _ in range(3):
+            cand = os.path.join(probe, "signal_adapter.py")
+            if os.path.exists(cand):
+                adapter = cand
+                break
+            probe = os.path.dirname(probe)
+        cases.append({
+            "name": os.path.relpath(case_dir, root),
+            "setup": setup,
+            "case_dir": case_dir,
+            "expected": expected[0] if expected else None,
+            "adapter": adapter,
+        })
+    return cases
+
+
+def run_case(case, out_root: str) -> str:
+    from hydrochrono_tpu import cli
+
+    out_dir = os.path.join(out_root, case["name"].replace(os.sep, "_"))
+    rc = cli.main([case["setup"], "--quiet", "--output-h5", out_dir])
+    if rc != 0:
+        raise RuntimeError(f"case {case['name']} failed with rc={rc}")
+    produced = sorted(glob.glob(os.path.join(out_dir, "results.*.h5")))
+    if not produced:
+        raise RuntimeError(f"case {case['name']} produced no results h5")
+    return produced[0]
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", required=True, help="cases root directory")
+    p.add_argument("--case", help="run only cases whose name contains this")
+    p.add_argument("--out", default="test_outputs")
+    p.add_argument("--l2", type=float, default=1e-4)
+    p.add_argument("--linf", type=float, default=0.02)
+    p.add_argument("--update-baseline", action="store_true")
+    p.add_argument("--report", help="markdown report path")
+    p.add_argument("--plots", help="directory for PNG comparison plots")
+    p.add_argument("--fail-fast", action="store_true")
+    args = p.parse_args(argv)
+
+    cases = discover_cases(args.root)
+    if args.case:
+        cases = [c for c in cases if args.case in c["name"]]
+    if not cases:
+        print("no cases found")
+        return 2
+
+    rows = []
+    any_fail = False
+    for case in cases:
+        t0 = time.time()
+        try:
+            produced = run_case(case, args.out)
+        except Exception as exc:  # noqa: BLE001 - report and continue
+            rows.append((case["name"], "ERROR", None, None, str(exc)))
+            any_fail = True
+            if args.fail_fast:
+                break
+            continue
+
+        if args.update_baseline:
+            os.makedirs(os.path.join(case["case_dir"], "expected"), exist_ok=True)
+            dst = os.path.join(case["case_dir"], "expected", os.path.basename(produced))
+            shutil.copyfile(produced, dst)
+            rows.append((case["name"], "BASELINED", None, None, dst))
+            continue
+
+        if case["expected"] is None:
+            rows.append((case["name"], "NO-BASELINE", None, None, produced))
+            continue
+
+        t_ref, y_ref = load_series(case["expected"], adapter=case["adapter"])
+        t_test, y_test = load_series(produced, adapter=case["adapter"])
+        l2, linf = compare(t_ref, y_ref, t_test, y_test)
+        passed = l2 <= args.l2 and linf <= args.linf
+        any_fail = any_fail or not passed
+        if args.plots:
+            render_plot(
+                os.path.join(args.plots, case["name"].replace(os.sep, "_") + ".png"),
+                t_ref, y_ref, t_test, y_test, l2, linf, passed, case["name"],
+            )
+        rows.append((case["name"], "PASS" if passed else "FAIL", l2, linf,
+                     f"{time.time() - t0:.1f}s"))
+        if args.fail_fast and not passed:
+            break
+
+    width = max(len(r[0]) for r in rows) + 2
+    print(f"{'case':<{width}} {'status':<12} {'L2':<12} {'Linf':<12} note")
+    for name, status, l2, linf, note in rows:
+        l2s = f"{l2:.3e}" if l2 is not None else "-"
+        ls = f"{linf:.3e}" if linf is not None else "-"
+        print(f"{name:<{width}} {status:<12} {l2s:<12} {ls:<12} {note or ''}")
+
+    if args.report:
+        with open(args.report, "w") as fh:
+            fh.write("# Regression report\n\n")
+            fh.write(f"Generated: {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n")
+            fh.write("| case | status | L2 | Linf |\n|---|---|---|---|\n")
+            for name, status, l2, linf, _ in rows:
+                fh.write(f"| {name} | {status} | "
+                         f"{l2 if l2 is not None else '-'} | "
+                         f"{linf if linf is not None else '-'} |\n")
+
+    return 1 if any_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
