@@ -241,7 +241,7 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
         row = 0
         sim = getattr(case, "_sim", None)
         joint_rows = getattr(sim, "joint_rows", []) if sim is not None else []
-        for j, (kind, _locked, nrows) in zip(model.joints, joint_rows):
+        for j, (kind, _locked, nrows, _b1, _b2) in zip(model.joints, joint_rows):
             g = f.require_group(f"results/model/joints/{j.name}")
             g.attrs.update({"type": j.kind.upper(), "frame1": "world",
                             "frame2": "world", "time_ref": "/results/time/time",

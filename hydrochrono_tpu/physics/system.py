@@ -51,12 +51,25 @@ class Body:
 
 @dataclasses.dataclass(frozen=True)
 class Joint:
-    kind: str  # 'prismatic' | 'revolute' | 'spherical' | 'fixed'
+    kind: str  # 'prismatic' | 'revolute' | 'spherical' | 'universal' | 'fixed'
     body1: int  # index into the body list, or -1 for the world/ground
     body2: int
     location: Sequence[float] = (0.0, 0.0, 0.0)  # world, at t0
     axis: Sequence[float] = (0.0, 0.0, 1.0)  # world, at t0
+    axis2: Optional[Sequence[float]] = None  # universal joints: second axis
     locked: bool = False  # e.g. revolute->Lock(true) (demo_F3OF_DT1.cpp:125-138)
+
+
+@dataclasses.dataclass(frozen=True)
+class Motor:
+    """Rotational speed motor (Chrono ChLinkMotorRotationSpeed analogue with
+    a REVOLUTE spindle, as used by demos/yaml/slider_crank)."""
+
+    body1: int
+    body2: int
+    location: Sequence[float] = (0.0, 0.0, 0.0)
+    axis: Sequence[float] = (0.0, 1.0, 0.0)
+    speed: float = 0.0  # rad/s; batchable via params["motor_speed"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,6 +119,7 @@ class SystemSpec:
     joints: Sequence[Joint] = ()
     tsdas: Sequence[TSDA] = ()
     rsdas: Sequence[RSDA] = ()
+    motors: Sequence[Motor] = ()
     hydro: Optional[HydroAttachment] = None
     gravity: Sequence[float] = (0.0, 0.0, -9.81)
 

@@ -23,6 +23,7 @@ from hydrochrono_tpu.physics.system import (
     Body,
     HydroAttachment,
     Joint,
+    Motor,
     RSDA,
     SystemSpec,
     TSDA,
@@ -117,7 +118,14 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
 
     model = sy.parse_model_file(model_file)
     sim = sy.parse_simulation_file(simulation_file)
-    hydro_spec = sy.parse_hydro_file(hydro_file) if hydro_file else None
+    hydro_spec = None
+    if hydro_file:
+        if os.path.exists(hydro_file):
+            hydro_spec = sy.parse_hydro_file(hydro_file)
+        else:
+            # some reference cases reference a hydro file that does not exist
+            # (demos/yaml/slider_crank: "not used yet") — run without hydro
+            warnings.append(f"hydro file {hydro_file} not found; running without hydro")
 
     # bodies
     name_to_idx = {}
@@ -147,9 +155,21 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
 
     joints = [
         Joint(kind=j.kind, body1=idx(j.body1), body2=idx(j.body2),
-              location=tuple(j.location), axis=tuple(j.axis))
+              location=tuple(j.location), axis=tuple(j.axis),
+              axis2=tuple(j.axis2) if j.axis2 is not None else None)
         for j in model.joints
     ]
+    motors = []
+    for mo in model.motors:
+        if mo.kind != "rotation" or mo.actuation_type != "SPEED":
+            warnings.append(
+                f"motor '{mo.name}' ({mo.kind}/{mo.actuation_type}) unsupported; "
+                "only ROTATION/SPEED motors are implemented"
+            )
+            continue
+        motors.append(Motor(body1=idx(mo.body1), body2=idx(mo.body2),
+                            location=tuple(mo.location), axis=tuple(mo.axis),
+                            speed=mo.value))
     tsdas = [
         TSDA(body1=idx(t.body1), body2=idx(t.body2), point1=tuple(t.point1),
              point2=tuple(t.point2), spring_coeff=t.spring_coefficient,
@@ -208,7 +228,7 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
             )
 
     system = SystemSpec(
-        bodies=bodies, joints=joints, tsdas=tsdas, rsdas=rsdas,
+        bodies=bodies, joints=joints, tsdas=tsdas, rsdas=rsdas, motors=motors,
         hydro=hydro_att, gravity=tuple(sim.gravity),
     )
 

@@ -94,6 +94,21 @@ class ModelJoint:
     body2: str
     location: Sequence[float]
     axis: Sequence[float]
+    axis2: Optional[Sequence[float]] = None  # UNIVERSAL joints
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelMotor:
+    """ChLinkMotor* from the model YAML (demos/yaml/slider_crank)."""
+
+    name: str
+    kind: str  # 'rotation' | 'linear' (rotation supported)
+    body1: str
+    body2: str
+    location: Sequence[float]
+    axis: Sequence[float]
+    actuation_type: str  # SPEED supported
+    value: float
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,6 +145,7 @@ class ModelSpec:
     joints: List[ModelJoint]
     tsdas: List[ModelTSDA]
     rsdas: List[ModelRSDA]
+    motors: List["ModelMotor"]
     raw_text: str
 
 
@@ -166,13 +182,30 @@ def parse_model_file(path: str) -> ModelSpec:
 
     joints = []
     for j in model.get("joints", []) or []:
+        axis = j.get("axis", j.get("axis1"))
+        axis2 = j.get("axis2")
         joints.append(ModelJoint(
             name=str(j.get("name", f"joint{len(joints)}")),
             kind=str(j.get("type", "fixed")).lower(),
             body1=str(j["body1"]),
             body2=str(j["body2"]),
             location=_vec(j.get("location")),
-            axis=_vec(j.get("axis"), (0.0, 0.0, 1.0)),
+            axis=_vec(axis, (0.0, 0.0, 1.0)),
+            axis2=_vec(axis2) if axis2 is not None else None,
+        ))
+
+    motors = []
+    for mo in model.get("motors", []) or []:
+        fn = mo.get("actuation_function", {}) or {}
+        motors.append(ModelMotor(
+            name=str(mo.get("name", f"motor{len(motors)}")),
+            kind=str(mo.get("type", "rotation")).lower(),
+            body1=str(mo["body1"]),
+            body2=str(mo["body2"]),
+            location=_vec(mo.get("location")),
+            axis=_vec(mo.get("axis"), (0.0, 1.0, 0.0)),
+            actuation_type=str(mo.get("actuation_type", "SPEED")).upper(),
+            value=float(fn.get("value", 0.0)),
         ))
 
     def curve(d, key):
@@ -216,6 +249,7 @@ def parse_model_file(path: str) -> ModelSpec:
         joints=joints,
         tsdas=tsdas,
         rsdas=rsdas,
+        motors=motors,
         raw_text=text,
     )
 

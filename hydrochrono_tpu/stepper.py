@@ -254,6 +254,11 @@ class Simulation:
         # ----- TSDA / RSDA -----
         self._build_force_elements(params, const)
 
+        if spec.motors:
+            params["motor_speed"] = jnp.asarray(
+                [mo.speed for mo in spec.motors], self.dtype
+            )
+
         self.params = params
 
     # ------------------------------------------------------------------
@@ -337,59 +342,110 @@ class Simulation:
 
     # ------------------------------------------------------------------
     def _build_constraints(self, const):
-        """Compile joint metadata; residuals read their constants from params."""
+        """Compile joint + motor metadata; residuals read constants from params.
+
+        Motors (Chrono ChLinkMotorRotationSpeed with a REVOLUTE spindle) are
+        lowered to a revolute joint plus one DRIVEN row whose velocity-level
+        target is the motor speed instead of the -c/h stabilization.
+        """
         spec = self.spec
-        self.joint_rows = []  # (kind, locked, nrows)
+        self.joint_rows = []  # (kind, locked, nrows, body1, body2)
         joint_consts = []
+        stab_mask = []
+        motor_sel_rows = []  # (row_index, motor_index)
 
-        for j in spec.joints:
-            loc = np.asarray(j.location, dtype=np.float64)
-            axis = np.asarray(j.axis, dtype=np.float64)
-            a_hat, n1, n2 = _orthonormal_basis(axis)
-
-            p01, q01 = self._initial_pose(j.body1)
-            p02, q02 = self._initial_pose(j.body2)
+        def add_element(kind, locked, body1, body2, loc, axis, axis2=None):
+            a_hat, n1, n2 = _orthonormal_basis(np.asarray(axis, dtype=np.float64))
+            loc = np.asarray(loc, dtype=np.float64)
+            p01, q01 = self._initial_pose(body1)
+            p02, q02 = self._initial_pose(body2)
             jc = {
                 "l1": _rot_np(q01).T @ (loc - p01),
                 "l2": _rot_np(q02).T @ (loc - p02),
+                "a1": _rot_np(q01).T @ a_hat,
                 "a2": _rot_np(q02).T @ a_hat,
                 "n1l": _rot_np(q01).T @ n1,
                 "n2l": _rot_np(q01).T @ n2,
                 "q_rel0": _quat_mul_np(q01 * np.array([1, -1, -1, -1]), q02),
             }
+            if axis2 is not None:
+                a2v = np.asarray(axis2, dtype=np.float64)
+                a2v = a2v / np.linalg.norm(a2v)
+                jc["axis2_b2"] = _rot_np(q02).T @ a2v
             joint_consts.append({k: jnp.asarray(v, self.dtype) for k, v in jc.items()})
-
-            kind = j.kind.lower()
-            nrows = {"spherical": 3, "revolute": 5, "prismatic": 5, "fixed": 6}[kind]
-            if kind == "revolute" and j.locked:
+            nrows = {"spherical": 3, "revolute": 5, "prismatic": 5, "fixed": 6,
+                     "universal": 4, "motor": 6}[kind]
+            if kind == "revolute" and locked:
                 nrows = 6
-            self.joint_rows.append((kind, j.locked, nrows))
+            self.joint_rows.append((kind, locked, nrows, body1, body2))
+            row0 = len(stab_mask)
+            stab_mask.extend([1.0] * nrows)
+            if kind == "motor":
+                # last row is the driven one
+                stab_mask[row0 + nrows - 1] = 0.0
+                motor_sel_rows.append(row0 + nrows - 1)
+
+        for j in spec.joints:
+            add_element(j.kind.lower(), j.locked, j.body1, j.body2,
+                        j.location, j.axis, j.axis2)
+        for mo in spec.motors:
+            add_element("motor", False, mo.body1, mo.body2, mo.location, mo.axis)
 
         const["joints"] = joint_consts
-        self.n_constraints = sum(r for _, _, r in self.joint_rows)
+        self.n_constraints = len(stab_mask)
         self.has_constraints = self.n_constraints > 0
+        self.n_motors = len(spec.motors)
+        if self.has_constraints:
+            const["g_stab_mask"] = jnp.asarray(stab_mask, self.dtype)
+        if self.n_motors:
+            sel = np.zeros((self.n_constraints, self.n_motors))
+            for k, row in enumerate(motor_sel_rows):
+                sel[row, k] = 1.0
+            const["motor_sel"] = jnp.asarray(sel, self.dtype)
+            if self.integrator == "hht":
+                raise NotImplementedError("motors pair with the Euler path")
+
+    def _constraint_rhs(self, params, c):
+        """Velocity-level constraint targets: -c/h stabilization for joints,
+        the commanded speed for driven motor rows."""
+        const = params["_const"]
+        g = -(c / self.dt) * const["g_stab_mask"]
+        if self.n_motors:
+            g = g + const["motor_sel"] @ params["motor_speed"]
+        return g
 
     def _constraint_residual(self, const, pos, quat):
         parts = []
-        for (kind, locked, _), j, jc in zip(
-            self.joint_rows, self.spec.joints, const["joints"]
+        for (kind, locked, _, body1, body2), jc in zip(
+            self.joint_rows, const["joints"]
         ):
-            p1, q1 = self._pose_of(j.body1, const, pos, quat)
-            p2, q2 = self._pose_of(j.body2, const, pos, quat)
+            p1, q1 = self._pose_of(body1, const, pos, quat)
+            p2, q2 = self._pose_of(body2, const, pos, quat)
             P1 = p1 + quat_rotate(q1, jc["l1"])
             P2 = p2 + quat_rotate(q2, jc["l2"])
-            if kind in ("spherical", "revolute", "fixed"):
+            if kind in ("spherical", "revolute", "fixed", "universal", "motor"):
                 parts.append(P1 - P2)
             if kind == "prismatic":
                 d = P2 - P1
                 w1 = quat_rotate(q1, jc["n1l"])
                 w2 = quat_rotate(q1, jc["n2l"])
                 parts.append(jnp.stack([jnp.dot(d, w1), jnp.dot(d, w2)]))
-            if kind == "revolute" and not locked:
+            if (kind == "revolute" and not locked) or kind == "motor":
                 aw2 = quat_rotate(q2, jc["a2"])
                 w1 = quat_rotate(q1, jc["n1l"])
                 w2 = quat_rotate(q1, jc["n2l"])
                 parts.append(jnp.stack([jnp.dot(aw2, w1), jnp.dot(aw2, w2)]))
+            if kind == "universal":
+                # cross axes stay perpendicular: a1 (body1-fixed) . a2 (body2-fixed)
+                a1w = quat_rotate(q1, jc["a1"])
+                a2w = quat_rotate(q2, jc["axis2_b2"])
+                parts.append(jnp.dot(a1w, a2w)[None])
+            if kind == "motor":
+                # driven row placeholder: the residual is identically zero
+                # (no position-level content — a wrapped angle would make the
+                # jvp row vanish at phi = pi); the jacobian row is added
+                # analytically in _motor_jrows and the rhs is the speed.
+                parts.append(jnp.zeros_like(P1[:1]))
             if kind in ("prismatic", "fixed") or (kind == "revolute" and locked):
                 # full rotation lock: small-angle rotation vector of the
                 # relative-orientation error
@@ -398,7 +454,8 @@ class Simulation:
         return jnp.concatenate(parts)
 
     def _constraint_jacobian(self, const, pos, quat):
-        """J [m, nv] with v = [u0, w0, u1, w1, ...] (world frame) via jvp."""
+        """J [m, nv] with v = [u0, w0, u1, w1, ...] (world frame) via jvp,
+        plus analytic rows for driven motor constraints."""
         def cdot(v):
             v = v.reshape(self.n_moving, 6)
             u, w = v[:, :3], v[:, 3:]
@@ -410,7 +467,28 @@ class Simulation:
             )
             return out
 
-        return jax.jacfwd(cdot)(jnp.zeros((self.nv,), self.dtype))
+        J = jax.jacfwd(cdot)(jnp.zeros((self.nv,), self.dtype))
+        if self.n_motors:
+            J = J + const["motor_sel"] @ self._motor_jrows(const, pos, quat)
+        return J
+
+    def _motor_jrows(self, const, pos, quat):
+        """Analytic motor rows: a1w . (w_body2 - w_body1), wrap-free."""
+        rows = []
+        for (kind, _, _, body1, body2), jc in zip(self.joint_rows, const["joints"]):
+            if kind != "motor":
+                continue
+            _, q1 = self._pose_of(body1, const, pos, quat)
+            a1w = quat_rotate(q1, jc["a1"])
+            row = jnp.zeros((self.nv,), self.dtype)
+            if body2 >= 0 and not self.spec.bodies[body2].fixed:
+                s2 = self.slot_of[body2]
+                row = row.at[s2 * 6 + 3 : s2 * 6 + 6].add(a1w)
+            if body1 >= 0 and not self.spec.bodies[body1].fixed:
+                s1 = self.slot_of[body1]
+                row = row.at[s1 * 6 + 3 : s1 * 6 + 6].add(-a1w)
+            rows.append(row)
+        return jnp.stack(rows)
 
     # ------------------------------------------------------------------
     def _build_force_elements(self, params, const):
@@ -667,13 +745,14 @@ class Simulation:
 
         if self.has_constraints:
             c = self._constraint_residual(const, state.pos, state.quat)
+            g = self._constraint_rhs(params, c)
             J = self._constraint_jacobian(const, state.pos, state.quat)
             if solver_cache is not None:
-                v_new, lam = solve_kkt_refined(Mhat, J, rhs, -c / h, solver_cache)
+                v_new, lam = solve_kkt_refined(Mhat, J, rhs, g, solver_cache)
             else:
                 # unrolled Cholesky + Schur solve: much faster per scan step
                 # on TPU than the batched LU custom call (see ops/linalg.py)
-                v_new, lam = solve_kkt(Mhat, J, rhs, -c / h)
+                v_new, lam = solve_kkt(Mhat, J, rhs, g)
         else:
             if solver_cache is not None:
                 v_new, lam = solve_kkt_refined(Mhat, None, rhs, None, solver_cache)

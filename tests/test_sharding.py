@@ -1,0 +1,75 @@
+"""Batch-axis sharding over a device mesh (8 virtual CPU devices)."""
+
+import numpy as np
+import jax
+import pytest
+
+from hydrochrono_tpu.io.bemio import load_bemio_h5
+from hydrochrono_tpu.parallel.sharding import (
+    batch_mesh,
+    make_batched_states,
+    shard_batch,
+    sharded_run,
+)
+from hydrochrono_tpu.physics.system import Body, HydroAttachment, SystemSpec
+from hydrochrono_tpu.physics.waves import RegularWave
+from hydrochrono_tpu.stepper import Simulation
+
+
+@pytest.fixture(scope="module")
+def sim(sphere_h5):
+    hydro = load_bemio_h5(sphere_h5, num_bodies=1)
+    spec = SystemSpec(
+        bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.0))],
+        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    return Simulation(spec, dt=0.015)
+
+
+def test_mesh_has_8_devices():
+    mesh = batch_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_batch_matches_single(sim):
+    """16 instances sharded over 8 devices == 16 independent runs."""
+    batch = 16
+    rng = np.random.RandomState(0)
+    offsets = np.zeros((batch, 1, 3))
+    offsets[:, 0, 2] = rng.uniform(-0.3, 0.3, batch)
+    states = make_batched_states(sim, batch, pos_offsets=offsets)
+
+    final, traj = sharded_run(sim, 200, batched_state=states)
+    z = np.asarray(traj["pos"][:, :, 0, 2])  # [B, T]
+
+    # compare instance 5 against an unbatched run from the same start
+    st = sim.init_state()
+    st.pos = st.pos + offsets[5]
+    _, ref = sim.run(200, state=st)
+    np.testing.assert_allclose(z[5], np.asarray(ref["pos"][:, 0, 2]), atol=1e-12)
+
+
+def test_sharded_wave_sweep(sim, sphere_h5):
+    """Batched regular-wave parameters shard with the states."""
+    from hydrochrono_tpu.physics.waves import build_regular_wave
+
+    hydro = load_bemio_h5(sphere_h5, 1)
+    omegas = np.linspace(0.6, 2.0, 8)
+    data = build_regular_wave(hydro, RegularWave(amplitude=0.5, omega=omegas))
+
+    spec = sim.spec
+    wave_sim = Simulation(spec, dt=0.015, wave=RegularWave(amplitude=0.5, omega=omegas))
+    batched = {
+        "reg_mag": wave_sim.params["reg_mag"],
+        "reg_phase": wave_sim.params["reg_phase"],
+        "reg_amp": wave_sim.params["reg_amp"],
+        "reg_omega": wave_sim.params["reg_omega"],
+    }
+    states = make_batched_states(wave_sim, 8)
+    final, traj = sharded_run(wave_sim, 300, batched_state=states,
+                              batched_params=batched)
+    z = np.asarray(traj["pos"][:, :, 0, 2])
+    assert np.isfinite(z).all()
+    # different frequencies produce different responses
+    assert np.std(z[:, -1]) > 1e-6
