@@ -50,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--info", action="store_true")
     p.add_argument("--dtype", choices=["float32", "float64"], default=None,
                    help="simulation precision (default: platform-appropriate)")
+    p.add_argument("--block-size", type=int, default=None,
+                   help="blocked radiation convolution block (TPU perf)")
+    p.add_argument("--state-space", action="store_true",
+                   help="use the state-space radiation model (BEMIO fits)")
+    p.add_argument("--checkpoint", metavar="PATH",
+                   help="write checkpoints here during the run")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="STEPS")
+    p.add_argument("--guard-chunk", type=int, default=0, metavar="STEPS",
+                   help="run in host-checked chunks with divergence detection")
     return p
 
 
@@ -138,7 +147,14 @@ def run_case(args, log) -> int:
             jax.config.update("jax_enable_x64", True)
 
     outputs = ("pos", "quat", "lin_vel", "ang_vel", "acc", "lambda", "tsda")
-    sim = case.build_simulation(dtype=dtype, outputs=outputs)
+    sim = case.build_simulation(dtype=dtype, outputs=outputs,
+                                block_size=args.block_size)
+    if args.state_space:
+        from hydrochrono_tpu.stepper import Simulation
+
+        sim = Simulation(case.system, dt=case.dt, wave=case.wave,
+                         duration=case.end_time, dtype=dtype, outputs=outputs,
+                         radiation="state_space")
     case._sim = sim
     t_setup = time.time() - t_setup0
 
@@ -153,14 +169,33 @@ def run_case(args, log) -> int:
         sweep_batched = {k: sim.params[k] for k in
                          ("reg_mag", "reg_phase", "reg_amp", "reg_omega")}
 
-    run = jax.jit(lambda p: sim.run(n, params=p))
-    if sweep_batched is not None:
-        axes = {k: (0 if k in sweep_batched else None) for k in sim.params}
-        run = jax.jit(jax.vmap(lambda p: sim.run(n, params=p), in_axes=(axes,)))
-    _, traj = run(sim.params)
-    jax.block_until_ready(traj)
-    t_run = time.time() - t_run0
-    log.progress(1.0, f"{n} steps")
+    if args.guard_chunk and sweep_batched is None:
+        # host-checked chunks with divergence detection + body-state dumps
+        # (reference: run_hydrochrono_from_yaml.cpp:746-764, 863-905)
+        from hydrochrono_tpu.utils.guards import run_guarded
+
+        _, traj, report = run_guarded(
+            sim, n, chunk=args.guard_chunk,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+            progress=lambda f: log.progress(f),
+        )
+        t_run = time.time() - t_run0
+        if report.diverged:
+            log.error(
+                f"non-finite body state after step {report.completed_steps}; "
+                f"body states: {report.state_dump}"
+            )
+            return 1
+    else:
+        run = jax.jit(lambda p: sim.run(n, params=p))
+        if sweep_batched is not None:
+            axes = {k: (0 if k in sweep_batched else None) for k in sim.params}
+            run = jax.jit(jax.vmap(lambda p: sim.run(n, params=p), in_axes=(axes,)))
+        _, traj = run(sim.params)
+        traj = jax.tree.map(np.asarray, traj)
+        t_run = time.time() - t_run0
+        log.progress(1.0, f"{n} steps")
 
     # NaN/divergence guard (reference: run_hydrochrono_from_yaml.cpp:863-905)
     pos = np.asarray(traj["pos"])
