@@ -305,14 +305,26 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
         span = duration + 2.0 * (t_irf_max - t_irf_min)
         num = int(np.ceil(span / dt))
         eta_time = np.linspace(0.0, num * dt, num + 1) - t_irf_max
-        eta = np.stack([
-            eta_irregular_series(eta_time, freqs_hz, dens, widths, phases[i], ks)
-            for i in range(seeds.shape[0])
-        ])
-        if params.ramp_duration > 0.0:
-            ramp = np.clip(eta_time / params.ramp_duration, 0.0, 1.0)
-            ramp = np.where(eta_time <= 0.0, 0.0, ramp)
-            eta = eta * ramp[None, :]
+        if seeds.shape[0] > 8:
+            # large seed batches: synthesize on-device (Pallas on TPU) — the
+            # host loop is O(B*T*F) cos terms and becomes the setup bottleneck
+            import jax.numpy as jnp
+
+            from hydrochrono_tpu.ops.pallas_eta import build_eta_batched
+
+            eta = np.asarray(build_eta_batched(
+                freqs_hz, dens, widths, phases, ks, eta_time,
+                ramp_duration=params.ramp_duration, dtype=jnp.float32,
+            ), dtype=np.float64)
+        else:
+            eta = np.stack([
+                eta_irregular_series(eta_time, freqs_hz, dens, widths, phases[i], ks)
+                for i in range(seeds.shape[0])
+            ])
+            if params.ramp_duration > 0.0:
+                ramp = np.clip(eta_time / params.ramp_duration, 0.0, 1.0)
+                ramp = np.where(eta_time <= 0.0, 0.0, ramp)
+                eta = eta * ramp[None, :]
         if np.isscalar(params.seed) or np.asarray(params.seed).ndim == 0:
             eta = eta[0]
             phases = phases[0]
