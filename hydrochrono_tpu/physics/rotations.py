@@ -51,14 +51,20 @@ def quat_integrate(q, omega_world, dt):
 
     Uses the exponential map: q+ = exp(dt/2 * omega) * q, which is exact for
     constant omega and matches first-order schemes to O(dt^2).
+
+    Gradient-safe at omega == 0: the norm is never differentiated at zero
+    (sqrt only touches a clamped argument; the small branch is a series in
+    the squared norm), so jax.grad through resting bodies stays finite.
     """
     theta = omega_world * dt  # rotation vector
-    angle = jnp.linalg.norm(theta, axis=-1, keepdims=True)
+    sq = jnp.sum(theta * theta, axis=-1, keepdims=True)
+    small = sq < 1e-16
+    sq_safe = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(sq_safe)
     half = 0.5 * angle
-    # sin(x)/x, stable near zero
-    small = angle < 1e-8
-    k = jnp.where(small, 0.5 * (1.0 - half * half / 6.0), jnp.sin(half) / jnp.where(small, 1.0, angle))
-    dq = jnp.concatenate([jnp.cos(half), theta * k], axis=-1)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
+    k = jnp.where(small, 0.5 * (1.0 - sq / 24.0), jnp.sin(half) / angle)
+    dq = jnp.concatenate([w, theta * k], axis=-1)
     return quat_normalize(quat_multiply(dq, q))
 
 
