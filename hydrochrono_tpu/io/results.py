@@ -56,6 +56,44 @@ def wave_type_name(case) -> str:
     )
 
 
+def _tsda_direction(case, k, pos, quat, slot_of, nsteps):
+    """Unit vector point1 -> point2 of TSDA k along the trajectory."""
+    import jax.numpy as jnp
+
+    from hydrochrono_tpu.physics.rotations import quat_rotate
+
+    sim = getattr(case, "_sim", None)
+    spec_t = case.system.tsdas[k]
+
+    def point(body_idx, local):
+        if body_idx < 0:
+            return np.broadcast_to(np.asarray(local, dtype=np.float64), (nsteps, 3))
+        if case.system.bodies[body_idx].fixed:
+            base = np.asarray(case.system.bodies[body_idx].pos0) + np.asarray(local)
+            return np.broadcast_to(base, (nsteps, 3))
+        s = slot_of[body_idx]
+        return pos[:, s] + np.asarray(
+            quat_rotate(jnp.asarray(quat[:, s]), jnp.asarray(local))
+        )
+
+    if sim is not None and sim.spec.tsdas:
+        tc = sim.params["_const"]["tsda"][k]
+        l1 = np.asarray(tc["l1"], dtype=np.float64)
+        l2 = np.asarray(tc["l2"], dtype=np.float64)
+    else:
+        l1 = np.asarray(spec_t.point1) - np.asarray(
+            case.system.bodies[spec_t.body1].pos0 if spec_t.body1 >= 0 else 0.0
+        )
+        l2 = np.asarray(spec_t.point2) - np.asarray(
+            case.system.bodies[spec_t.body2].pos0 if spec_t.body2 >= 0 else 0.0
+        )
+    p1 = point(spec_t.body1, l1)
+    p2 = point(spec_t.body2, l2)
+    d = p2 - p1
+    norm = np.linalg.norm(d, axis=-1, keepdims=True)
+    return d / np.maximum(norm, 1e-12)
+
+
 def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
                    wall_time_s: float = 0.0, run_metadata: Optional[dict] = None) -> str:
     """Write one case's trajectory to results.<wave>.h5; returns the path.
@@ -225,11 +263,13 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
                 g.create_dataset("spring_force", data=fs)
                 g.create_dataset("damping_force", data=fd)
                 g.create_dataset("force_mag", data=np.abs(fs + fd))
-                # force vector on body2 along the element axis is recovered
-                # from the total magnitude; direction export needs positions
-                g.create_dataset("force_vec", data=np.zeros((nsteps, 3)))
-                g.create_dataset("reaction_force_body1", data=np.zeros((nsteps, 3)))
-                g.create_dataset("reaction_force_body2", data=np.zeros((nsteps, 3)))
+                # force vector on body2 along the current element axis,
+                # reconstructed from the exported body poses
+                dhat = _tsda_direction(case, k, pos, quat, slot_of, nsteps)
+                fvec = (fs + fd)[:, None] * dhat
+                g.create_dataset("force_vec", data=fvec)
+                g.create_dataset("reaction_force_body1", data=-fvec)
+                g.create_dataset("reaction_force_body2", data=fvec)
             else:
                 for name in ("extension", "speed", "spring_force", "damping_force",
                              "force_mag"):

@@ -6,7 +6,8 @@ dynamic state (including the radiation history ring buffer / state-space
 states) plus the step counter, so a resumed run continues bit-exactly on
 the per-step path (`Simulation.run(..., start_step=...)`).
 
-Uses orbax-checkpoint when available; falls back to a portable .npz.
+Stored as a portable .npz (one file per checkpoint) plus an optional JSON
+metadata sidecar — no framework dependencies, loadable anywhere.
 """
 
 from __future__ import annotations

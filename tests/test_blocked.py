@@ -106,3 +106,20 @@ def test_refined_solver_converged(sphere_h5):
     np.testing.assert_allclose(
         np.asarray(t_ref["quat"]), np.asarray(t_exact["quat"]), rtol=0, atol=1e-5
     )
+
+
+def test_blocked_bf16_far_kernel(sphere_h5):
+    """bfloat16 far-field kernel: trajectory within mixed-precision tolerance."""
+    import jax.numpy as jnp
+
+    spec = sphere_spec(sphere_h5)
+    n = 400
+    _, t_ref = Simulation(spec, dt=0.015, block_size=64,
+                          refined_solver=False, dtype=jnp.float32).run(n)
+    _, t_bf = Simulation(spec, dt=0.015, block_size=64, refined_solver=False,
+                         dtype=jnp.float32, far_dtype=jnp.bfloat16).run(n)
+    np.testing.assert_allclose(
+        np.asarray(t_bf["pos"], dtype=np.float64),
+        np.asarray(t_ref["pos"], dtype=np.float64),
+        rtol=0, atol=5e-3,
+    )
