@@ -25,6 +25,16 @@ from hydrochrono_tpu import __version__
 from hydrochrono_tpu.utils.logging import LoggingConfig, get_logger, initialize, shutdown
 
 
+_SALTER_ART = r"""
+           .---.
+          /  o  \_______          "The duck nods, the grid hums."
+          \     /        `~~-.               -- for Stephen Salter
+     ~~\~~~`---'~~~~/~~\~~~~~`~~~~~/~~\~~~~~~/~~\~~~~~~~~/~~\~~~~~
+   ~~   \__/    ~~~~    \__/  ~~~~     \__/      \__/  ~~     \__/
+        TPU-powered wave energy  .  1974 - forever
+"""
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="run-hydrochrono-tpu",
@@ -59,6 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0, metavar="STEPS")
     p.add_argument("--guard-chunk", type=int, default=0, metavar="STEPS",
                    help="run in host-checked chunks with divergence detection")
+    p.add_argument("--salter", action="store_true", help=argparse.SUPPRESS)
     return p
 
 
@@ -67,6 +78,12 @@ def main(argv=None) -> int:
 
     if args.version:
         print(f"hydrochrono-tpu {__version__}")
+        return 0
+
+    if args.salter:
+        # hidden homage to Stephen Salter's nodding duck, like the
+        # reference's easter egg (src/utils/misc_options.cpp:40-53)
+        print(_SALTER_ART)
         return 0
 
     level = "info"
