@@ -24,8 +24,19 @@ _NATIVE = None
 def _native_lib():
     global _NATIVE
     if _NATIVE is None:
-        path = os.path.join(os.path.dirname(__file__), "..", "native", "libmeshprops.so")
-        path = os.path.abspath(path)
+        native_dir = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", "native")
+        )
+        path = os.path.join(native_dir, "libmeshprops.so")
+        if not os.path.exists(path):
+            # self-build from source when a toolchain is available
+            import subprocess
+
+            try:
+                subprocess.run(["make", "-C", native_dir], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                pass
         if os.path.exists(path):
             lib = ctypes.CDLL(path)
             lib.mesh_mass_properties.argtypes = [
