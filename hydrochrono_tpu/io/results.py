@@ -263,6 +263,11 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
                 g.create_dataset("spring_force", data=fs)
                 g.create_dataset("damping_force", data=fd)
                 g.create_dataset("force_mag", data=np.abs(fs + fd))
+                # instantaneous PTO power (absorbed > 0); beyond-reference
+                # channel for WEC energy-capture studies
+                power = -(fs + fd) * Ldot
+                g.create_dataset("power", data=power)
+                g.attrs["mean_power_w"] = float(np.mean(power))
                 # force vector on body2 along the current element axis,
                 # reconstructed from the exported body poses
                 dhat = _tsda_direction(case, k, pos, quat, slot_of, nsteps)

@@ -215,11 +215,20 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
                                       phase=ws.phase)
         elif ws.kind == "irregular":
             period = float(np.atleast_1d(ws.periods)[0]) if ws.periods is not None else 0.0
+            # reference behavior: PM spectrum (gamma=1, unnormalized), ramp 0
+            # (run_hydrochrono_from_yaml.cpp:457). `spectrum: jonswap` is an
+            # extension — the reference parses the key but never applies it.
+            gamma = 1.0
+            normalized = False
+            if ws.spectrum == "jonswap":
+                gamma = ws.gamma
+                normalized = True
             wave = wv.IrregularWaveParams(
                 height=ws.height, period=period,
+                peak_enhancement_factor=gamma, is_normalized=normalized,
+                nfrequencies=ws.nfrequencies,
                 seed=(ws.seed if ws.seed > 0 else 1),
-                ramp_duration=0.0,  # the YAML runner passes 0
-                # (run_hydrochrono_from_yaml.cpp:457)
+                ramp_duration=ws.ramp_duration,
             )
         if hydro_spec.moordyn:
             warnings.append(

@@ -309,6 +309,11 @@ class WaveSettings:
     direction: float = 0.0
     phase: float = 0.0
     spectrum: str = "pierson_moskowitz"
+    # extensions beyond the reference surface (which parses `spectrum` but
+    # never applies it): jonswap peak enhancement, start ramp, bin count
+    gamma: float = 3.3
+    ramp_duration: float = 0.0
+    nfrequencies: int = 0
     seed: int = -1  # -1 = unset -> defaults to 1 (setup_hydro_from_yaml.cpp:60-61)
 
     @property
@@ -420,7 +425,10 @@ def parse_hydro_file(path: str) -> HydroSpec:
         periods=periods,
         direction=float(wave.get("direction", 0.0)),
         phase=float(wave.get("phase", 0.0)),
-        spectrum=str(wave.get("spectrum", "pierson_moskowitz")),
+        spectrum=str(wave.get("spectrum", "pierson_moskowitz")).lower(),
+        gamma=float(wave.get("gamma", 3.3)),
+        ramp_duration=float(wave.get("ramp_duration", 0.0)),
+        nfrequencies=int(wave.get("nfrequencies", 0)),
         seed=int(wave.get("seed", -1)),
     )
 
