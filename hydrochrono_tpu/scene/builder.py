@@ -62,8 +62,21 @@ class Case:
         integ_cfg = self.simulation.integrator or {}
         integ_type = str(integ_cfg.get("type", "")).lower()
         integrator = "hht" if integ_type == "hht" else "euler_implicit_linearized"
-        if integrator == "hht":
-            block_size = None  # HHT is per-step only for now
+
+        # per-body radiation_calculation: "state_space" switches the radiation
+        # model (declared but unimplemented in the reference, hydro_types.h:24)
+        radiation = "convolution"
+        if self.hydro_spec is not None and self.hydro_spec.bodies and all(
+            b.radiation_calculation == "state_space" for b in self.hydro_spec.bodies
+        ):
+            radiation = "state_space"
+            if integrator == "hht" or block_size:
+                self.warnings.append(
+                    "state_space radiation pairs with the per-step Euler path; "
+                    "ignoring HHT/block_size for this run"
+                )
+                integrator = "euler_implicit_linearized"
+                block_size = None
 
         tapered = None
         if self.hydro_spec is not None and self.hydro_spec.convolution.mode in (
@@ -81,7 +94,7 @@ class Case:
         return Simulation(
             self.system, dt=self.dt, wave=self.wave, duration=self.end_time,
             dtype=dtype, tapered=tapered, outputs=outputs,
-            integrator=integrator, block_size=block_size,
+            integrator=integrator, block_size=block_size, radiation=radiation,
         )
 
 

@@ -148,8 +148,7 @@ class Simulation:
         self.integrator = integrator
         if integrator not in ("euler_implicit_linearized", "hht"):
             raise ValueError(f"unknown integrator {integrator!r}")
-        if integrator == "hht" and block_size:
-            raise NotImplementedError("HHT is per-step only (no blocked mode yet)")
+
         self.hht_alpha = float(hht_alpha)
         self.hht_iterations = int(hht_iterations)
         self.radiation = radiation
@@ -802,7 +801,7 @@ class Simulation:
     # HHT-alpha integrator (the reference YAML `integrator: type: HHT`,
     # run_hydrochrono_from_yaml.cpp:185-214 via Chrono's ChTimestepperHHT)
     # ------------------------------------------------------------------
-    def _step_hht(self, params, carry, n):
+    def _step_hht(self, params, carry, n, f_rad=None, f_wave=None):
         """One HHT-alpha step with modified-Newton iterations.
 
         gamma = 1/2 - alpha, beta = (1-alpha)^2/4. Unknowns are the new
@@ -838,19 +837,25 @@ class Simulation:
         x_p = state.pos + h * u
         q_p = quat_integrate(state.quat, w, h)
 
-        # frozen hydro force at the predicted state, time t+h
+        # frozen hydro force at the predicted state, time t+h. The plain
+        # predictor leaves the recorded velocity equal to v(t), so the ring
+        # buffer (and hence the blocked far-field machinery) is identical to
+        # the Euler path's.
         if self.hydro is not None:
-            v6 = jnp.concatenate(
-                [jnp.concatenate([v_lin_p[s], v_ang_p[s]]) for s in self.hydro_slots]
-            ).reshape(-1)
-            slot = jnp.mod(n, self.hist_len)
-            vhist = jax.lax.dynamic_update_slice_in_dim(
-                state.vhist, v6[None, :], slot, axis=0
-            )
-            state = dataclasses.replace(state, vhist=vhist)
+            if f_rad is None:
+                v6 = jnp.concatenate(
+                    [jnp.concatenate([v_lin_p[s], v_ang_p[s]])
+                     for s in self.hydro_slots]
+                ).reshape(-1)
+                slot = jnp.mod(n, self.hist_len)
+                vhist = jax.lax.dynamic_update_slice_in_dim(
+                    state.vhist, v6[None, :], slot, axis=0
+                )
+                state = dataclasses.replace(state, vhist=vhist)
+                f_rad = rad.radiation_force(const["W_rev"], state.vhist, n)
+            if f_wave is None:
+                f_wave = self._wave_force(params, n + 1)
             f_hs = self._hydrostatic(params, x_p, q_p)
-            f_rad = rad.radiation_force(const["W_rev"], state.vhist, n)
-            f_wave = self._wave_force(params, n + 1)
             f_hydro = f_hs - f_rad + f_wave
         else:
             f_hydro = None
@@ -922,7 +927,12 @@ class Simulation:
         """Initial HHT carry: zero acceleration (matching Chrono, whose first
         HHT step advances by h^2*beta*a_new exactly — verified against the
         reference expected trajectory) and the initial-state force."""
-        F, _ = self._forces(params, state, jnp.int32(0))
+        # radiation is identically zero at t=0 (empty history); passing it
+        # explicitly also keeps this independent of the ring-buffer layout
+        # (the blocked path pads the ring beyond the kernel length)
+        f_rad0 = (jnp.zeros((6 * self.n_hydro,), self.dtype)
+                  if self.hydro is not None else None)
+        F, _ = self._forces(params, state, jnp.int32(0), f_rad=f_rad0)
         a0 = jnp.zeros((self.nv,), self.dtype)
         return (state, a0, F)
 
@@ -942,6 +952,9 @@ class Simulation:
         if state is None:
             state = self.init_state()
 
+        if self.block_size and self.hydro is not None:
+            return self._run_blocked(num_steps, state, params, start_step)
+
         if self.integrator == "hht":
             carry0 = self._hht_initial_carry(params, state)
 
@@ -951,9 +964,6 @@ class Simulation:
             steps = start_step + jnp.arange(num_steps, dtype=jnp.int32)
             (final, _, _), traj = jax.lax.scan(hht_step, carry0, steps)
             return final, traj
-
-        if self.block_size and self.hydro is not None:
-            return self._run_blocked(num_steps, state, params, start_step)
 
         def step(s, n):
             return self._step(params, s, n)
@@ -977,11 +987,13 @@ class Simulation:
         Hj = const["W_far"].shape[1]  # = H - 1
 
         irregular = self.wave_kind == "IrregularWaveParams"
+        hht = self.integrator == "hht"
 
         def block(carry, b):
-            st = carry
+            st = carry[0] if hht else carry
             n0 = b * tb
-            cache = self._solver_cache(params, st) if self.refined_solver else None
+            cache = (self._solver_cache(params, st)
+                     if (self.refined_solver and not hht) else None)
 
             # newest-first pre-block history: vold[j] = v[n0-1-j]
             p0 = jnp.mod(n0, H2)
@@ -992,15 +1004,17 @@ class Simulation:
 
             if irregular:
                 M = self._exc_window
+                # HHT evaluates excitation at t+h -> shift the window by one
                 etaw = jax.lax.dynamic_slice_in_dim(
-                    params["irr_eta"], n0, M + tb - 1, axis=-1
+                    params["irr_eta"], n0 + (1 if hht else 0), M + tb - 1, axis=-1
                 )
                 f_exc = rad.excitation_block(
                     const["eh_kernel"], etaw.astype(self.far_dtype)
                 ).astype(self.dtype)  # [tb, K]
 
             def inner(ic, d):
-                st, vblock = ic
+                ic_state, vblock = ic
+                st = ic_state[0] if hht else ic_state
                 n = n0 + d
                 v6 = self._hydro_velocity(st)
                 vblock = jax.lax.dynamic_update_slice_in_dim(
@@ -1010,22 +1024,37 @@ class Simulation:
                 wd = jnp.roll(const["W_small_rev"], d + 1, axis=0)
                 f_intra = jnp.einsum("mij,mj->i", wd, vblock)
                 f_rad = f_far[d] + f_intra
-                f_wave = f_exc[d] if irregular else self._wave_force(params, n)
-                st2, out = self._step_core(params, st, n, f_rad=f_rad,
-                                           f_wave=f_wave, solver_cache=cache)
-                return (st2, vblock), out
+                if hht:
+                    f_wave = (f_exc[d] if irregular
+                              else self._wave_force(params, n + 1))
+                    ic2, out = self._step_hht(params, ic_state, n, f_rad=f_rad,
+                                              f_wave=f_wave)
+                else:
+                    f_wave = f_exc[d] if irregular else self._wave_force(params, n)
+                    st2, out = self._step_core(params, st, n, f_rad=f_rad,
+                                               f_wave=f_wave, solver_cache=cache)
+                    ic2 = st2
+                return (ic2, vblock), out
 
-            (st2, vblock), outs = jax.lax.scan(
-                inner, (st, jnp.zeros((tb, K), self.dtype)),
+            ic0 = carry if hht else st
+            (ic_final, vblock), outs = jax.lax.scan(
+                inner, (ic0, jnp.zeros((tb, K), self.dtype)),
                 jnp.arange(tb, dtype=jnp.int32),
             )
+            st2 = ic_final[0] if hht else ic_final
             vhist = jax.lax.dynamic_update_slice_in_dim(st2.vhist, vblock, p0, axis=0)
             st2 = dataclasses.replace(st2, vhist=vhist)
-            return st2, outs
+            if hht:
+                carry2 = (st2,) + tuple(ic_final[1:])
+            else:
+                carry2 = st2
+            return carry2, outs
 
-        final, traj = jax.lax.scan(
-            block, state, jnp.arange(nblocks, dtype=jnp.int32)
+        carry0 = self._hht_initial_carry(params, state) if hht else state
+        final_carry, traj = jax.lax.scan(
+            block, carry0, jnp.arange(nblocks, dtype=jnp.int32)
         )
+        final = final_carry[0] if hht else final_carry
         # [nblocks, tb, ...] -> [nblocks*tb, ...] -> trim padding
         traj = jax.tree.map(
             lambda x: x.reshape((nblocks * tb,) + x.shape[2:])[:num_steps], traj

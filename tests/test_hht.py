@@ -62,3 +62,22 @@ def test_hht_unconstrained_runs(sphere_h5):
     # large-transient decay: integrator truncation differences are visible
     # but bounded (the reference's own regression gate is 0.02 m)
     assert np.abs(z - z_e).max() < 0.05
+
+
+def test_hht_blocked_matches_per_step():
+    """Blocked far-field radiation under HHT reproduces the per-step HHT
+    trajectory (which itself matches Chrono bit-for-bit)."""
+    import h5py
+
+    with h5py.File(EXPECTED) as f:
+        z_ref = f["results/model/bodies/body1/position"][:, 2]
+    n = 1000
+    spec = build_spec()
+    _, t_ps = Simulation(spec, dt=0.01, integrator="hht").run(n)
+    _, t_blk = Simulation(spec, dt=0.01, integrator="hht", block_size=64).run(n)
+    np.testing.assert_allclose(
+        np.asarray(t_blk["pos"]), np.asarray(t_ps["pos"]), rtol=0, atol=1e-12
+    )
+    # and still matches the Chrono expected trajectory
+    z = np.asarray(t_blk["pos"][:, 0, 2])
+    assert np.abs(z - z_ref[:n]).max() < 1e-9
