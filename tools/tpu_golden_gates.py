@@ -1,0 +1,49 @@
+"""TPU float32 path vs the reference golden trajectories (the gates so far
+ran on CPU float64 — this closes the loop on the production TPU config)."""
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+import numpy as np, jax, jax.numpy as jnp
+from hydrochrono_tpu.io.bemio import load_bemio_h5
+from hydrochrono_tpu.physics.system import Body, Joint, TSDA, HydroAttachment, SystemSpec
+from hydrochrono_tpu.physics.waves import RegularWave, IrregularWaveParams
+from hydrochrono_tpu.stepper import Simulation
+from hydrochrono_tpu.parallel.sharding import make_batched_states
+
+H5='/root/reference/demos/sphere/hydroData/sphere.h5'
+hydro = load_bemio_h5(H5, 1)
+
+# 1) decay, f32, blocked
+spec = SystemSpec(bodies=[Body("body1", 261.8e3, (0,0,-1.0))],
+                  hydro=HydroAttachment(hydro, [0]), gravity=(0,0,-9.81))
+sim = Simulation(spec, dt=0.015, dtype=jnp.float32, block_size=128)
+ref = np.loadtxt('/root/reference/tests/regression/reference_data/sphere/decay/hc_ref_sphere_decay.txt', skiprows=1)
+n = ref.shape[0]
+_, traj = jax.jit(lambda p: sim.run(2688, params=p))(sim.params)
+z = np.asarray(traj["pos"][:n,0,2], dtype=np.float64)
+d = z - ref[:,1]
+print(f"decay f32 blocked: L2={np.linalg.norm(d)/n:.2e} Linf={np.abs(d).max():.2e} (gates 1e-4 / 0.02)")
+
+# 2) reg waves, 10 cases batched f32
+AMPS = [0.177,0.314,0.380,0.491,0.706,0.961,1.256,1.589,1.962,2.374]
+OMEGAS = [2.094395102,1.570796327,1.427996661,1.256637061,1.047197551,0.897597901,0.785398163,0.698131701,0.628318531,0.571198664]
+DAMP = [398736.034,118149.758,90080.857,161048.558,322292.419,479668.979,633979.761,784083.286,932117.647,1077123.445]
+spec2 = SystemSpec(
+    bodies=[Body("body1", 261.8e3, (0,0,-2.0)), Body("ground", 999.0, (0,0,-5.0), fixed=True)],
+    joints=[Joint("prismatic", 0, 1, location=(0,0,-2.0), axis=(0,0,1))],
+    tsdas=[TSDA(0, 1, (0,0,-2.0), (0,0,-5.0))],
+    hydro=HydroAttachment(hydro, [0]), gravity=(0,0,-9.81))
+sim2 = Simulation(spec2, dt=0.015, dtype=jnp.float32, block_size=128,
+                  wave=RegularWave(amplitude=np.asarray(AMPS), omega=np.asarray(OMEGAS)))
+batched = {k: sim2.params[k] for k in ("reg_mag","reg_phase","reg_amp","reg_omega")}
+batched["tsda_c"] = jnp.asarray(DAMP)[:, None]
+n2 = 40064
+_, trajs = sim2.run_batch(n2, batched)
+zs = np.asarray(trajs["pos"][:, :, 0, 2], dtype=np.float64)
+worst = (0,0)
+for i in range(10):
+    refp = np.loadtxt(f'/root/reference/tests/regression/reference_data/sphere/reg_waves/hc_ref_sphere_reg_waves_{i+1}.txt', skiprows=5)
+    m = min(len(refp), n2)
+    d = zs[i][:m] - refp[:m,1]
+    l2, li = np.linalg.norm(d)/m, np.abs(d).max()
+    worst = max(worst, (l2, li))
+    status = "PASS" if (l2<=1e-4 and li<=0.02) else "FAIL"
+    print(f"reg case {i+1}: L2={l2:.2e} Linf={li:.2e} {status}")
