@@ -16,9 +16,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from hydrochrono_tpu.models import sphere_decay
 from hydrochrono_tpu.stepper import Simulation
 
-H5 = os.environ.get(
-    "HYDROCHRONO_DATA", "/root/reference/demos/sphere/hydroData"
-) + "/sphere.h5"
+# honors the reference's HYDROCHRONO_DATA_DIR convention (helper.cpp:28-49)
+H5 = os.path.join(
+    os.environ.get("HYDROCHRONO_DATA_DIR", "/root/reference/demos"),
+    "sphere", "hydroData", "sphere.h5",
+)
 
 
 def main():

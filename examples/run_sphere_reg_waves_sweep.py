@@ -22,9 +22,11 @@ from hydrochrono_tpu.models import sphere_heave_constrained
 from hydrochrono_tpu.physics.waves import RegularWave, build_regular_wave
 from hydrochrono_tpu.stepper import Simulation
 
-H5 = os.environ.get(
-    "HYDROCHRONO_DATA", "/root/reference/demos/sphere/hydroData"
-) + "/sphere.h5"
+# honors the reference's HYDROCHRONO_DATA_DIR convention (helper.cpp:28-49)
+H5 = os.path.join(
+    os.environ.get("HYDROCHRONO_DATA_DIR", "/root/reference/demos"),
+    "sphere", "hydroData", "sphere.h5",
+)
 
 AMPS = [0.177, 0.314, 0.380, 0.491, 0.706, 0.961, 1.256, 1.589, 1.962, 2.374]
 OMEGAS = [2.094395102, 1.570796327, 1.427996661, 1.256637061, 1.047197551,
