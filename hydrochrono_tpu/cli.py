@@ -109,6 +109,14 @@ def main(argv=None) -> int:
 
     try:
         rc = run_case(args, log)
+    except (FileNotFoundError, KeyError, ValueError) as exc:
+        # actionable message instead of a traceback, like the reference's
+        # guarded runner (run_hydrochrono_from_yaml.cpp error paths)
+        log.error(f"{type(exc).__name__}: {exc}")
+        if isinstance(exc, FileNotFoundError):
+            log.info("  check the case directory / setup.yaml paths "
+                     "(files resolve relative to the YAML that names them)")
+        rc = 2
     finally:
         log.show_warnings_block()
         shutdown()

@@ -396,6 +396,9 @@ def parse_hydro_file(path: str) -> HydroSpec:
     kind = str(wave.get("type", "still")).lower()
     if kind in ("no_wave", "still_ci", "still"):
         kind = "still"
+    if kind not in ("still", "regular", "irregular"):
+        # the reference throws for unknown types (setup_hydro_from_yaml.cpp:77-79)
+        raise ValueError(f"Unsupported wave type: {wave.get('type')}")
 
     # height/amplitude aliases with the 2A == H consistency check
     # (hydro_yaml_parser.cpp:572-583)

@@ -104,3 +104,24 @@ def test_sweep_cli_end_to_end(sweep_case, tmp_path):
     rao = rao_from_sweep_dir(out_dir, wave_amplitude=0.25)
     assert rao.shape[0] == 3
     assert np.isfinite(rao).all()
+
+
+def test_unknown_wave_type_rejected(tmp_path, sphere_h5):
+    """The reference throws on unknown wave types
+    (setup_hydro_from_yaml.cpp:77-79); so do we — found by a verification
+    probe where 'tsunami' silently ran as still water."""
+    import textwrap
+
+    from hydrochrono_tpu.scene.yaml import parse_hydro_file
+
+    p = tmp_path / "bad.hydro.yaml"
+    p.write_text(textwrap.dedent(f"""\
+        hydrodynamics:
+          bodies:
+            - name: body1
+              h5_file: {sphere_h5}
+          waves:
+            type: tsunami
+    """))
+    with pytest.raises(ValueError, match="Unsupported wave type"):
+        parse_hydro_file(str(p))
