@@ -1,17 +1,24 @@
 """Headline benchmark on TPU — the two BASELINE.md workloads:
 
   1. RM3 two-body point absorber with TSDA PTO in irregular (PM) waves,
-     dt=0.01, blocked radiation convolution. The reference rm3.h5 is a
-     missing LFS blob, so RM3-class synthetic BEMIO coefficients are used
-     (2 bodies, 12x12 A_inf/RIRF, 15 s kernel @ 1501 samples — the sphere
-     file's real kernel resolution).  <- primary metric
+     dt=0.01, blocked radiation convolution, fused Pallas step kernel
+     (ops/pallas_step.py). The reference rm3.h5 is a missing LFS blob, so
+     RM3-class synthetic BEMIO coefficients are used (2 bodies, 12x12
+     A_inf/RIRF, 15 s kernel @ 1501 samples — the sphere file's real kernel
+     resolution).  <- primary metric
   2. Batched sphere heave decay (real sphere.h5 coefficients), dt=0.015,
-     2667 steps — the reference demos/sphere workload.
+     2667 steps — the reference demos/sphere workload, same fused path.
 
 Prints ONE JSON line. vs_baseline is the RM3 per-instance real-time factor
 divided by the BASELINE.md target (100x real time per instance at 4096
 instances on v5e-8 == 512 instances per chip); >= 1.0 means target met.
 The reference itself publishes no wall-time numbers (BASELINE.md).
+
+Also reports achieved model FLOP/s and MFU for the RM3 step program so perf
+work is steered by utilization: flops counted analytically (radiation
+far-field + intra-block contractions + excitation + step body), peak taken
+as the v5e bf16 figure (197 TFLOP/s; the f32 MXU path runs at a fraction of
+that, so mfu is a conservative lower bound).
 """
 
 import json
@@ -21,12 +28,24 @@ import time
 
 import numpy as np
 
+V5E_PEAK_FLOPS = 197e12  # bf16 peak, one v5e chip
+
 
 def _timed(fn, *args):
     out = np.asarray(fn(*args))  # host transfer == reliable sync
     t0 = time.time()
     out = np.asarray(fn(*args))
     return time.time() - t0, out
+
+
+def _rm3_step_flops(B, H, tb, K, nv, m):
+    """Analytic model FLOPs per simulation step (all batched instances)."""
+    far = 2.0 * (H - 1) * K * K * B  # Hankel far-field matmul, amortized/step
+    intra = 2.0 * tb * K * K * B  # intra-block contraction
+    exc = 2.0 * K * B  # eta-window dot (kernel is shared across batch)
+    # fused step body: forces + jacobian + KKT (nv^3/3 + (1+m) nv^2) + integrate
+    body = (nv**3 / 3 + (1 + m) * nv**2 * 2 + m**3 / 3 + 600) * 2.0 * B
+    return far + intra + exc + body
 
 
 def main():
@@ -59,16 +78,21 @@ def main():
     tb = 128
     n = (int(sim_t / dt) + tb - 1) // tb * tb
     sim = Simulation(rm3(rm3_h5, pto_damping=1.2e6), dt=dt, wave=wave,
-                     duration=2 * sim_t, dtype=jnp.float32, block_size=tb)
+                     duration=2 * sim_t, dtype=jnp.float32, block_size=tb,
+                     outputs=("pos",))
     states = make_batched_states(sim, B)
-    run = jax.jit(jax.vmap(lambda s, p: sim.run(n, state=s, params=p)[0].pos,
-                           in_axes=(0, None)))
+    run = jax.jit(lambda s, p: sim.run_blocked_fused(n, s, params=p)[0].pos)
     t0 = time.time()
     wall_rm3, out = _timed(run, states, sim.params)
     compile_rm3 = time.time() - t0 - wall_rm3
     ok_rm3 = bool(np.isfinite(out).all())
     rm3_rt = n * dt / wall_rm3
     rm3_steps_s = B * n / wall_rm3
+    H = sim.params["_const"]["W_rev"].shape[0]
+    flops_step = _rm3_step_flops(B, H, tb, 6 * sim.n_hydro, sim.nv,
+                                 sim.n_constraints)
+    achieved = flops_step * n / wall_rm3
+    mfu = achieved / (V5E_PEAK_FLOPS * n_dev)
 
     # ---------------- sphere decay (secondary) ----------------
     sph_h5 = "/root/reference/demos/sphere/hydroData/sphere.h5"
@@ -81,17 +105,19 @@ def main():
             hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
             gravity=(0.0, 0.0, -9.81),
         )
-        sim2 = Simulation(spec, dt=0.015, dtype=jnp.float32)
+        tb2 = 128
+        n2 = (2667 + tb2 - 1) // tb2 * tb2
+        sim2 = Simulation(spec, dt=0.015, dtype=jnp.float32, block_size=tb2,
+                          outputs=("pos",))
         rng = np.random.RandomState(0)
         offs = np.zeros((B, 1, 3), dtype=np.float32)
         offs[:, 0, 2] = rng.uniform(-0.5, 0.5, size=B)
         st2 = make_batched_states(sim2, B, pos_offsets=offs)
-        run2 = jax.jit(jax.vmap(lambda s, p: sim2.run(2667, state=s, params=p)[0].pos,
-                                in_axes=(0, None)))
+        run2 = jax.jit(lambda s, p: sim2.run_blocked_fused(n2, s, params=p)[0].pos)
         wall_sph, out2 = _timed(run2, st2, sim2.params)
         ok_sph = bool(np.isfinite(out2).all())
-        sph_sims_s = B / wall_sph
-        sph_rt = 40.0 / wall_sph
+        sph_sims_s = B / wall_sph * (n2 / 2667.0)
+        sph_rt = n2 * 0.015 / wall_sph
 
     result = {
         "metric": "rm3_irregular_steps_per_sec",
@@ -103,6 +129,9 @@ def main():
         "rm3_per_instance_realtime_factor": round(rm3_rt, 1),
         "rm3_wall_s": round(wall_rm3, 3),
         "rm3_compile_s": round(compile_rm3, 1),
+        "rm3_us_per_step": round(wall_rm3 / n * 1e6, 2),
+        "rm3_achieved_tflops": round(achieved / 1e12, 2),
+        "rm3_mfu_vs_bf16_peak": round(mfu, 4),
         "sphere_decay_sims_per_sec": round(sph_sims_s, 1),
         "sphere_per_instance_realtime_factor": round(sph_rt, 1),
         "finite": ok_rm3 and ok_sph,

@@ -94,6 +94,171 @@ def _tsda_direction(case, k, pos, quat, slot_of, nsteps):
     return d / np.maximum(norm, 1e-12)
 
 
+def _joint_reaction_wrenches(sim, pos, quat, lam_force):
+    """World-frame reaction wrenches per joint along a trajectory.
+
+    Constraint forces on the generalized coordinates are -J^T lambda (the KKT
+    convention of ops/linalg.solve_kkt); restricted to one joint's rows and
+    one body's 6-dof block this gives the world force on that body and the
+    torque about its origin, which is shifted to the joint anchor point.
+    Mirrors the reference's world-frame transform of Chrono link reactions
+    (simulation_exporter.cpp:816-840). Returns list of (F1, T1, F2, T2),
+    each [T, 3]; wrench 2 = -wrench 1 (ideal constraints).
+
+    lam_force: [T, m] multipliers already in force units (impulse / dt).
+    """
+    import jax.numpy as jnp
+
+    from hydrochrono_tpu.ops.pallas_step import (
+        FusedStepBuilder, _quat_rotate as _qrot_l,
+    )
+
+    b = FusedStepBuilder(sim, for_kernel=False)
+    cvec = b.cvec(sim.params)
+    spec = sim.spec
+    nm, nv = sim.n_moving, sim.nv
+    T = pos.shape[0]
+
+    def C(i):
+        return cvec[i]
+
+    posl = [[jnp.asarray(pos[:, s, k]) for k in range(3)] for s in range(nm)]
+    quatl = [[jnp.asarray(quat[:, s, k]) for k in range(4)] for s in range(nm)]
+
+    def pose_of(i):
+        if i < 0:
+            return [0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]
+        if spec.bodies[i].fixed:
+            o = b._off
+            return ([C(o[f"fix{i}_pos"] + k) for k in range(3)],
+                    [C(o[f"fix{i}_quat"] + k) for k in range(4)])
+        s = sim.slot_of[i]
+        return posl[s], quatl[s]
+
+    def slot(i):
+        if i < 0 or spec.bodies[i].fixed:
+            return None
+        return sim.slot_of[i]
+
+    _, Jrows = b._constraints(C, pose_of, slot)
+    Jnp = [[None if e is None else np.broadcast_to(np.asarray(e, np.float64), (T,))
+            for e in row] for row in Jrows]
+
+    out = []
+    row0 = 0
+    for jidx, (kind, _locked, nrows, b1, b2) in enumerate(sim.joint_rows):
+        lamj = lam_force[:, row0:row0 + nrows]  # [T, nrows]
+        s1, s2 = slot(b1), slot(b2)
+
+        # joint anchor point in world along the trajectory
+        p1, q1 = pose_of(b1)
+        l1 = [C(b._off[f"j{jidx}_l1"] + k) for k in range(3)]
+        P = _qrot_l(q1, l1)
+        Pw = np.stack([np.broadcast_to(np.asarray(p1[k] + P[k], np.float64), (T,))
+                       for k in range(3)], axis=-1)
+
+        def side_wrench(s):
+            if s is None:
+                return None
+            F = np.zeros((T, 3))
+            Tq = np.zeros((T, 3))
+            for a in range(nrows):
+                for k in range(3):
+                    e = Jnp[row0 + a][s * 6 + k]
+                    if e is not None:
+                        F[:, k] -= lamj[:, a] * e
+                    e = Jnp[row0 + a][s * 6 + 3 + k]
+                    if e is not None:
+                        Tq[:, k] -= lamj[:, a] * e
+            return F, Tq
+
+        w1 = side_wrench(s1)
+        w2 = side_wrench(s2)
+        if w1 is not None:
+            F1, T1cg = w1
+            r1 = Pw - pos[:, s1].astype(np.float64)
+            T1 = T1cg - np.cross(r1, F1)
+        if w2 is not None:
+            F2, T2cg = w2
+            r2 = Pw - pos[:, s2].astype(np.float64)
+            T2 = T2cg - np.cross(r2, F2)
+        if w1 is None and w2 is None:
+            F1 = T1 = F2 = T2 = np.zeros((T, 3))
+        elif w1 is None:
+            F1, T1 = -F2, -T2
+        elif w2 is None:
+            F2, T2 = -F1, -T1
+        out.append((F1, T1, F2, T2))
+        row0 += nrows
+    return out
+
+
+def _rsda_channels(case, sim, k, pos, quat, ang_vel, slot_of, nsteps):
+    """Per-RSDA result channels from the exported trajectory (channel set
+    per reference simulation_exporter.cpp:785-807)."""
+    import jax.numpy as jnp
+
+    from hydrochrono_tpu.physics.rotations import quat_rotate
+
+    zeros1 = np.zeros(nsteps)
+    zeros3 = np.zeros((nsteps, 3))
+    empty = {
+        "angle": zeros1, "ang_speed": zeros1, "spring_torque": zeros1,
+        "damping_torque": zeros1, "torque_mag": zeros1, "torque_vec": zeros3,
+        "reaction_torque_body1": zeros3, "reaction_torque_body2": zeros3,
+    }
+    if sim is None or k >= len(sim.spec.rsdas):
+        return empty
+    r = sim.spec.rsdas[k]
+    a1l = np.asarray(sim.params["_const"]["rsda"][k]["a1l"], np.float64)
+    kk = float(np.asarray(sim.params["rsda_k"][k]))
+    cc = float(np.asarray(sim.params["rsda_c"][k]))
+
+    def body_qw(i):
+        if i < 0:
+            return (np.broadcast_to(np.array([1.0, 0, 0, 0]), (nsteps, 4)),
+                    np.zeros((nsteps, 3)))
+        if case.system.bodies[i].fixed:
+            q0 = np.asarray(case.system.bodies[i].quat0, np.float64)
+            return np.broadcast_to(q0, (nsteps, 4)), np.zeros((nsteps, 3))
+        s = slot_of[i]
+        return quat[:, s].astype(np.float64), ang_vel[:, s].astype(np.float64)
+
+    q1, w1 = body_qw(r.body1)
+    q2, w2 = body_qw(r.body2)
+    ahat = np.asarray(quat_rotate(jnp.asarray(q1), jnp.asarray(a1l)))
+    q1c = np.concatenate([q1[:, :1], -q1[:, 1:]], axis=-1)
+
+    def qmul(a, bq):
+        aw, ax, ay, az = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+        bw, bx, by, bz = bq[:, 0], bq[:, 1], bq[:, 2], bq[:, 3]
+        return np.stack([
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ], axis=-1)
+
+    q_rel = qmul(q1c, q2)
+    rotvec = 2.0 * np.sign(q_rel[:, :1]) * q_rel[:, 1:]
+    theta = np.einsum(
+        "tk,tk->t", np.asarray(quat_rotate(jnp.asarray(q1), jnp.asarray(rotvec))),
+        ahat,
+    )
+    rel_angle = theta - r.rest_angle
+    ang_speed = np.einsum("tk,tk->t", w2 - w1, ahat)
+    spring_torque = kk * rel_angle
+    damping_torque = cc * ang_speed
+    tmag = spring_torque + damping_torque
+    tvec = ahat * tmag[:, None]
+    return {
+        "angle": rel_angle, "ang_speed": ang_speed,
+        "spring_torque": spring_torque, "damping_torque": damping_torque,
+        "torque_mag": tmag, "torque_vec": tvec,
+        "reaction_torque_body1": tvec, "reaction_torque_body2": -tvec,
+    }
+
+
 def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
                    wall_time_s: float = 0.0, run_metadata: Optional[dict] = None) -> str:
     """Write one case's trajectory to results.<wave>.h5; returns the path.
@@ -282,38 +447,50 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
                 for name in ("force_vec", "reaction_force_body1", "reaction_force_body2"):
                     g.create_dataset(name, data=np.zeros((nsteps, 3)))
 
-        # joint reaction wrenches from the KKT multipliers
-        row = 0
+        # joint reaction wrenches: world-frame, reconstructed from the KKT
+        # multipliers and the constraint-row geometry along the trajectory
+        # (reference transforms per-joint reactions to world the same way,
+        # simulation_exporter.cpp:816-840). reaction1 = wrench exerted by the
+        # joint ON body1, force in world axes, torque about the (moving)
+        # joint anchor point.
         sim = getattr(case, "_sim", None)
         joint_rows = getattr(sim, "joint_rows", []) if sim is not None else []
-        for j, (kind, _locked, nrows, _b1, _b2) in zip(model.joints, joint_rows):
+        reactions = None
+        if lam is not None and sim is not None and joint_rows:
+            reactions = _joint_reaction_wrenches(sim, pos, quat, lam / case.dt)
+        for jidx, (j, (kind, _locked, nrows, _b1, _b2)) in enumerate(
+            zip(model.joints, joint_rows)
+        ):
             g = f.require_group(f"results/model/joints/{j.name}")
             g.attrs.update({"type": j.kind.upper(), "frame1": "world",
                             "frame2": "world", "time_ref": "/results/time/time",
-                            "units_force": "N", "units_torque": "N*m"})
-            if lam is not None and lam.shape[-1] >= row + nrows:
-                lj = lam[:, row : row + nrows] / case.dt
-                force = np.zeros((nsteps, 3))
-                torque = np.zeros((nsteps, 3))
-                if kind in ("spherical", "revolute", "fixed"):
-                    force = lj[:, :3]
-                    if nrows > 3:
-                        torque[:, : nrows - 3] = lj[:, 3:]
-                g.create_dataset("reaction1_force", data=force)
-                g.create_dataset("reaction1_torque", data=torque)
-                g.create_dataset("reaction2_force", data=-force)
-                g.create_dataset("reaction2_torque", data=-torque)
+                            "units_force": "N", "units_torque": "N*m",
+                            "torque_about": "joint_anchor_point"})
+            if reactions is not None:
+                F1, T1, F2, T2 = reactions[jidx]
+                g.create_dataset("reaction1_force", data=F1)
+                g.create_dataset("reaction1_torque", data=T1)
+                g.create_dataset("reaction2_force", data=F2)
+                g.create_dataset("reaction2_torque", data=T2)
             else:
                 for name in ("reaction1_force", "reaction1_torque",
                              "reaction2_force", "reaction2_torque"):
                     g.create_dataset(name, data=np.zeros((nsteps, 3)))
-            row += nrows
 
-        # RSDA results
-        for r in model.rsdas:
+        # RSDA results (reference channels: simulation_exporter.cpp:785-807
+        # per-step, finalize writes torque_vec/torque_mag/angle/ang_speed/
+        # spring_torque/damping_torque/reaction_torque_body{1,2}). Computed
+        # from the exported trajectory with the stepper's own kinematics.
+        # NOTE the reference hardcodes the RSDA axis to (1,0,0) when the link
+        # frame is unavailable (:533-537); we use the actual element axis.
+        for k, r in enumerate(model.rsdas):
             g = f.require_group(f"results/model/rsdas/{r.name}")
             g.attrs.update({"time_ref": "/results/time/time", "type": "RSDA",
-                            "units_torque": "N*m", "units_angle": "rad"})
+                            "units_torque": "N*m", "units_angle": "rad",
+                            "frame": "world"})
+            ch = _rsda_channels(case, sim, k, pos, quat, ang_vel, slot_of, nsteps)
+            for name, data in ch.items():
+                g.create_dataset(name, data=data)
 
         # ---------------- meta ----------------
         meta = f.require_group("meta")

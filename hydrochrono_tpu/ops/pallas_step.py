@@ -1,0 +1,849 @@
+"""Fused per-step Pallas TPU kernel: forces + KKT solve + integration.
+
+Why this exists (PERF.md "fusion lottery"): the vmapped XLA step graph
+compiles into dozens of small fused kernels whose per-scan-step dispatch
+overhead dominates the ~1 us of actual math, and whose partitioning is
+chaotically sensitive to the graph (measured 134 us/step for RM3 at B=512,
+and *removing* work sometimes made it slower). This module fuses the entire
+step body — gravity/gyroscopic forces, TSDA/RSDA elements, hydrostatic
+restoring (with polynomial Cardan-angle extraction, ops/pallas_math.py),
+analytic constraint Jacobians, the unrolled Cholesky/Schur KKT solve and the
+semi-implicit update — into ONE Pallas kernel, so a scan step is a single
+dispatch regardless of how XLA feels about fusion that day.
+
+Layout: component-major batch tiles. Every per-instance physical scalar is a
+[R, 128] array (R*128 = batch tile), i.e. exactly one (sublane, lane) vector
+register per op at R=8. State is packed as [C, RB, 128] where C enumerates
+scalar components (pos/quat/vel rows per body) and RB*128 = padded batch.
+Shared run constants (masses, inertia, A_inf, stiffness, joint/TSDA anchors)
+travel in ONE flat f32 vector in SMEM and are broadcast against the batch
+registers — so per-step HBM traffic is just the state + forcing tiles.
+
+The radiation/excitation history terms stay OUTSIDE the kernel: the blocked
+far-field Hankel matmul and the eta-window matmul are already MXU-shaped
+(physics/radiation.py); the kernel receives their per-step combination
+`fx = f_wave - f_rad` as a [6Nh, RB, 128] operand.
+
+The step math mirrors stepper.Simulation._step_core exactly (reference hot
+loop being replaced: hydro_forces.cpp:537-691 + Chrono's per-step solve);
+the analytic Jacobian rows are verified against the jvp-based ones in
+tests/test_fused_step.py. The same `step_rows` function runs outside Pallas
+too (it is plain jnp), which is how CPU tests validate the kernel path via
+`interpret=True`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hydrochrono_tpu.ops.pallas_math import asin_tpu, atan2_tpu
+
+LANE = 128
+
+
+# ---------------------------------------------------------------------------
+# tiny scalar/vector helpers over "batch scalars" ([R,128] arrays or floats)
+# ---------------------------------------------------------------------------
+
+def _sadd(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def _ssub(a, b):
+    if b is None:
+        return a
+    if a is None:
+        return -b
+    return a - b
+
+
+def _smul(a, b):
+    if a is None or b is None:
+        return None
+    return a * b
+
+
+def _sneg(a):
+    return None if a is None else -a
+
+
+def _dot3(a, b):
+    return _sadd(_sadd(_smul(a[0], b[0]), _smul(a[1], b[1])), _smul(a[2], b[2]))
+
+
+def _cross3(a, b):
+    return [
+        _ssub(_smul(a[1], b[2]), _smul(a[2], b[1])),
+        _ssub(_smul(a[2], b[0]), _smul(a[0], b[2])),
+        _ssub(_smul(a[0], b[1]), _smul(a[1], b[0])),
+    ]
+
+
+def _vadd(a, b):
+    return [_sadd(x, y) for x, y in zip(a, b)]
+
+
+def _vsub(a, b):
+    return [_ssub(x, y) for x, y in zip(a, b)]
+
+
+def _vscale(s, a):
+    return [_smul(s, x) for x in a]
+
+
+def _z(x):
+    """Structural zero -> concrete 0.0 (for outputs that must be arrays)."""
+    return 0.0 if x is None else x
+
+
+def _quat_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return [
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ]
+
+
+def _quat_conj(q):
+    return [q[0], -q[1], -q[2], -q[3]]
+
+
+def _quat_rotate(q, v):
+    """Rotate 3-vector v (list, entries scalar/None) by quaternion q."""
+    w, u = q[0], q[1:4]
+    uv = _cross3(u, v)
+    uuv = _cross3(u, uv)
+    t = [_sadd(_smul(w, uv[k]), uuv[k]) for k in range(3)]
+    return [_sadd(v[k], _smul(2.0, t[k])) for k in range(3)]
+
+
+def _rot_matrix(q):
+    w, x, y, z = q
+    xx, yy, zz = x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    return [
+        [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+    ]
+
+
+# ---------------------------------------------------------------------------
+# list-based unrolled Cholesky / KKT (None-aware RHS columns)
+# ---------------------------------------------------------------------------
+
+def _chol(A, n):
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _chol_solve_cols(L, b, n, nc):
+    """Solve A x = b for A = L L^T; b is [n][nc] with None structural zeros."""
+    y = [[None] * nc for _ in range(n)]
+    for i in range(n):
+        for c in range(nc):
+            s = b[i][c]
+            for k in range(i):
+                s = _ssub(s, _smul(L[i][k], y[k][c]))
+            y[i][c] = None if s is None else s / L[i][i]
+    x = [[None] * nc for _ in range(n)]
+    for i in reversed(range(n)):
+        for c in range(nc):
+            s = y[i][c]
+            for k in range(i + 1, n):
+                s = _ssub(s, _smul(L[k][i], x[k][c]))
+            x[i][c] = None if s is None else s / L[i][i]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# builder
+# ---------------------------------------------------------------------------
+
+class FusedStepBuilder:
+    """Compiles a Simulation's step math into a single Pallas TPU kernel.
+
+    Supported configuration (everything the production blocked TPU path
+    uses): euler_implicit_linearized integrator, convolution radiation,
+    coefficient TSDAs/RSDAs (no tabulated curves), no motors, float32.
+    Unsupported configs raise at construction; callers fall back to the
+    XLA step.
+    """
+
+    def __init__(self, sim, for_kernel: bool = True):
+        """for_kernel=False builds a geometry-only variant (constraint rows +
+        constant vector) used by the exporter to reconstruct world-frame joint
+        reaction wrenches along a trajectory; it skips the kernel-path gates
+        so it also serves HHT / motor / curve configurations."""
+        spec = sim.spec
+        if for_kernel:
+            if sim.integrator != "euler_implicit_linearized":
+                raise NotImplementedError("fused step: euler integrator only")
+            if sim.radiation != "convolution":
+                raise NotImplementedError("fused step: convolution radiation only")
+            if spec.motors:
+                raise NotImplementedError("fused step: motors unsupported")
+            for t in spec.tsdas:
+                if t.spring_curve is not None or t.damping_curve is not None:
+                    raise NotImplementedError("fused step: tabulated TSDA curves")
+        if sim.dtype not in (jnp.float32, jnp.dtype("float64")):
+            raise NotImplementedError("fused step: float32/float64 only")
+        self.dtype = sim.dtype
+
+        self.sim = sim
+        self.spec = spec
+        self.nm = sim.n_moving
+        self.nv = sim.nv
+        self.m = sim.n_constraints
+        self.nh = sim.n_hydro
+        self.K = 6 * self.nh
+        self.dt = sim.dt
+
+        nm = self.nm
+        # state component indices
+        self.ip = lambda s, k: s * 3 + k
+        self.iq = lambda s, k: nm * 3 + s * 4 + k
+        self.il = lambda s, k: nm * 7 + s * 3 + k
+        self.ia = lambda s, k: nm * 10 + s * 3 + k
+        self.CS = nm * 13
+
+        # extra-output component indices: acc [nv], lambda [m], tsda [4*nt]
+        self.n_tsda = len(spec.tsdas)
+        self.CE = self.nv + self.m + 4 * self.n_tsda
+
+        self._build_cvec_layout()
+
+    # -- constant vector ---------------------------------------------------
+    def _build_cvec_layout(self):
+        sim, spec = self.sim, self.spec
+        off = {}
+        fetch = []  # (name, fn(params) -> flat array)
+        pos = 0
+
+        def reg(name, size, fn):
+            nonlocal pos
+            off[name] = pos
+            pos += size
+            fetch.append((name, size, fn))
+
+        reg("mass", self.nm, lambda p: p["mass"])
+        reg("g", 3, lambda p: p["_const"]["gravity"])
+        reg("inertia", self.nm * 9,
+            lambda p: p["_const"]["inertia_body"].reshape(-1))
+        reg("ainf", self.nv * self.nv, lambda p: p["_const"]["ainf"].reshape(-1))
+
+        if sim.hydro is not None:
+            nh = self.nh
+            reg("rho_g", 1, lambda p: (
+                sim.rho * jnp.linalg.norm(p["_const"]["gravity"])
+            ).reshape(1))
+            reg("klin", nh * 36, lambda p: p["_const"]["k_lin"].reshape(-1))
+            reg("cg", nh * 3, lambda p: p["_const"]["cg_eq"].reshape(-1))
+
+            def buoy6(p):
+                c = p["_const"]
+                fb = sim.rho * (-c["gravity"])[None, :] * c["disp_vol"][:, None]
+                tb = jnp.cross(c["cb_minus_cg"], fb)
+                return jnp.concatenate([fb, tb], axis=-1).reshape(-1)
+
+            reg("buoy6", nh * 6, buoy6)
+
+        for j, (kind, locked, nrows, b1, b2) in enumerate(sim.joint_rows):
+            def jc(key, idx=j):
+                return lambda p: p["_const"]["joints"][idx][key].reshape(-1)
+
+            reg(f"j{j}_l1", 3, jc("l1"))
+            reg(f"j{j}_l2", 3, jc("l2"))
+            if kind == "prismatic":
+                reg(f"j{j}_n1l", 3, jc("n1l"))
+                reg(f"j{j}_n2l", 3, jc("n2l"))
+                reg(f"j{j}_qrel0", 4, jc("q_rel0"))
+            elif kind == "revolute":
+                reg(f"j{j}_a2", 3, jc("a2"))
+                reg(f"j{j}_n1l", 3, jc("n1l"))
+                reg(f"j{j}_n2l", 3, jc("n2l"))
+                if locked:
+                    reg(f"j{j}_qrel0", 4, jc("q_rel0"))
+            elif kind == "universal":
+                reg(f"j{j}_a1", 3, jc("a1"))
+                reg(f"j{j}_ax2", 3, jc("axis2_b2"))
+            elif kind == "fixed":
+                reg(f"j{j}_qrel0", 4, jc("q_rel0"))
+            elif kind == "motor":
+                reg(f"j{j}_a1", 3, jc("a1"))
+                reg(f"j{j}_a2", 3, jc("a2"))
+                reg(f"j{j}_n1l", 3, jc("n1l"))
+                reg(f"j{j}_n2l", 3, jc("n2l"))
+            elif kind == "spherical":
+                pass
+            else:  # pragma: no cover - guarded in __init__
+                raise NotImplementedError(f"fused step: joint kind {kind}")
+
+        for t in range(self.n_tsda):
+            def tc(key, idx=t):
+                return lambda p: p["_const"]["tsda"][idx][key].reshape(-1)
+
+            reg(f"t{t}_l1", 3, tc("l1"))
+            reg(f"t{t}_l2", 3, tc("l2"))
+            reg(f"t{t}_L0", 1,
+                lambda p, idx=t: jnp.asarray([self.sim.tsda_rest[idx]], self.dtype))
+            reg(f"t{t}_k", 1, lambda p, idx=t: p["tsda_k"][idx].reshape(1))
+            reg(f"t{t}_c", 1, lambda p, idx=t: p["tsda_c"][idx].reshape(1))
+
+        for r, rs in enumerate(spec.rsdas):
+            reg(f"r{r}_a1l", 3,
+                lambda p, idx=r: p["_const"]["rsda"][idx]["a1l"].reshape(-1))
+            reg(f"r{r}_k", 1, lambda p, idx=r: p["rsda_k"][idx].reshape(1))
+            reg(f"r{r}_c", 1, lambda p, idx=r: p["rsda_c"][idx].reshape(1))
+            reg(f"r{r}_rest", 1,
+                lambda p, idx=r: jnp.asarray([rs.rest_angle], self.dtype))
+
+        # fixed bodies referenced by joints / elements
+        fixed_refs = set()
+        for j in spec.joints:
+            for b in (j.body1, j.body2):
+                if b >= 0 and spec.bodies[b].fixed:
+                    fixed_refs.add(b)
+        for t in spec.tsdas:
+            for b in (t.body1, t.body2):
+                if b >= 0 and spec.bodies[b].fixed:
+                    fixed_refs.add(b)
+        for r in spec.rsdas:
+            for b in (r.body1, r.body2):
+                if b >= 0 and spec.bodies[b].fixed:
+                    fixed_refs.add(b)
+        for b in sorted(fixed_refs):
+            reg(f"fix{b}_pos", 3,
+                lambda p, idx=b: p["_const"]["fixed_pos"][str(idx)])
+            reg(f"fix{b}_quat", 4,
+                lambda p, idx=b: p["_const"]["fixed_quat"][str(idx)])
+
+        self._off = off
+        self._fetch = fetch
+        self.NC = pos
+
+    def cvec(self, params):
+        """Assemble the flat constant vector from the params pytree."""
+        parts = [jnp.asarray(fn(params), self.dtype).reshape(-1)
+                 for _, _, fn in self._fetch]
+        return jnp.concatenate(parts) if parts else jnp.zeros((1,), self.dtype)
+
+    # -- packing -----------------------------------------------------------
+    def pad_batch(self, B):
+        return -(-B // LANE) * LANE
+
+    def pack_state(self, st):
+        """State with leading batch dim B -> (sc [CS, RB, 128], vhist packed)."""
+        B = st.pos.shape[0]
+        Bp = self.pad_batch(B)
+        idx = jnp.minimum(jnp.arange(Bp), B - 1)
+        nm = self.nm
+
+        def prep(x):
+            return x[idx]
+
+        sc = jnp.concatenate([
+            prep(st.pos).reshape(Bp, nm * 3),
+            prep(st.quat).reshape(Bp, nm * 4),
+            prep(st.lin_vel).reshape(Bp, nm * 3),
+            prep(st.ang_vel).reshape(Bp, nm * 3),
+        ], axis=1)  # [Bp, CS]
+        sc = sc.T.reshape(self.CS, Bp // LANE, LANE)
+        # vhist [B, H2, K] -> [H2, K, RB, 128]
+        vh = prep(st.vhist)
+        H2, K = vh.shape[1], vh.shape[2]
+        vh = jnp.moveaxis(vh, 0, -1).reshape(H2, K, Bp // LANE, LANE)
+        return sc, vh
+
+    def unpack_state(self, sc, vhist, B, ss_like):
+        import dataclasses as dc
+
+        from hydrochrono_tpu.stepper import State
+
+        nm = self.nm
+        Bp = sc.shape[1] * LANE
+        flat = sc.reshape(self.CS, Bp).T[:B]  # [B, CS]
+        pos = flat[:, : nm * 3].reshape(B, nm, 3)
+        quat = flat[:, nm * 3 : nm * 7].reshape(B, nm, 4)
+        lin = flat[:, nm * 7 : nm * 10].reshape(B, nm, 3)
+        ang = flat[:, nm * 10 :].reshape(B, nm, 3)
+        H2, K = vhist.shape[0], vhist.shape[1]
+        vh = vhist.reshape(H2, K, Bp).transpose(2, 0, 1)[:B]
+        return State(pos=pos, quat=quat, lin_vel=lin, ang_vel=ang,
+                     vhist=vh, ss=ss_like)
+
+    # -- the step math (plain jnp; runs inside or outside Pallas) ----------
+    def step_rows(self, C, sc, fx):
+        """One step on component rows.
+
+        C: scalar accessor (idx -> 0-d value); sc: [CS, ...] state rows;
+        fx: [K, ...] (f_wave - f_rad) rows or None.
+        Returns (new_sc_rows list[CS], extra_rows list[CE]).
+        """
+        sim, spec = self.sim, self.spec
+        nm, nv, m = self.nm, self.nv, self.m
+        h = self.dt
+        o = self._off
+
+        def c1(name, i=0):
+            return C(o[name] + i)
+
+        def c3(name, base=0):
+            return [c1(name, base + k) for k in range(3)]
+
+        pos = [[sc[self.ip(s, k)] for k in range(3)] for s in range(nm)]
+        quat = [[sc[self.iq(s, k)] for k in range(4)] for s in range(nm)]
+        lin = [[sc[self.il(s, k)] for k in range(3)] for s in range(nm)]
+        ang = [[sc[self.ia(s, k)] for k in range(3)] for s in range(nm)]
+
+        R = [_rot_matrix(quat[s]) for s in range(nm)]
+
+        def pose_of(i):
+            if i < 0:
+                return [0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]
+            if spec.bodies[i].fixed:
+                return c3(f"fix{i}_pos"), [c1(f"fix{i}_quat", k) for k in range(4)]
+            s = sim.slot_of[i]
+            return pos[s], quat[s]
+
+        def vel_of(i):
+            if i < 0 or spec.bodies[i].fixed:
+                return [None, None, None], [None, None, None]
+            s = sim.slot_of[i]
+            return lin[s], ang[s]
+
+        def slot(i):
+            if i < 0 or spec.bodies[i].fixed:
+                return None
+            return sim.slot_of[i]
+
+        # world inertia I_w = R I_body R^T
+        IW = []
+        for s in range(nm):
+            Ib = [[c1("inertia", s * 9 + a * 3 + b) for b in range(3)]
+                  for a in range(3)]
+            RI = [[sum(R[s][a][k] * Ib[k][b] for k in range(3)) for b in range(3)]
+                  for a in range(3)]
+            IW.append([[sum(RI[a][k] * R[s][b][k] for k in range(3))
+                        for b in range(3)] for a in range(3)])
+
+        # ----- generalized forces F[nv] (None = structural zero) -----
+        F = [None] * nv
+        for s in range(nm):
+            ms = c1("mass", s)
+            for k in range(3):
+                F[s * 6 + k] = _sadd(F[s * 6 + k], ms * c1("g", k))
+            Iw_w = [_sadd(_sadd(_smul(IW[s][a][0], ang[s][0]),
+                                _smul(IW[s][a][1], ang[s][1])),
+                          _smul(IW[s][a][2], ang[s][2])) for a in range(3)]
+            gyro = _cross3(ang[s], Iw_w)
+            for k in range(3):
+                F[s * 6 + 3 + k] = _ssub(F[s * 6 + 3 + k], gyro[k])
+
+        def add_wrench(body, force, torque):
+            sl = slot(body)
+            if sl is None:
+                return
+            for k in range(3):
+                F[sl * 6 + k] = _sadd(F[sl * 6 + k], force[k])
+                F[sl * 6 + 3 + k] = _sadd(F[sl * 6 + 3 + k], torque[k])
+
+        def tsda_state(idx, pos_of, vel_fn):
+            t = spec.tsdas[idx]
+            pb1, qb1 = pos_of(t.body1)
+            pb2, qb2 = pos_of(t.body2)
+            P1 = _vadd(pb1, _quat_rotate(qb1, c3(f"t{idx}_l1")))
+            P2 = _vadd(pb2, _quat_rotate(qb2, c3(f"t{idx}_l2")))
+            u1, w1 = vel_fn(t.body1)
+            u2, w2 = vel_fn(t.body2)
+            V1 = _vadd(u1, _cross3(w1, _vsub(P1, pb1)))
+            V2 = _vadd(u2, _cross3(w2, _vsub(P2, pb2)))
+            d = _vsub(P2, P1)
+            L = jnp.sqrt(_z(_dot3(d, d)) + 1e-30)
+            Lsafe = jnp.maximum(L, 1e-12)
+            dhat = [_z(x) / Lsafe for x in d]
+            dV = _vsub(V2, V1)
+            Ldot = _z(_dot3(dV, dhat))
+            return t, P1, P2, L, Ldot, dhat, pb1, pb2
+
+        def tsda_scalar_forces(idx, L, Ldot):
+            fs = -c1(f"t{idx}_k") * (L - c1(f"t{idx}_L0"))
+            fd = -c1(f"t{idx}_c") * Ldot
+            return fs, fd
+
+        for idx in range(self.n_tsda):
+            t, P1, P2, L, Ldot, dhat, pb1, pb2 = tsda_state(idx, pose_of, vel_of)
+            fs, fd = tsda_scalar_forces(idx, L, Ldot)
+            fmag = fs + fd
+            fvec2 = [fmag * x for x in dhat]
+            add_wrench(t.body2, fvec2, _cross3(_vsub(P2, pb2), fvec2))
+            fneg = [-x for x in fvec2]
+            add_wrench(t.body1, fneg, _cross3(_vsub(P1, pb1), fneg))
+
+        for idx, r in enumerate(spec.rsdas):
+            _, q1 = pose_of(r.body1)
+            _, q2 = pose_of(r.body2)
+            ahat = _quat_rotate(q1, c3(f"r{idx}_a1l"))
+            q_rel = _quat_mul(_quat_conj(q1), q2)
+            sgn = jnp.sign(_z(q_rel[0]) + 0.0)
+            rotvec = [2.0 * sgn * q_rel[1 + k] for k in range(3)]
+            theta = _z(_dot3(_quat_rotate(q1, rotvec), ahat))
+            _, w1 = vel_of(r.body1)
+            _, w2 = vel_of(r.body2)
+            theta_dot = _z(_dot3(_vsub(w2, w1), ahat))
+            tau = (-c1(f"r{idx}_k") * (theta - c1(f"r{idx}_rest"))
+                   - c1(f"r{idx}_c") * theta_dot)
+            tvec = [tau * x for x in ahat]
+            add_wrench(r.body2, [None] * 3, tvec)
+            add_wrench(r.body1, [None] * 3, [-x for x in tvec])
+
+        # ----- hydrostatics + external hydro forcing -----
+        if sim.hydro is not None and fx is not None:
+            rho_g = c1("rho_g")
+            for hb in range(self.nh):
+                s = sim.hydro_slots[hb]
+                r02 = jnp.clip(R[s][0][2], -1.0, 1.0)
+                card_b = asin_tpu(r02)
+                card_a = atan2_tpu(-R[s][1][2], R[s][2][2])
+                card_c = atan2_tpu(-R[s][0][1], R[s][0][0])
+                disp6 = [pos[s][0] - c1("cg", hb * 3 + 0),
+                         pos[s][1] - c1("cg", hb * 3 + 1),
+                         pos[s][2] - c1("cg", hb * 3 + 2),
+                         card_a, card_b, card_c]
+                for i in range(6):
+                    acc = None
+                    for jj in range(6):
+                        acc = _sadd(acc, _smul(c1("klin", hb * 36 + i * 6 + jj),
+                                               disp6[jj]))
+                    fhs = -rho_g * _z(acc) + c1("buoy6", hb * 6 + i)
+                    F[s * 6 + i] = _sadd(F[s * 6 + i], fhs + fx[hb * 6 + i])
+
+        # ----- Mhat = blockdiag(m I3, I_w) + A_inf -----
+        M = [[c1("ainf", i * nv + j) for j in range(nv)] for i in range(nv)]
+        for s in range(nm):
+            ms = c1("mass", s)
+            for k in range(3):
+                M[s * 6 + k][s * 6 + k] = M[s * 6 + k][s * 6 + k] + ms
+            for a in range(3):
+                for b in range(3):
+                    M[s * 6 + 3 + a][s * 6 + 3 + b] = (
+                        M[s * 6 + 3 + a][s * 6 + 3 + b] + IW[s][a][b]
+                    )
+
+        v = []
+        for s in range(nm):
+            v.extend(lin[s])
+            v.extend(ang[s])
+        rhs = []
+        for i in range(nv):
+            acc = None
+            for j in range(nv):
+                acc = _sadd(acc, _smul(M[i][j], v[j]))
+            rhs.append(_sadd(acc, _smul(h, F[i])))
+
+        # ----- constraints: residual + analytic Jacobian rows -----
+        crows, Jrows = self._constraints(C, pose_of, slot)
+
+        Lm = _chol(M, nv)
+        if m > 0:
+            # columns: [rhs | J^T]
+            bcols = [[rhs[i]] + [Jrows[a][i] for a in range(m)] for i in range(nv)]
+            sol = _chol_solve_cols(Lm, bcols, nv, 1 + m)
+            minv_r = [sol[i][0] for i in range(nv)]
+            minv_jt = [[sol[i][1 + a] for a in range(m)] for i in range(nv)]
+            S = [[_z(_dot_list([Jrows[a][i] for i in range(nv)],
+                               [minv_jt[i][b] for i in range(nv)]))
+                  for b in range(m)] for a in range(m)]
+            g = [-(_z(crows[a]) / h) for a in range(m)]
+            jr = [_z(_dot_list([Jrows[a][i] for i in range(nv)], minv_r))
+                  for a in range(m)]
+            Ls = _chol(S, m)
+            lam_cols = _chol_solve_cols(Ls, [[jr[a] - g[a]] for a in range(m)], m, 1)
+            lam = [_z(lam_cols[a][0]) for a in range(m)]
+            v_new = [minv_r[i] - _z(_dot_list(minv_jt[i], lam)) for i in range(nv)]
+        else:
+            bcols = [[rhs[i]] for i in range(nv)]
+            sol = _chol_solve_cols(Lm, bcols, nv, 1)
+            v_new = [_z(sol[i][0]) for i in range(nv)]
+            lam = []
+
+        # ----- integrate -----
+        new_pos, new_quat, new_lin, new_ang = [], [], [], []
+        for s in range(nm):
+            u_n = v_new[s * 6 : s * 6 + 3]
+            w_n = v_new[s * 6 + 3 : s * 6 + 6]
+            new_lin.append(u_n)
+            new_ang.append(w_n)
+            new_pos.append([pos[s][k] + h * u_n[k] for k in range(3)])
+            new_quat.append(self._quat_integrate(quat[s], w_n, h))
+
+        sc_new = []
+        for s in range(nm):
+            sc_new.extend(new_pos[s])
+        for s in range(nm):
+            sc_new.extend(new_quat[s])
+        for s in range(nm):
+            sc_new.extend(new_lin[s])
+        for s in range(nm):
+            sc_new.extend(new_ang[s])
+
+        extra = []
+        for i in range(nv):
+            extra.append((v_new[i] - _z(v[i])) / h)
+        extra.extend(lam)
+        if self.n_tsda:
+            def pose_new(i):
+                if i < 0:
+                    return [0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]
+                if spec.bodies[i].fixed:
+                    return c3(f"fix{i}_pos"), [c1(f"fix{i}_quat", k) for k in range(4)]
+                s = sim.slot_of[i]
+                return new_pos[s], new_quat[s]
+
+            def vel_new(i):
+                if i < 0 or spec.bodies[i].fixed:
+                    return [None] * 3, [None] * 3
+                s = sim.slot_of[i]
+                return new_lin[s], new_ang[s]
+
+            for idx in range(self.n_tsda):
+                _, P1, P2, L, Ldot, dhat, pb1, pb2 = tsda_state(idx, pose_new, vel_new)
+                fs, fd = tsda_scalar_forces(idx, L, Ldot)
+                extra.extend([L, Ldot, fs, fd])
+
+        return sc_new, extra
+
+    @staticmethod
+    def _quat_integrate(q, w, h):
+        th = [w[k] * h for k in range(3)]
+        sq = th[0] * th[0] + th[1] * th[1] + th[2] * th[2]
+        small = sq < 1e-16
+        sq_safe = jnp.where(small, 1.0, sq)
+        angle = jnp.sqrt(sq_safe)
+        half = 0.5 * angle
+        dw = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
+        k = jnp.where(small, 0.5 * (1.0 - sq / 24.0), jnp.sin(half) / angle)
+        dq = [dw, th[0] * k, th[1] * k, th[2] * k]
+        qn = _quat_mul(dq, q)
+        norm = jnp.sqrt(qn[0] * qn[0] + qn[1] * qn[1] + qn[2] * qn[2] + qn[3] * qn[3])
+        return [x / norm for x in qn]
+
+    # -- constraints: residuals + analytic Jacobians ------------------------
+    def _constraints(self, C, pose_of, slot):
+        """Returns (crows list[m], Jrows list[m][nv]) with None zeros.
+
+        Analytic time-derivative rows of stepper._constraint_residual;
+        verified against the jvp-based Jacobian in tests/test_fused_step.py.
+        """
+        sim = self.sim
+        nv, m = self.nv, self.m
+        o = self._off
+        crows, Jrows = [], []
+
+        def c1(name, i=0):
+            return C(o[name] + i)
+
+        def c3(name):
+            return [c1(name, k) for k in range(3)]
+
+        def new_row():
+            return [None] * nv
+
+        def add_block(row, sl, base, vec, sign=1.0):
+            if sl is None:
+                return
+            for k in range(3):
+                if vec[k] is not None:
+                    row[sl * 6 + base + k] = _sadd(
+                        row[sl * 6 + base + k],
+                        vec[k] if sign > 0 else _sneg(vec[k]),
+                    )
+
+        for j, ((kind, locked, nrows, b1, b2), _) in enumerate(
+            zip(sim.joint_rows, sim.joint_rows)
+        ):
+            p1, q1 = pose_of(b1)
+            p2, q2 = pose_of(b2)
+            s1, s2 = slot(b1), slot(b2)
+            r1 = _quat_rotate(q1, c3(f"j{j}_l1"))
+            r2 = _quat_rotate(q2, c3(f"j{j}_l2"))
+            P1 = _vadd(p1, r1)
+            P2 = _vadd(p2, r2)
+
+            if kind in ("spherical", "revolute", "fixed", "universal", "motor"):
+                # point rows: c = P1 - P2
+                for k in range(3):
+                    crows.append(_z(_ssub(P1[k], P2[k])))
+                    row = new_row()
+                    e = [1.0 if kk == k else None for kk in range(3)]
+                    add_block(row, s1, 0, e)
+                    # (w1 x r1).e_k = w1.(r1 x e_k)  =>  d/dw1 = r1 x e_k
+                    add_block(row, s1, 3, _cross3(r1, e))
+                    add_block(row, s2, 0, e, sign=-1.0)
+                    add_block(row, s2, 3, _cross3(r2, e), sign=-1.0)
+                    Jrows.append(row)
+
+            if kind == "prismatic":
+                d = _vsub(P2, P1)
+                for nkey in ("n1l", "n2l"):
+                    w = _quat_rotate(q1, c3(f"j{j}_{nkey}"))
+                    crows.append(_z(_dot3(d, w)))
+                    row = new_row()
+                    add_block(row, s2, 0, w)
+                    add_block(row, s1, 0, w, sign=-1.0)
+                    add_block(row, s2, 3, _cross3(r2, w))
+                    w1_term = _vadd(_vscale(-1.0, _cross3(r1, w)), _cross3(w, d))
+                    add_block(row, s1, 3, w1_term)
+                    Jrows.append(row)
+
+            if (kind == "revolute" and not locked) or kind == "motor":
+                aw2 = _quat_rotate(q2, c3(f"j{j}_a2"))
+                for nkey in ("n1l", "n2l"):
+                    w = _quat_rotate(q1, c3(f"j{j}_{nkey}"))
+                    crows.append(_z(_dot3(aw2, w)))
+                    row = new_row()
+                    aw_x_w = _cross3(aw2, w)
+                    add_block(row, s2, 3, aw_x_w)
+                    add_block(row, s1, 3, aw_x_w, sign=-1.0)
+                    Jrows.append(row)
+
+            if kind == "universal":
+                a1w = _quat_rotate(q1, c3(f"j{j}_a1"))
+                a2w = _quat_rotate(q2, c3(f"j{j}_ax2"))
+                crows.append(_z(_dot3(a1w, a2w)))
+                row = new_row()
+                axa = _cross3(a1w, a2w)
+                add_block(row, s1, 3, axa)
+                add_block(row, s2, 3, axa, sign=-1.0)
+                Jrows.append(row)
+
+            if kind == "motor":
+                # driven row: zero residual placeholder; analytic jacobian
+                # a1w . (w2 - w1) (stepper._motor_jrows)
+                crows.append(0.0)
+                row = new_row()
+                a1w = _quat_rotate(q1, c3(f"j{j}_a1"))
+                add_block(row, s2, 3, a1w)
+                add_block(row, s1, 3, a1w, sign=-1.0)
+                Jrows.append(row)
+
+            if kind in ("prismatic", "fixed") or (kind == "revolute" and locked):
+                # rotation lock rows: c = 2 sign(w_err) * vec(q_err)
+                qr0 = [c1(f"j{j}_qrel0", k) for k in range(4)]
+                A = _quat_mul(q1, qr0)
+                B = _quat_conj(A)
+                q_err = _quat_mul(B, q2)
+                sgn = jnp.sign(_z(q_err[0]) + 0.0)
+                for k in range(3):
+                    crows.append(2.0 * sgn * _z(q_err[1 + k]))
+                # columns M e_k = sign * vec(B (0,e_k) q2)
+                cols = []
+                for k in range(3):
+                    ek = [0.0] * 3
+                    ek[k] = 1.0
+                    t = _quat_mul([0.0] + ek, q2)
+                    out = _quat_mul(B, t)
+                    cols.append([sgn * out[1 + a] for a in range(3)])
+                for a in range(3):
+                    row = new_row()
+                    vec = [cols[k][a] for k in range(3)]
+                    add_block(row, s2, 3, vec)
+                    add_block(row, s1, 3, vec, sign=-1.0)
+                    Jrows.append(row)
+
+        assert len(crows) == m and len(Jrows) == m
+        return crows, Jrows
+
+    # -- pallas wrapper ------------------------------------------------------
+    def make_fused_step(self, RB, interpret=False):
+        """Returns fn(cvec [NC], sc [CS, RB, 128], fx [K, RB, 128] or None)
+        -> (sc_new, extra [CE, RB, 128])."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        CS, CE, K = self.CS, self.CE, max(self.K, 1)
+        if RB % 8 == 0:
+            RT = 8
+        elif RB % 4 == 0:
+            RT = 4
+        elif RB % 2 == 0:
+            RT = 2
+        else:
+            RT = 1
+        grid = (RB // RT,)
+        has_fx = self.sim.hydro is not None
+
+        def kernel(cref, scref, *rest):
+            if has_fx:
+                fxref, scoref, exref = rest
+                fx = fxref[...]
+            else:
+                scoref, exref = rest
+                fx = None
+
+            def C(i):
+                return cref[i]
+
+            sc = scref[...]
+            sc_new, extra = self.step_rows(C, sc, fx)
+            scoref[...] = jnp.stack(sc_new)
+            exref[...] = jnp.stack(extra)
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((CS, RT, LANE), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if has_fx:
+            in_specs.append(pl.BlockSpec((K, RT, LANE), lambda g: (0, g, 0),
+                                         memory_space=pltpu.VMEM))
+        out_specs = [
+            pl.BlockSpec((CS, RT, LANE), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CE, RT, LANE), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((CS, RB, LANE), self.dtype),
+                jax.ShapeDtypeStruct((CE, RB, LANE), self.dtype),
+            ],
+            interpret=interpret,
+        )
+
+        def fn(cvec, sc, fx=None):
+            if has_fx:
+                return call(cvec, sc, fx)
+            return call(cvec, sc)
+
+        return fn
+
+
+def _dot_list(a, b):
+    acc = None
+    for x, y in zip(a, b):
+        acc = _sadd(acc, _smul(x, y))
+    return acc

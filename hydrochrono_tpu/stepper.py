@@ -914,7 +914,11 @@ class Simulation:
             "lin_vel": lin_new,
             "ang_vel": ang_new,
             "acc": a.reshape(nm, 6),
-            "lambda": lam / h,
+            # HHT multipliers have force units with the opposite sign of the
+            # Euler path's impulses (M a = ... + J^T lam_hht vs
+            # M v+ = ... - J^T lam_e / h); export in the Euler impulse
+            # convention so the results exporter treats both paths uniformly
+            "lambda": -lam * h,
         }
         if "tsda" in self.outputs and self.spec.tsdas:
             full_out["tsda"] = self._tsda_outputs(
@@ -1060,6 +1064,185 @@ class Simulation:
             lambda x: x.reshape((nblocks * tb,) + x.shape[2:])[:num_steps], traj
         )
         return final, traj
+
+    # ------------------------------------------------------------------
+    # fused Pallas blocked runner (ops/pallas_step.py)
+    # ------------------------------------------------------------------
+    def fused_builder(self):
+        """Build (and cache) the fused Pallas step builder; raises
+        NotImplementedError for unsupported configurations."""
+        if getattr(self, "_fused_builder", None) is None:
+            from hydrochrono_tpu.ops.pallas_step import FusedStepBuilder
+
+            self._fused_builder = FusedStepBuilder(self)
+        return self._fused_builder
+
+    def fused_supported(self) -> bool:
+        if not self.block_size or self.hydro is None:
+            return False
+        try:
+            self.fused_builder()
+            return True
+        except NotImplementedError:
+            return False
+
+    def run_blocked_fused(self, num_steps: int, states: State, params=None,
+                          interpret: Optional[bool] = None):
+        """Blocked batched run with the fused Pallas step kernel.
+
+        `states` carries a leading batch dim B (as produced by
+        parallel.sharding.make_batched_states). Equivalent to
+        vmap(run)(states) for the supported configuration (euler integrator,
+        convolution radiation, float32), but each scan step is ONE Pallas
+        dispatch instead of the XLA fusion lottery — and the step program has
+        a static op count, so compile time no longer scales with the unrolled
+        solver graph the way the vmapped path's did.
+
+        Per-instance (batched) params are not supported here; batched wave
+        forcing IS supported via a leading batch dim on params["irr_eta"].
+        Returns (final State [B, ...], traj dict [B, T, ...]).
+        """
+        if params is None:
+            params = self.params
+        if not self.block_size or self.hydro is None:
+            raise NotImplementedError("fused runner requires blocked hydro mode")
+        b = self.fused_builder()
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+
+        tb = self.block_size
+        nblocks = -(-num_steps // tb)
+        H2 = self.hist_len
+        K = 6 * self.n_hydro
+        nm, nv, m = self.n_moving, self.nv, self.n_constraints
+        const = params["_const"]
+        Hj = const["W_far"].shape[1]
+
+        B = states.pos.shape[0]
+        sc0, vhist0 = b.pack_state(states)
+        RB = sc0.shape[1]
+        cvec = b.cvec(params)
+        fused_call = b.make_fused_step(RB, interpret=interpret)
+
+        v6_rows = np.concatenate([
+            np.concatenate([
+                [b.il(s, k) for k in range(3)],
+                [b.ia(s, k) for k in range(3)],
+            ])
+            for s in self.hydro_slots
+        ]).astype(np.int32)
+
+        irregular = self.wave_kind == "IrregularWaveParams"
+        regular = self.wave_kind == "RegularWave"
+        eta_batched = irregular and params["irr_eta"].ndim > 1
+        if eta_batched:
+            Bp = RB * 128
+            idx = jnp.minimum(jnp.arange(Bp), params["irr_eta"].shape[0] - 1)
+            eta_p = params["irr_eta"][idx].reshape(RB, 128, -1)
+
+        keys = [k for k in ("pos", "quat", "lin_vel", "ang_vel", "acc",
+                            "lambda", "tsda")
+                if k in self.outputs or k == "pos"]
+        if "tsda" in keys and not self.spec.tsdas:
+            keys.remove("tsda")
+        row_slices = {
+            "pos": (0, nm * 3, (nm, 3)),
+            "quat": (nm * 3, nm * 7, (nm, 4)),
+            "lin_vel": (nm * 7, nm * 10, (nm, 3)),
+            "ang_vel": (nm * 10, nm * 13, (nm, 3)),
+            "acc": (None, (0, nv), (nm, 6)),
+            "lambda": (None, (nv, nv + m), (m,)),
+            "tsda": (None, (nv + m, b.CE), (len(self.spec.tsdas), 4)),
+        }
+
+        def wave_block(n0):
+            """Excitation force for the block: None, [tb, K], or
+            [tb, K, RB, 128]."""
+            if self.wave_kind == "NoWave":
+                return None
+            if regular:
+                t = (n0 + jnp.arange(tb)).astype(self.dtype) * self.dt
+                f = params["reg_mag"][None, :] * params["reg_amp"] * jnp.cos(
+                    params["reg_omega"] * t[:, None] + params["reg_phase"][None, :]
+                )
+                return f  # [tb, K]
+            M = self._exc_window
+            if eta_batched:
+                etaw = jax.lax.dynamic_slice_in_dim(eta_p, n0, M + tb - 1, axis=-1)
+                return jnp.einsum(
+                    "djk,rlj->dkrl",
+                    const["eh_kernel"].astype(self.dtype),
+                    etaw,
+                )
+            etaw = jax.lax.dynamic_slice_in_dim(
+                params["irr_eta"], n0, M + tb - 1, axis=-1
+            )
+            return rad.excitation_block(
+                const["eh_kernel"], etaw.astype(self.far_dtype)
+            ).astype(self.dtype)
+
+        Wsr = const["W_small_rev"]
+
+        def block(carry, bi):
+            sc, vhist = carry
+            n0 = bi * tb
+            p0 = jnp.mod(n0, H2)
+            vold = jnp.roll(vhist[::-1], p0, axis=0)[:Hj]  # [Hj, K, RB, 128]
+            f_far = jnp.einsum(
+                "djik,jkrl->dirl", const["W_far"],
+                vold.astype(self.far_dtype),
+            ).astype(self.dtype)
+            f_exc = wave_block(n0)
+
+            def inner(ic, d):
+                sc, vblock = ic
+                v6 = sc[v6_rows]  # [K, RB, 128]
+                vblock = jax.lax.dynamic_update_slice_in_dim(
+                    vblock, v6[None], d, axis=0
+                )
+                wd = jnp.roll(Wsr, d + 1, axis=0)
+                f_intra = jnp.einsum("mij,mjrl->irl", wd, vblock)
+                fxd = -f_far[d] - f_intra
+                if f_exc is not None:
+                    fe = f_exc[d]
+                    fxd = fxd + (fe[:, None, None] if fe.ndim == 1 else fe)
+                sc2, extra = fused_call(cvec, sc, fxd)
+                out = {}
+                for k in keys:
+                    spec_k = row_slices[k]
+                    if spec_k[0] is None:
+                        lo, hi = spec_k[1]
+                        out[k] = extra[lo:hi]
+                    else:
+                        out[k] = sc2[spec_k[0]:spec_k[1]]
+                return (sc2, vblock), out
+
+            (sc, vblock), outs = jax.lax.scan(
+                inner, (sc, jnp.zeros((tb, K, RB, 128), self.dtype)),
+                jnp.arange(tb, dtype=jnp.int32),
+            )
+            vhist = jax.lax.dynamic_update_slice_in_dim(
+                vhist, vblock, p0, axis=0
+            )
+            return (sc, vhist), outs
+
+        (sc_f, vhist_f), traj = jax.lax.scan(
+            block, (sc0, vhist0), jnp.arange(nblocks, dtype=jnp.int32)
+        )
+
+        final = b.unpack_state(sc_f, vhist_f, B, states.ss)
+
+        def unpack_traj(x, tail):
+            T = nblocks * tb
+            C = x.shape[2]
+            x = x.reshape(T, C, RB * 128)
+            x = jnp.moveaxis(x, -1, 0)[:B, :num_steps]  # [B, T, C]
+            return x.reshape((B, num_steps) + tail)
+
+        traj_out = {
+            k: unpack_traj(traj[k], row_slices[k][2]) for k in keys
+        }
+        return final, traj_out
 
     def run_batch(self, num_steps: int, batched: dict, state: Optional[State] = None):
         """vmap `run` over the leaves named in `batched` (leading batch dim).

@@ -47,3 +47,23 @@ for i in range(10):
     worst = max(worst, (l2, li))
     status = "PASS" if (l2<=1e-4 and li<=0.02) else "FAIL"
     print(f"reg case {i+1}: L2={l2:.2e} Linf={li:.2e} {status}")
+
+# 3) FUSED Pallas path gates (the bench.py production path)
+_, traj_f = jax.jit(lambda s, p: sim.run_blocked_fused(2688, s, params=p))(
+    make_batched_states(sim, 2), sim.params)
+zf = np.asarray(traj_f["pos"][0, :n, 0, 2], dtype=np.float64)
+d = zf - ref[:, 1]
+print(f"decay f32 FUSED:   L2={np.linalg.norm(d)/n:.2e} Linf={np.abs(d).max():.2e} (gates 1e-4 / 0.02)")
+
+sim3 = Simulation(spec2, dt=0.015, dtype=jnp.float32, block_size=128,
+                  wave=RegularWave(amplitude=AMPS[0], omega=OMEGAS[0]))
+p3 = dict(sim3.params)
+p3["tsda_c"] = jnp.asarray([DAMP[0]], jnp.float32)
+_, traj3 = jax.jit(lambda s, p: sim3.run_blocked_fused(n2, s, params=p))(
+    make_batched_states(sim3, 2), p3)
+z3 = np.asarray(traj3["pos"][0, :, 0, 2], dtype=np.float64)
+refp = np.loadtxt('/root/reference/tests/regression/reference_data/sphere/reg_waves/hc_ref_sphere_reg_waves_1.txt', skiprows=5)
+m = min(len(refp), n2)
+d = z3[:m] - refp[:m, 1]
+l2, li = np.linalg.norm(d)/m, np.abs(d).max()
+print(f"reg case 1 FUSED:  L2={l2:.2e} Linf={li:.2e} {'PASS' if (l2<=1e-4 and li<=0.02) else 'FAIL'}")
