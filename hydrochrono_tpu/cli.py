@@ -123,6 +123,28 @@ def main(argv=None) -> int:
     return rc
 
 
+def _export_rirf_csvs(case, sim, out_dir, log):
+    """Before/after RIRF kernel CSVs for the TaperedDirect diagnostics block
+    (reference: hydro_forces.cpp:509-531 — one summary CSV per hydro body
+    with the representative (row 0, col 0) channel)."""
+    from hydrochrono_tpu.physics.radiation import preprocess_rirf_tapered
+
+    hd = sim.hydro.hydro
+    before = np.asarray(hd.rirf)
+    tapered = getattr(sim, "tapered_opts", None)
+    after = (preprocess_rirf_tapered(before, hd.rirf_time, tapered)
+             if tapered is not None else before)
+    os.makedirs(out_dir, exist_ok=True)
+    for b in range(sim.n_hydro):
+        path = os.path.join(out_dir, f"rirf_body{b}_summary.csv")
+        with open(path, "w") as fh:
+            fh.write("step,time,k_before,k_after\n")
+            for s in range(before.shape[-1]):
+                fh.write(f"{s},{hd.rirf_time[s]},{before[b * 6, 0, s]},"
+                         f"{after[b * 6, 0, s]}\n")
+    log.info(f"RIRF CSVs written in {out_dir}")
+
+
 def run_case(args, log) -> int:
     import jax
     import jax.numpy as jnp
@@ -194,15 +216,19 @@ def run_case(args, log) -> int:
         sweep_batched = {k: sim.params[k] for k in
                          ("reg_mag", "reg_phase", "reg_amp", "reg_omega")}
 
-    if args.guard_chunk and sweep_batched is None:
+    if (args.guard_chunk or args.checkpoint) and sweep_batched is None:
         # host-checked chunks with divergence detection + body-state dumps
-        # (reference: run_hydrochrono_from_yaml.cpp:746-764, 863-905)
+        # (reference: run_hydrochrono_from_yaml.cpp:746-764, 863-905).
+        # --checkpoint alone implies chunked execution so checkpoints can
+        # actually be written during the run.
         from hydrochrono_tpu.utils.guards import run_guarded
 
+        chunk = args.guard_chunk or args.checkpoint_every or 1000
+        ckpt_every = args.checkpoint_every or (chunk if args.checkpoint else 0)
         _, traj, report = run_guarded(
-            sim, n, chunk=args.guard_chunk,
+            sim, n, chunk=chunk,
             checkpoint_path=args.checkpoint,
-            checkpoint_every=args.checkpoint_every,
+            checkpoint_every=ckpt_every,
             progress=lambda f: log.progress(f),
         )
         t_run = time.time() - t_run0
@@ -236,30 +262,77 @@ def run_case(args, log) -> int:
     )
     times = sim.times(n)
     meta = {"tag": args.tag} if args.tag else {}
+    vlog = log if args.h5_verbose else None
     if sweep_batched is not None:
         periods = np.atleast_1d(ws.periods)
         paths = []
         for i, T in enumerate(periods):
             sub = jax.tree.map(lambda v: np.asarray(v)[i], traj)
+            if not np.isfinite(np.asarray(sub["pos"])).all():
+                # reference --fail-fast stops the serial sweep on the first
+                # failing case (app/run_hydrochrono.cpp:46,138); without it
+                # the remaining cases still export
+                if args.fail_fast:
+                    log.error(f"sweep case {i + 1} (T={T:g} s) diverged; "
+                              "aborting remaining exports (--fail-fast)")
+                    return 1
+                log.warning(f"sweep case {i + 1} (T={T:g} s) diverged; skipped")
+                continue
             d = os.path.join(out_dir, f"period_{T:g}")
             paths.append(export_results(case, sub, times, d,
-                                        wall_time_s=t_run, run_metadata=meta))
+                                        wall_time_s=t_run, run_metadata=meta,
+                                        verbose_log=vlog))
         log.success(f"exported {len(paths)} sweep cases under {out_dir}")
     else:
         path = export_results(case, traj, times, out_dir,
-                              wall_time_s=t_run, run_metadata=meta)
+                              wall_time_s=t_run, run_metadata=meta,
+                              verbose_log=vlog)
         log.success(f"results written to {path}")
+
+    # convolution diagnostics CSVs (reference: hydro_forces.cpp:509-531)
+    if (case.hydro_spec is not None and case.hydro_spec.convolution.export_csv
+            and sim.hydro is not None):
+        _export_rirf_csvs(case, sim, out_dir, log)
     t_exp = time.time() - t_exp0
 
     if args.profile:
+        from hydrochrono_tpu.utils.profiling import component_breakdown
+
         log.header("Profile")
+        # per-force-component evaluation cost measured on the as-built
+        # simulation (the reference accumulates in-loop steady_clock brackets,
+        # hydro_forces.h:153-160 + run_hydrochrono_from_yaml.cpp:963-994;
+        # under a fused XLA program the honest equivalent is per-component
+        # kernels timed at the final state, with the solver share = full
+        # step minus the hydro components)
+        bd = component_breakdown(sim, reps=10)
         total = t_setup + t_run + t_exp
-        log.section_box("Runtime breakdown", [
+        rows = [
             ("setup", f"{t_setup:8.3f} s  ({100 * t_setup / total:4.1f}%)"),
             ("dynamics loop", f"{t_run:8.3f} s  ({100 * t_run / total:4.1f}%)"),
             ("export", f"{t_exp:8.3f} s  ({100 * t_exp / total:4.1f}%)"),
             ("steps/s", f"{n / max(t_run, 1e-9):,.0f}"),
-        ])
+        ]
+        full = bd.get("full_step", 0.0)
+        hydro_total = sum(bd.get(k, 0.0) for k in
+                          ("hydrostatics", "radiation", "waves"))
+        # standalone per-component timings include per-dispatch overhead;
+        # shares are only meaningful when the components fit inside the step
+        show_share = 0.0 < hydro_total <= full
+        for name in ("hydrostatics", "radiation", "waves"):
+            if name in bd:
+                share = (f" ({100.0 * bd[name] / full:4.1f}% of step)"
+                         if show_share else "")
+                rows.append((f"  {name}", f"{bd[name] * 1e6:10.1f} us/eval"
+                             f"{share}  x{n} calls"))
+        if full > 0:
+            if show_share:
+                solver = full - hydro_total
+                rows.append(("  solver (step - hydro)",
+                             f"{solver * 1e6:10.1f} us/eval "
+                             f"({100.0 * solver / full:4.1f}% of step)"))
+            rows.append(("  full step", f"{full * 1e6:10.1f} us/eval"))
+        log.section_box("Runtime breakdown", rows)
 
     log.header("Results")
     final_z = pos[..., -1, :, 2] if pos.ndim == 4 else pos[-1, :, 2]

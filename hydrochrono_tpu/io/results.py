@@ -260,12 +260,17 @@ def _rsda_channels(case, sim, k, pos, quat, ang_vel, slot_of, nsteps):
 
 
 def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
-                   wall_time_s: float = 0.0, run_metadata: Optional[dict] = None) -> str:
+                   wall_time_s: float = 0.0, run_metadata: Optional[dict] = None,
+                   verbose_log=None) -> str:
     """Write one case's trajectory to results.<wave>.h5; returns the path.
 
     traj: trajectory pytree from Simulation.run with outputs including at
     least pos/quat/lin_vel/ang_vel (acc/lambda/tsda optional).
+    verbose_log: optional logger; when given, each discovered element and
+    written channel family is logged (reference --h5-verbose behavior,
+    simulation_exporter.cpp H5Verbosity::Verbose discovery messages).
     """
+    _v = (verbose_log.info if verbose_log is not None else (lambda *_: None))
     os.makedirs(out_dir, exist_ok=True)
     fname = os.path.join(out_dir, f"results.{wave_type_name(case)}.h5")
 
@@ -321,6 +326,8 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
             g.attrs["body2"] = j.body2
             g.attrs["frame"] = "world"
 
+        _v(f"H5: writing {len(model.bodies)} bodies, {len(model.joints)} joints, "
+           f"{len(model.tsdas)} TSDAs, {len(model.rsdas)} RSDAs")
         gt = f.require_group("inputs/model/tsdas")
         gt.create_dataset("names", data=np.array([t.name for t in model.tsdas], dtype=object),
                           dtype=h5py.string_dtype())
@@ -413,6 +420,7 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
 
         # TSDA results
         for k, t in enumerate(model.tsdas):
+            _v(f"TSDA discovered: {t.name}")
             g = f.require_group(f"results/model/tsdas/{t.name}")
             g.attrs.update({"frame": "world", "time_ref": "/results/time/time",
                             "type": "TSDA", "units_extension": "m",
@@ -461,6 +469,7 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
         for jidx, (j, (kind, _locked, nrows, _b1, _b2)) in enumerate(
             zip(model.joints, joint_rows)
         ):
+            _v(f"joint discovered: {j.name} ({j.kind})")
             g = f.require_group(f"results/model/joints/{j.name}")
             g.attrs.update({"type": j.kind.upper(), "frame1": "world",
                             "frame2": "world", "time_ref": "/results/time/time",
@@ -484,6 +493,7 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
         # NOTE the reference hardcodes the RSDA axis to (1,0,0) when the link
         # frame is unavailable (:533-537); we use the actual element axis.
         for k, r in enumerate(model.rsdas):
+            _v(f"RSDA discovered: {r.name}")
             g = f.require_group(f"results/model/rsdas/{r.name}")
             g.attrs.update({"time_ref": "/results/time/time", "type": "RSDA",
                             "units_torque": "N*m", "units_angle": "rad",

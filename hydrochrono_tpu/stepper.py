@@ -151,13 +151,18 @@ class Simulation:
 
         self.hht_alpha = float(hht_alpha)
         self.hht_iterations = int(hht_iterations)
+        self.tapered_opts = tapered
         self.radiation = radiation
         if radiation not in ("convolution", "state_space"):
             raise ValueError(f"unknown radiation model {radiation!r}")
-        if radiation == "state_space" and (block_size or integrator == "hht"):
-            raise NotImplementedError(
-                "state-space radiation currently pairs with the per-step "
-                "linearized-Euler path"
+        if radiation == "state_space" and block_size:
+            # not a feature gap: blocking exists to amortize radiation
+            # HISTORY reads over a block (physics/radiation.py far-field);
+            # the state-space model carries no history buffer, so there is
+            # nothing to block — the per-step path IS its production form
+            raise ValueError(
+                "block_size has no effect with state-space radiation "
+                "(no history buffer to amortize); drop block_size"
             )
 
         bodies = spec.bodies
@@ -401,8 +406,6 @@ class Simulation:
             for k, row in enumerate(motor_sel_rows):
                 sel[row, k] = 1.0
             const["motor_sel"] = jnp.asarray(sel, self.dtype)
-            if self.integrator == "hht":
-                raise NotImplementedError("motors pair with the Euler path")
 
     def _constraint_rhs(self, params, c):
         """Velocity-level constraint targets: -c/h stabilization for joints,
@@ -842,7 +845,19 @@ class Simulation:
         # buffer (and hence the blocked far-field machinery) is identical to
         # the Euler path's.
         if self.hydro is not None:
-            if f_rad is None:
+            if f_rad is None and self.radiation == "state_space":
+                v6 = jnp.concatenate(
+                    [jnp.concatenate([v_lin_p[s], v_ang_p[s]])
+                     for s in self.hydro_slots]
+                ).reshape(-1)
+                f_rad = ssr.radiation_force_ss(const["ss_C"], const["ss_D"],
+                                               state.ss, v6)
+                state = dataclasses.replace(
+                    state,
+                    ss=ssr.advance_ss(const["ss_Ad"], const["ss_Bd"],
+                                      state.ss, v6),
+                )
+            elif f_rad is None:
                 v6 = jnp.concatenate(
                     [jnp.concatenate([v_lin_p[s], v_ang_p[s]])
                      for s in self.hydro_slots]
@@ -894,6 +909,17 @@ class Simulation:
                 r_a = r_a - jnp.einsum("mi,m->i", J, lam)
                 c = self._constraint_residual(const, pos_i, quat_i)
                 r_c = c / (beta * h * h)
+                if self.n_motors:
+                    # driven motor rows target the commanded speed at t+h:
+                    # J_mot v(a + da) = speed with dv = h*gamma*da, i.e.
+                    # J_mot da = (speed - J_mot v)/(h*gamma)  ->
+                    # r_c = (J v - speed)/(h*gamma) on those rows
+                    mask = const["g_stab_mask"]
+                    _, _, lin_i, ang_i = kinematics(a)
+                    v_i = jnp.concatenate([lin_i, ang_i], axis=-1).reshape(self.nv)
+                    jv = jnp.einsum("mi,i->m", J, v_i)
+                    target = const["motor_sel"] @ params["motor_speed"]
+                    r_c = mask * r_c + (1.0 - mask) * (jv - target) / (gamma * h)
                 # modified-Newton update with the KKT-structured Jacobian
                 # [[M, -J^T], [J, 0]] (force-state derivatives are O(h^2 k)
                 # and folded into the iteration)
@@ -980,10 +1006,24 @@ class Simulation:
         """Blocked scan: far-field radiation (and irregular excitation) are
         computed once per block as Hankel-kernel matmuls; the inner scan only
         touches this block's velocities. Matches the per-step path up to
-        float reassociation (exactly, when refined_solver=False)."""
-        if start_step != 0:
-            raise NotImplementedError("blocked mode resumes at block boundaries only")
+        float reassociation (exactly, when refined_solver=False).
+
+        Resume: start_step must be a block boundary (multiple of block_size);
+        the ring buffer carried in `state` holds the full pre-boundary
+        history, so a checkpointed blocked run continues bit-exactly
+        (tests/test_blocked.py::test_blocked_resume_bit_exact)."""
         tb = self.block_size
+        if start_step % tb != 0:
+            raise ValueError(
+                f"blocked mode resumes at block boundaries only "
+                f"(start_step={start_step} is not a multiple of {tb})"
+            )
+        if start_step != 0 and self.integrator == "hht":
+            raise NotImplementedError(
+                "blocked HHT resume: the HHT carry (a_prev, f_prev) is not "
+                "part of State; use the Euler path or checkpoint per-step"
+            )
+        start_block = start_step // tb
         nblocks = -(-num_steps // tb)
         H2 = self.hist_len
         K = 6 * self.n_hydro
@@ -1056,7 +1096,8 @@ class Simulation:
 
         carry0 = self._hht_initial_carry(params, state) if hht else state
         final_carry, traj = jax.lax.scan(
-            block, carry0, jnp.arange(nblocks, dtype=jnp.int32)
+            block, carry0,
+            start_block + jnp.arange(nblocks, dtype=jnp.int32),
         )
         final = final_carry[0] if hht else final_carry
         # [nblocks, tb, ...] -> [nblocks*tb, ...] -> trim padding
@@ -1087,7 +1128,8 @@ class Simulation:
             return False
 
     def run_blocked_fused(self, num_steps: int, states: State, params=None,
-                          interpret: Optional[bool] = None):
+                          interpret: Optional[bool] = None,
+                          start_step: int = 0):
         """Blocked batched run with the fused Pallas step kernel.
 
         `states` carries a leading batch dim B (as produced by
@@ -1111,6 +1153,12 @@ class Simulation:
             interpret = jax.default_backend() != "tpu"
 
         tb = self.block_size
+        if start_step % tb != 0:
+            raise ValueError(
+                f"blocked mode resumes at block boundaries only "
+                f"(start_step={start_step} is not a multiple of {tb})"
+            )
+        start_block = start_step // tb
         nblocks = -(-num_steps // tb)
         H2 = self.hist_len
         K = 6 * self.n_hydro
@@ -1227,7 +1275,8 @@ class Simulation:
             return (sc, vhist), outs
 
         (sc_f, vhist_f), traj = jax.lax.scan(
-            block, (sc0, vhist0), jnp.arange(nblocks, dtype=jnp.int32)
+            block, (sc0, vhist0),
+            start_block + jnp.arange(nblocks, dtype=jnp.int32),
         )
 
         final = b.unpack_state(sc_f, vhist_f, B, states.ss)

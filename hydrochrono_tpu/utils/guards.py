@@ -57,6 +57,14 @@ def run_guarded(sim, num_steps: int, state=None, params=None, chunk: int = 500,
     if params is None:
         params = sim.params
 
+    if sim.block_size:
+        # blocked runs advance whole blocks; keep every chunk boundary on a
+        # block boundary so start_step continuation stays exact
+        tb = sim.block_size
+        chunk = -(-chunk // tb) * tb
+        if checkpoint_every:
+            checkpoint_every = -(-checkpoint_every // tb) * tb
+
     chunks = []
     done = 0
     n_chunks = -(-num_steps // chunk)

@@ -123,3 +123,49 @@ def test_blocked_bf16_far_kernel(sphere_h5):
         np.asarray(t_ref["pos"], dtype=np.float64),
         rtol=0, atol=5e-3,
     )
+
+
+def test_blocked_resume_bit_exact(sphere_h5):
+    """A blocked run interrupted at a block boundary resumes bit-exactly
+    (round-2 fix: blocked mode previously raised for start_step != 0,
+    making checkpointing incompatible with the production TPU config)."""
+    hydro = load_bemio_h5(sphere_h5, num_bodies=1)
+    spec = SystemSpec(
+        bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.0))],
+        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    tb = 32
+    sim = Simulation(spec, dt=0.015, block_size=tb)
+    n = 4 * tb
+
+    _, traj_full = sim.run(n)
+
+    mid = 2 * tb
+    st_mid, traj_a = sim.run(mid)
+    st_end, traj_b = sim.run(n - mid, state=st_mid, start_step=mid)
+
+    za = np.asarray(traj_a["pos"][:, 0, 2])
+    zb = np.asarray(traj_b["pos"][:, 0, 2])
+    zf = np.asarray(traj_full["pos"][:, 0, 2])
+    np.testing.assert_array_equal(np.concatenate([za, zb]), zf)
+
+    # and through the checkpoint file round-trip
+    from hydrochrono_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    p = save_checkpoint("/tmp/hc_tpu_blocked_ck", st_mid, mid)
+    st_loaded, step = load_checkpoint(p)
+    _, traj_c = sim.run(n - step, state=st_loaded, start_step=step)
+    np.testing.assert_array_equal(np.asarray(traj_c["pos"][:, 0, 2]), zb)
+
+
+def test_blocked_resume_rejects_misaligned(sphere_h5):
+    hydro = load_bemio_h5(sphere_h5, num_bodies=1)
+    spec = SystemSpec(
+        bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.0))],
+        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    sim = Simulation(spec, dt=0.015, block_size=32)
+    with pytest.raises(ValueError, match="block boundaries"):
+        sim.run(32, state=sim.init_state(), start_step=17)

@@ -106,3 +106,32 @@ def test_slider_crank_yaml_case():
     assert np.abs(sl[:, 1]).max() < 1e-6 and np.abs(sl[:, 2]).max() < 1e-6
     # and actually reciprocates
     assert sl[:, 0].max() - sl[:, 0].min() > 0.05
+
+
+def test_motor_constant_speed_hht():
+    """The HHT path drives motor rows at the commanded speed too
+    (feature-matrix cell closed in round 2: motors + HHT)."""
+    spec = SystemSpec(
+        bodies=[Body("rotor", 5.0, (0.0, 0.0, 0.0), inertia=np.eye(3) * 2.0)],
+        motors=[Motor(-1, 0, location=(0.0, 0.0, 0.0), axis=(0.0, 1.0, 0.0),
+                      speed=3.14)],
+        gravity=(0.0, 0.0, 0.0),
+    )
+    sim = Simulation(spec, dt=0.01, integrator="hht")
+    _, traj = sim.run(300)
+    w = np.asarray(traj["ang_vel"][:, 0, 1])
+    np.testing.assert_allclose(w[5:], 3.14, rtol=1e-6)
+    assert np.abs(np.asarray(traj["ang_vel"][:, 0, [0, 2]])).max() < 1e-6
+
+
+def test_motor_hht_under_gravity_torque():
+    spec = SystemSpec(
+        bodies=[Body("arm", 2.0, (1.0, 0.0, 0.0), inertia=np.eye(3) * 0.5)],
+        motors=[Motor(-1, 0, location=(0.0, 0.0, 0.0), axis=(0.0, 1.0, 0.0),
+                      speed=1.0)],
+        gravity=(0.0, 0.0, -9.81),
+    )
+    sim = Simulation(spec, dt=0.005, integrator="hht")
+    _, traj = sim.run(400)
+    w = np.asarray(traj["ang_vel"][:, 0, 1])
+    np.testing.assert_allclose(w[5:], 1.0, rtol=1e-4)

@@ -62,3 +62,40 @@ def test_sphere_decay_state_space_within_gates(sphere_h5):
     assert linf <= 0.1, f"Linf {linf}"
     # same late-time mean level (the oscillation is phase-shifted by the fit)
     assert abs(z[-200:].mean() - ref[-200:, 1].mean()) < 5e-3
+
+
+def test_sphere_decay_state_space_hht(sphere_h5):
+    """State-space radiation under the HHT integrator (feature-matrix cell
+    closed in round 2) tracks the Euler+state-space trajectory."""
+    hydro = load_bemio_h5(sphere_h5, num_bodies=1)
+    spec = SystemSpec(
+        bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.0))],
+        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    n = 1500
+    sim_e = Simulation(spec, dt=0.015, radiation="state_space")
+    sim_h = Simulation(spec, dt=0.015, radiation="state_space", integrator="hht")
+    _, tr_e = sim_e.run(n)
+    _, tr_h = sim_h.run(n)
+    ze = np.asarray(tr_e["pos"][:, 0, 2])
+    zh = np.asarray(tr_h["pos"][:, 0, 2])
+    assert np.isfinite(zh).all()
+    # different integrators, same model: trajectories agree to integrator
+    # truncation error, far below the decay amplitude (1 m)
+    assert np.abs(ze - zh).max() < 0.02
+
+
+def test_state_space_blocked_rejected(sphere_h5):
+    """block_size with state-space radiation is a user error (no history
+    buffer to amortize), rejected with an explanation."""
+    import pytest
+
+    hydro = load_bemio_h5(sphere_h5, num_bodies=1)
+    spec = SystemSpec(
+        bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.0))],
+        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    with pytest.raises(ValueError, match="no history buffer"):
+        Simulation(spec, dt=0.015, radiation="state_space", block_size=64)
