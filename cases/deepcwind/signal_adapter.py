@@ -1,0 +1,11 @@
+"""Signal: platform pitch (rad) — the DeepCWind decay quantity."""
+import h5py
+import numpy as np
+
+
+def select_signal(path):
+    with h5py.File(path, "r") as f:
+        t = np.asarray(f["results/time/time"][:], dtype=float)
+        pitch = np.asarray(f["results/model/bodies/body1/orientation_xyz"][:, 1],
+                           dtype=float)
+    return t, pitch, "platform pitch (rad)"
