@@ -50,3 +50,19 @@ def test_compare_results_cli(cases_root, tmp_path):
 
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["passed"] and res["l2"] == 0.0
+
+
+def test_animate_tool(cases_root, tmp_path):
+    """Offline visualization: panel + HTML animation from a results h5."""
+    expected = os.path.join(cases_root, "iea_sphere", "decay", "expected",
+                            "results.still.h5")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "animate.py"), expected,
+         "--panel", str(tmp_path / "panel.png"),
+         "--out", str(tmp_path / "anim.html"), "--stride", "200"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert (tmp_path / "panel.png").stat().st_size > 10000
+    html = (tmp_path / "anim.html").read_text()
+    assert "animation" in html.lower() and len(html) > 50000

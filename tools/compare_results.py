@@ -67,25 +67,64 @@ def compare(t_ref, y_ref, t_test, y_test):
 
 
 def render_plot(path, t_ref, y_ref, t_test, y_test, l2, linf, passed, title,
-                y_label="Value"):
+                y_label="Value", thresholds=(1e-4, 0.02)):
+    """Per-case comparison panel in the reference's report style
+    (compare_template.py:36-110, run_comparison:490-584): signal overlay,
+    error trace, and test-info / system-info / error-metrics text sections.
+    """
+    import platform
+    import socket
+    import time as _time
+
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, (ax, axe) = plt.subplots(2, 1, figsize=(10, 7), sharex=True,
-                                  height_ratios=[3, 1])
+    fig = plt.figure(figsize=(11, 8.5))
+    gs = fig.add_gridspec(3, 3, height_ratios=[3, 1.2, 1.0], hspace=0.45)
+    ax = fig.add_subplot(gs[0, :])
+    axe = fig.add_subplot(gs[1, :], sharex=ax)
+
     ax.plot(t_ref, y_ref, label="reference", lw=1.2)
     ax.plot(t_test, y_test, label="test", lw=1.0, ls="--")
     ax.set_ylabel(y_label)
     ax.legend()
     verdict = "PASS" if passed else "FAIL"
-    ax.set_title(f"{title} — {verdict}  (L2={l2:.3e}, Linf={linf:.3e})")
+    color = "#1a7f37" if passed else "#c62828"
+    ax.set_title(f"{title} — {verdict}", color=color, fontweight="bold")
+
     x = np.linspace(t_test[0], t_test[-1], len(t_test))
-    axe.plot(x, np.interp(x, t_ref, y_ref) - np.interp(x, t_test, y_test),
-             lw=0.8, color="tab:red")
+    err = np.interp(x, t_ref, y_ref) - np.interp(x, t_test, y_test)
+    axe.plot(x, err, lw=0.8, color="tab:red")
     axe.set_ylabel("error")
     axe.set_xlabel("time (s)")
+
+    def text_panel(cell, heading, lines):
+        axt = fig.add_subplot(gs[2, cell])
+        axt.axis("off")
+        axt.text(0.0, 1.0, heading, fontweight="bold", va="top", fontsize=10)
+        axt.text(0.0, 0.78, "\n".join(lines), va="top", fontsize=8.5,
+                 family="monospace")
+
+    text_panel(0, "Test info", [
+        f"case      : {title}",
+        f"date      : {_time.strftime('%Y-%m-%d %H:%M:%S')}",
+        f"samples   : ref {len(t_ref)} / test {len(t_test)}",
+        f"time span : [{t_test[0]:.3f}, {t_test[-1]:.3f}] s",
+    ])
+    text_panel(1, "System info", [
+        f"host      : {socket.gethostname()[:24]}",
+        f"platform  : {platform.platform(terse=True)[:24]}",
+        f"python    : {platform.python_version()}",
+    ])
+    text_panel(2, "Error metrics", [
+        f"L2        : {l2:.4e}  (<= {thresholds[0]:g})",
+        f"Linf      : {linf:.4e}  (<= {thresholds[1]:g})",
+        f"max |err| : {np.abs(err).max():.4e}",
+        f"verdict   : {verdict}",
+    ])
+
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     fig.savefig(path, dpi=110)
     plt.close(fig)

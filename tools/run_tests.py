@@ -125,6 +125,7 @@ def main(argv=None) -> int:
             render_plot(
                 os.path.join(args.plots, case["name"].replace(os.sep, "_") + ".png"),
                 t_ref, y_ref, t_test, y_test, l2, linf, passed, case["name"],
+                thresholds=(args.l2, args.linf),
             )
         rows.append((case["name"], "PASS" if passed else "FAIL", l2, linf,
                      f"{time.time() - t0:.1f}s"))
@@ -139,14 +140,35 @@ def main(argv=None) -> int:
         print(f"{name:<{width}} {status:<12} {l2s:<12} {ls:<12} {note or ''}")
 
     if args.report:
+        # aggregated rollup with embedded per-case panels (the reference
+        # renders the same structure via pandoc, generate_report.py:226-555)
+        import platform
+        import socket
+
+        n_pass = sum(1 for r in rows if r[1] == "PASS")
+        n_fail = sum(1 for r in rows if r[1] in ("FAIL", "ERROR"))
         with open(args.report, "w") as fh:
             fh.write("# Regression report\n\n")
-            fh.write(f"Generated: {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n")
+            fh.write(f"Generated: {time.strftime('%Y-%m-%d %H:%M:%S')} on "
+                     f"{socket.gethostname()} "
+                     f"({platform.platform(terse=True)})\n\n")
+            fh.write(f"**{n_pass} passed, {n_fail} failed, "
+                     f"{len(rows) - n_pass - n_fail} other** "
+                     f"(thresholds: L2 <= {args.l2:g}, Linf <= {args.linf:g})\n\n")
             fh.write("| case | status | L2 | Linf |\n|---|---|---|---|\n")
             for name, status, l2, linf, _ in rows:
                 fh.write(f"| {name} | {status} | "
                          f"{l2 if l2 is not None else '-'} | "
                          f"{linf if linf is not None else '-'} |\n")
+            if args.plots:
+                fh.write("\n## Per-case panels\n\n")
+                for name, status, _, _, _ in rows:
+                    png = os.path.join(
+                        os.path.relpath(args.plots,
+                                        os.path.dirname(os.path.abspath(args.report))),
+                        name.replace(os.sep, "_") + ".png",
+                    )
+                    fh.write(f"### {name} — {status}\n\n![{name}]({png})\n\n")
 
     return 1 if any_fail else 0
 
