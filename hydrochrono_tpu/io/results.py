@@ -379,6 +379,11 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
                 gi.create_dataset("free_surface_eta", data=np.asarray(irr.eta))
 
         # ---------------- results ----------------
+        # groups created up front regardless of content, matching the
+        # reference's layout (simulation_exporter.cpp:177-199)
+        for grp in ("results/model/bodies", "results/model/tsdas",
+                    "results/model/rsdas", "results/model/joints"):
+            f.require_group(grp)
         f.require_group("results/time").create_dataset("time", data=np.asarray(times))
         f["results/time"].attrs["units"] = "s"
 

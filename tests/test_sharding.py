@@ -73,3 +73,46 @@ def test_sharded_wave_sweep(sim, sphere_h5):
     assert np.isfinite(z).all()
     # different frequencies produce different responses
     assert np.std(z[:, -1]) > 1e-6
+
+
+def test_fused_runner_sharded_matches_unsharded(tmp_path):
+    """The fused Pallas blocked runner under an 8-device batch mesh produces
+    the same trajectories as unsharded execution."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+    from hydrochrono_tpu.models import rm3
+    from hydrochrono_tpu.parallel.sharding import make_batched_states
+    from hydrochrono_tpu.stepper import Simulation
+
+    h5 = str(tmp_path / "rm3s.h5")
+    write_bemio_h5(h5, 2, seed=11, rirf_tmax=1.0, rirf_steps=51)
+    sim = Simulation(rm3(h5, pto_damping=1.2e6), dt=0.01,
+                     dtype=jnp.float32, block_size=8, outputs=("pos",))
+
+    B = 8 * 128
+    rng = np.random.RandomState(0)
+    offs = np.zeros((B, 2, 3), dtype=np.float32)
+    offs[:, 0, 2] = rng.uniform(-0.1, 0.1, size=B)
+    states = make_batched_states(sim, B, pos_offsets=offs)
+
+    final_u, traj_u = jax.jit(
+        lambda s, p: sim.run_blocked_fused(16, s, params=p)
+    )(states, sim.params)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("batch",))
+    sharding = NamedSharding(mesh, P("batch"))
+    states_s = jax.tree.map(
+        lambda x: jax.device_put(x, sharding) if x.ndim > 0 else x, states
+    )
+    final_s, traj_s = jax.jit(
+        lambda s, p: sim.run_blocked_fused(16, s, params=p)
+    )(states_s, sim.params)
+
+    np.testing.assert_allclose(np.asarray(final_s.pos), np.asarray(final_u.pos),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(traj_s["pos"]), np.asarray(traj_u["pos"]),
+                               rtol=0, atol=1e-6)

@@ -16,6 +16,8 @@ import pytest
 from hydrochrono_tpu import cli
 from hydrochrono_tpu.scene.builder import build_case
 
+REFERENCE = "/root/reference"
+
 CASE_DIR = "/root/reference/tests/regression/run_hydrochrono/iea_sphere/decay/inputs"
 EXPECTED = "/root/reference/tests/regression/run_hydrochrono/iea_sphere/decay/expected/results.still.h5"
 
@@ -104,3 +106,37 @@ def test_signal_adapter_compatible(case_copy, tmp_path):
     t, sig, label = mod.select_signal(Path(out_dir) / "results.still.h5")
     assert label == "Heave (m)"
     assert len(t) == len(sig) == 4000
+
+
+def test_schema_structure_matches_reference_oracle(tmp_path):
+    """Our results file's group/dataset tree is a superset of the reference's
+    own expected results.still.h5 (the one expected file whose source h5
+    exists), used as a schema/channel oracle (VERDICT round-1 item 4d)."""
+    import h5py
+
+    expected = os.path.join(
+        REFERENCE, "tests/regression/run_hydrochrono/iea_sphere/decay/expected",
+        "results.still.h5",
+    )
+    if not os.path.exists(expected):
+        pytest.skip("reference expected h5 unavailable")
+
+    case_src = os.path.join(REFERENCE, "tests/regression/run_hydrochrono/iea_sphere")
+    root = tmp_path / "iea_sphere"
+    shutil.copytree(case_src, root)
+    from hydrochrono_tpu import cli
+
+    rc = cli.main([str(root / "decay" / "inputs"), "--quiet",
+                   "--output-h5", str(tmp_path / "out")])
+    assert rc == 0
+
+    def tree(f):
+        out = set()
+        f.visititems(lambda name, obj: out.add(
+            ("G" if isinstance(obj, h5py.Group) else "D", name)))
+        return out
+
+    with h5py.File(expected) as fr, \
+            h5py.File(tmp_path / "out" / "results.still.h5") as fg:
+        missing = tree(fr) - tree(fg)
+    assert not missing, f"schema items in the reference oracle we lack: {missing}"
