@@ -377,14 +377,24 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
 
 
 def read_eta_file(path: str):
-    """Parse a `time : eta` text file (reference: wave_types.cpp:480-500)."""
+    """Parse a free-surface elevation text file.
+
+    Accepts the reference's `time : eta` format (wave_types.cpp:480-500)
+    and plain two-column whitespace/comma-separated rows.
+    """
     times, etas = [], []
     with open(path) as fh:
         for line in fh:
             line = line.strip()
-            if not line:
+            if not line or line.startswith("#"):
                 continue
-            left, _, right = line.partition(":")
+            if ":" in line:
+                left, _, right = line.partition(":")
+            else:
+                parts = line.replace(",", " ").split()
+                if len(parts) < 2:
+                    raise ValueError(f"cannot parse eta row: {line!r}")
+                left, right = parts[0], parts[1]
             times.append(float(left))
             etas.append(float(right))
     return np.asarray(times), np.asarray(etas)

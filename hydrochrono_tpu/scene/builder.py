@@ -242,6 +242,10 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
                 nfrequencies=ws.nfrequencies,
                 seed=(ws.seed if ws.seed > 0 else 1),
                 ramp_duration=ws.ramp_duration,
+                frequency_min=ws.frequency_min,
+                frequency_max=ws.frequency_max,
+                wave_stretching=ws.wave_stretching,
+                eta_file_path=ws.eta_file,
             )
         if hydro_spec.moordyn:
             warnings.append(

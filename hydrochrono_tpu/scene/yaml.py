@@ -315,6 +315,11 @@ class WaveSettings:
     ramp_duration: float = 0.0
     nfrequencies: int = 0
     seed: int = -1  # -1 = unset -> defaults to 1 (setup_hydro_from_yaml.cpp:60-61)
+    # further extensions (reference keeps these C++-API-only, SURVEY §2.2):
+    frequency_min: float = 0.001
+    frequency_max: float = 1.0
+    wave_stretching: bool = False
+    eta_file: Optional[str] = None  # time/eta text file (ReadEtaFromFile)
 
     @property
     def is_sweep(self) -> bool:
@@ -433,6 +438,11 @@ def parse_hydro_file(path: str) -> HydroSpec:
         ramp_duration=float(wave.get("ramp_duration", 0.0)),
         nfrequencies=int(wave.get("nfrequencies", 0)),
         seed=int(wave.get("seed", -1)),
+        frequency_min=float(wave.get("frequency_min", 0.001)),
+        frequency_max=float(wave.get("frequency_max", 1.0)),
+        wave_stretching=bool(wave.get("wave_stretching", False)),
+        eta_file=(os.path.join(base, str(wave["eta_file"]))
+                  if wave.get("eta_file") else None),
     )
 
     conv = hyd.get("convolution", {}) or {}

@@ -140,3 +140,59 @@ def test_schema_structure_matches_reference_oracle(tmp_path):
             h5py.File(tmp_path / "out" / "results.still.h5") as fg:
         missing = tree(fr) - tree(fg)
     assert not missing, f"schema items in the reference oracle we lack: {missing}"
+
+
+def test_yaml_eta_file_import(tmp_path):
+    """`eta_file` in the hydro YAML (extension; the reference keeps eta
+    import C++-API-only, demo_sphere_irreg_waves_eta_import.cpp)."""
+    import textwrap
+
+    d = tmp_path / "inputs"
+    d.mkdir()
+    t = np.arange(-10.0, 30.0, 0.02)
+    np.savetxt(d / "eta.txt", np.column_stack([t, 0.5 * np.cos(0.8 * t)]))
+
+    (d / "c.setup.yaml").write_text(textwrap.dedent("""
+        model_file: c.model.yaml
+        simulation_file: c.simulation.yaml
+        hydro_file: c.hydro.yaml
+        output_directory: ../outputs
+    """))
+    (d / "c.model.yaml").write_text(textwrap.dedent("""
+        model:
+          name: eta_import_case
+          bodies:
+            - name: body1
+              location: [0, 0, -0.7]
+              mass: 250000.0
+              inertia: {moments: [7.2e6, 7.3e6, 1.2e7], products: [0,0,0]}
+    """))
+    (d / "c.simulation.yaml").write_text(textwrap.dedent("""
+        simulation:
+          time_step: 0.02
+          end_time: 2.0
+          gravity: [0, 0, -9.81]
+          integrator: {type: EULER_IMPLICIT_LINEARIZED}
+    """))
+    h5 = str(tmp_path / "one.h5")
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+
+    write_bemio_h5(h5, 1, seed=3, cg_list=[np.array([0.0, 0.0, -0.7])],
+                   rirf_tmax=1.0, rirf_steps=51)
+    (d / "c.hydro.yaml").write_text(textwrap.dedent(f"""
+        hydrodynamics:
+          bodies:
+            - {{name: body1, h5_file: {h5}}}
+          waves:
+            type: irregular
+            height: 1.0
+            period: 8.0
+            eta_file: eta.txt
+    """))
+    rc = cli.main([str(d), "--quiet", "--output-h5", str(tmp_path / "out")])
+    assert rc == 0
+    with h5py.File(tmp_path / "out" / "results.irregular.h5") as f:
+        eta = np.asarray(f["inputs/simulation/waves/irregular/free_surface_eta"])
+        z = np.asarray(f["results/model/bodies/body1/position"][:, 2])
+    assert abs(eta.max() - 0.5) < 1e-9  # the imported series, not a spectrum
+    assert np.isfinite(z).all() and np.ptp(z) > 1e-4  # waves actually force it
