@@ -238,17 +238,22 @@ def run_case(args, log) -> int:
                 f"body states: {report.state_dump}"
             )
             return 1
-    elif (sweep_batched is None and jax.default_backend() == "tpu"
-          and sim.fused_supported()):
-        # production TPU path: the fused Pallas step kernel (ops/pallas_step)
+    elif jax.default_backend() == "tpu" and sim.fused_supported():
+        # production TPU path: the fused Pallas step kernel (ops/pallas_step);
+        # period sweeps ride the batch axis (the builder already batched the
+        # regular-wave params)
         from hydrochrono_tpu.parallel.sharding import make_batched_states
 
-        log.info("step path: fused Pallas kernel (blocked)")
-        states = make_batched_states(sim, 1)
+        B = int(np.atleast_1d(ws.periods).size) if sweep_batched is not None else 1
+        log.info(f"step path: fused Pallas kernel (blocked, batch {B})")
+        states = make_batched_states(sim, B)
         _, traj_b = jax.jit(
             lambda s, p: sim.run_blocked_fused(n, s, params=p)
         )(states, sim.params)
-        traj = jax.tree.map(lambda v: np.asarray(v)[0], traj_b)
+        if sweep_batched is None:
+            traj = jax.tree.map(lambda v: np.asarray(v)[0], traj_b)
+        else:
+            traj = jax.tree.map(np.asarray, traj_b)
         t_run = time.time() - t_run0
         log.progress(1.0, f"{n} steps")
     else:

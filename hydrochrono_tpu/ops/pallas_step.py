@@ -236,16 +236,16 @@ class FusedStepBuilder:
     def _build_cvec_layout(self):
         sim, spec = self.sim, self.spec
         off = {}
-        fetch = []  # (name, fn(params) -> flat array)
+        fetch = []  # (name, size, fn(params) -> flat array, batch_key)
         pos = 0
 
-        def reg(name, size, fn):
+        def reg(name, size, fn, batch_key=None):
             nonlocal pos
             off[name] = pos
             pos += size
-            fetch.append((name, size, fn))
+            fetch.append((name, size, fn, batch_key))
 
-        reg("mass", self.nm, lambda p: p["mass"])
+        reg("mass", self.nm, lambda p: p["mass"], batch_key="mass")
         reg("g", 3, lambda p: p["_const"]["gravity"])
         reg("inertia", self.nm * 9,
             lambda p: p["_const"]["inertia_body"].reshape(-1))
@@ -306,14 +306,18 @@ class FusedStepBuilder:
             reg(f"t{t}_l2", 3, tc("l2"))
             reg(f"t{t}_L0", 1,
                 lambda p, idx=t: jnp.asarray([self.sim.tsda_rest[idx]], self.dtype))
-            reg(f"t{t}_k", 1, lambda p, idx=t: p["tsda_k"][idx].reshape(1))
-            reg(f"t{t}_c", 1, lambda p, idx=t: p["tsda_c"][idx].reshape(1))
+            reg(f"t{t}_k", 1, lambda p, idx=t: p["tsda_k"][..., idx].reshape(
+                p["tsda_k"].shape[:-1] + (1,)), batch_key="tsda_k")
+            reg(f"t{t}_c", 1, lambda p, idx=t: p["tsda_c"][..., idx].reshape(
+                p["tsda_c"].shape[:-1] + (1,)), batch_key="tsda_c")
 
         for r, rs in enumerate(spec.rsdas):
             reg(f"r{r}_a1l", 3,
                 lambda p, idx=r: p["_const"]["rsda"][idx]["a1l"].reshape(-1))
-            reg(f"r{r}_k", 1, lambda p, idx=r: p["rsda_k"][idx].reshape(1))
-            reg(f"r{r}_c", 1, lambda p, idx=r: p["rsda_c"][idx].reshape(1))
+            reg(f"r{r}_k", 1, lambda p, idx=r: p["rsda_k"][..., idx].reshape(
+                p["rsda_k"].shape[:-1] + (1,)), batch_key="rsda_k")
+            reg(f"r{r}_c", 1, lambda p, idx=r: p["rsda_c"][..., idx].reshape(
+                p["rsda_c"].shape[:-1] + (1,)), batch_key="rsda_c")
             reg(f"r{r}_rest", 1,
                 lambda p, idx=r: jnp.asarray([rs.rest_angle], self.dtype))
 
@@ -341,11 +345,51 @@ class FusedStepBuilder:
         self._fetch = fetch
         self.NC = pos
 
-    def cvec(self, params):
-        """Assemble the flat constant vector from the params pytree."""
-        parts = [jnp.asarray(fn(params), self.dtype).reshape(-1)
-                 for _, _, fn in self._fetch]
+    def batched_entries(self, params):
+        """Names of cvec entries whose backing params leaf carries a leading
+        batch dim (fused sweeps: per-instance mass / PTO coefficients)."""
+        base_ndim = {"mass": 1, "tsda_k": 1, "tsda_c": 1,
+                     "rsda_k": 1, "rsda_c": 1}
+        out = set()
+        for name, _, _, bk in self._fetch:
+            if bk is not None and bk in params and                     params[bk].ndim > base_ndim[bk]:
+                out.add(name)
+        return out
+
+    def cvec(self, params, batched=()):
+        """Assemble the flat constant vector from the params pytree.
+
+        Entries in `batched` are per-instance (they ride the bvec operand
+        instead); their SMEM slot is filled from instance 0 and unused.
+        """
+        parts = []
+        for name, size, fn, _ in self._fetch:
+            arr = jnp.asarray(fn(params), self.dtype)
+            if name in batched:
+                arr = arr.reshape(-1, size)[0]
+            parts.append(arr.reshape(-1))
         return jnp.concatenate(parts) if parts else jnp.zeros((1,), self.dtype)
+
+    def bvec(self, params, batched, RB):
+        """Per-instance constant rows [NBatched, RB, 128] for the entries in
+        `batched` (order = registration order). Returns (bvec, idx_map) with
+        idx_map: cvec index -> bvec row."""
+        rows = []
+        idx_map = {}
+        Bp = RB * LANE
+        for name, size, fn, _ in self._fetch:
+            if name not in batched:
+                continue
+            arr = jnp.asarray(fn(params), self.dtype).reshape(-1, size)
+            B = arr.shape[0]
+            sel = jnp.minimum(jnp.arange(Bp), B - 1)
+            arr = arr[sel]  # [Bp, size]
+            for k in range(size):
+                idx_map[self._off[name] + k] = len(rows)
+                rows.append(arr[:, k].reshape(RB, LANE))
+        bv = (jnp.stack(rows) if rows
+              else jnp.zeros((1, RB, LANE), self.dtype))
+        return bv, idx_map
 
     # -- packing -----------------------------------------------------------
     def pad_batch(self, B):
@@ -774,9 +818,12 @@ class FusedStepBuilder:
         return crows, Jrows
 
     # -- pallas wrapper ------------------------------------------------------
-    def make_fused_step(self, RB, interpret=False):
-        """Returns fn(cvec [NC], sc [CS, RB, 128], fx [K, RB, 128] or None)
-        -> (sc_new, extra [CE, RB, 128])."""
+    def make_fused_step(self, RB, interpret=False, idx_map=None):
+        """Returns fn(cvec [NC], sc [CS, RB, 128], fx [K, RB, 128] or None,
+        bvec [NB, RB, 128] or None) -> (sc_new, extra [CE, RB, 128]).
+
+        idx_map (from bvec()): cvec index -> bvec row, for per-instance
+        batched constants (sweeps over PTO coefficients / masses)."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -791,31 +838,34 @@ class FusedStepBuilder:
             RT = 1
         grid = (RB // RT,)
         has_fx = self.sim.hydro is not None
+        has_bv = bool(idx_map)
+        idx_map = idx_map or {}
+        NB = max(len(set(idx_map.values())), 1)
 
-        def kernel(cref, scref, *rest):
-            if has_fx:
-                fxref, scoref, exref = rest
-                fx = fxref[...]
-            else:
-                scoref, exref = rest
-                fx = None
+        def kernel(cref, *rest):
+            rest = list(rest)
+            bv = rest.pop(0)[...] if has_bv else None
+            fx = rest.pop(0)[...] if has_fx else None
+            scref, scoref, exref = rest[0], rest[1], rest[2]
 
             def C(i):
-                return cref[i]
+                j = idx_map.get(i)
+                return cref[i] if j is None else bv[j]
 
             sc = scref[...]
             sc_new, extra = self.step_rows(C, sc, fx)
             scoref[...] = jnp.stack(sc_new)
             exref[...] = jnp.stack(extra)
 
-        in_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((CS, RT, LANE), lambda g: (0, g, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        if has_bv:
+            in_specs.append(pl.BlockSpec((NB, RT, LANE), lambda g: (0, g, 0),
+                                         memory_space=pltpu.VMEM))
         if has_fx:
             in_specs.append(pl.BlockSpec((K, RT, LANE), lambda g: (0, g, 0),
                                          memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((CS, RT, LANE), lambda g: (0, g, 0),
+                                     memory_space=pltpu.VMEM))
         out_specs = [
             pl.BlockSpec((CS, RT, LANE), lambda g: (0, g, 0),
                          memory_space=pltpu.VMEM),
@@ -834,10 +884,14 @@ class FusedStepBuilder:
             interpret=interpret,
         )
 
-        def fn(cvec, sc, fx=None):
+        def fn(cvec, sc, fx=None, bvec=None):
+            args = [cvec]
+            if has_bv:
+                args.append(bvec)
             if has_fx:
-                return call(cvec, sc, fx)
-            return call(cvec, sc)
+                args.append(fx)
+            args.append(sc)
+            return call(*args)
 
         return fn
 

@@ -1169,8 +1169,14 @@ class Simulation:
         B = states.pos.shape[0]
         sc0, vhist0 = b.pack_state(states)
         RB = sc0.shape[1]
-        cvec = b.cvec(params)
-        fused_call = b.make_fused_step(RB, interpret=interpret)
+        batched_entries = b.batched_entries(params)
+        cvec = b.cvec(params, batched_entries)
+        if batched_entries:
+            bvec, idx_map = b.bvec(params, batched_entries, RB)
+        else:
+            bvec, idx_map = None, None
+        fused_call = b.make_fused_step(RB, interpret=interpret,
+                                       idx_map=idx_map)
 
         v6_rows = np.concatenate([
             np.concatenate([
@@ -1210,10 +1216,27 @@ class Simulation:
                 return None
             if regular:
                 t = (n0 + jnp.arange(tb)).astype(self.dtype) * self.dt
-                f = params["reg_mag"][None, :] * params["reg_amp"] * jnp.cos(
-                    params["reg_omega"] * t[:, None] + params["reg_phase"][None, :]
+                if params["reg_mag"].ndim == 1:
+                    f = params["reg_mag"][None, :] * params["reg_amp"] * jnp.cos(
+                        params["reg_omega"] * t[:, None]
+                        + params["reg_phase"][None, :]
+                    )
+                    return f  # [tb, K]
+                # per-instance sweep (reg params batched): [tb, K, RB, 128]
+                Bp = RB * 128
+                sel = jnp.minimum(jnp.arange(Bp), params["reg_mag"].shape[0] - 1)
+
+                def pk(x):
+                    x = x[sel]  # [Bp, ...]
+                    return jnp.moveaxis(x, 0, -1).reshape(
+                        x.shape[1:] + (RB, 128))
+
+                mag, phase = pk(params["reg_mag"]), pk(params["reg_phase"])
+                amp = pk(params["reg_amp"].reshape(-1, 1))[0]
+                om = pk(params["reg_omega"].reshape(-1, 1))[0]
+                return mag[None] * amp * jnp.cos(
+                    om[None, None] * t[:, None, None, None] + phase[None]
                 )
-                return f  # [tb, K]
             M = self._exc_window
             if eta_batched:
                 etaw = jax.lax.dynamic_slice_in_dim(eta_p, n0, M + tb - 1, axis=-1)
@@ -1254,7 +1277,7 @@ class Simulation:
                 if f_exc is not None:
                     fe = f_exc[d]
                     fxd = fxd + (fe[:, None, None] if fe.ndim == 1 else fe)
-                sc2, extra = fused_call(cvec, sc, fxd)
+                sc2, extra = fused_call(cvec, sc, fxd, bvec)
                 out = {}
                 for k in keys:
                     spec_k = row_slices[k]

@@ -248,3 +248,41 @@ def test_pallas_math_accuracy():
     s = np.concatenate([rng.uniform(-1, 1, 5000), [-1.0, 1.0, 0.0]]).astype(np.float32)
     assert np.abs(np.asarray(asin_tpu(jnp.asarray(s)), np.float64)
                   - np.arcsin(s.astype(np.float64))).max() < 5e-7
+
+
+def test_fused_batched_coefficients_and_wave_params(small_h5_1body):
+    """Per-instance PTO damping + regular-wave params ride the kernel's
+    bvec operand; matches the vmapped XLA sweep path."""
+    from hydrochrono_tpu.io.bemio import load_bemio_h5
+
+    hydro = load_bemio_h5(small_h5_1body, num_bodies=1)
+    spec = SystemSpec(
+        bodies=[Body("body1", 2.5e5, (0.0, 0.0, -3.9)),
+                Body("ground", 9.0, (0.0, 0.0, -9.0), fixed=True)],
+        joints=[Joint("prismatic", 0, 1, location=(0.0, 0.0, -3.9),
+                      axis=(0.0, 0.0, 1.0))],
+        tsdas=[TSDA(0, 1, (0.0, 0.0, -3.9), (0.0, 0.0, -9.0),
+                    spring_coeff=0.0, damping_coeff=1.0)],
+        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    B = 3
+    amps = np.array([0.2, 0.4, 0.6])
+    oms = np.array([1.0, 1.5, 2.0])
+    damp = np.array([1e5, 2e5, 3e5])
+    sim = Simulation(spec, dt=0.015, block_size=8,
+                     wave=RegularWave(amplitude=amps, omega=oms),
+                     outputs=("pos", "tsda"))
+    batched = {k: sim.params[k] for k in
+               ("reg_mag", "reg_phase", "reg_amp", "reg_omega")}
+    batched["tsda_c"] = jnp.asarray(damp)[:, None]
+    n = 24
+    _, tr_u = sim.run_batch(n, batched)
+    params_b = dict(sim.params)
+    params_b.update(batched)
+    states = make_batched_states(sim, B)
+    _, tr_f = jax.jit(lambda s, p: sim.run_blocked_fused(n, s, params=p))(
+        states, params_b)
+    assert np.abs(np.asarray(tr_u["pos"]) - np.asarray(tr_f["pos"])).max() < 1e-9
+    sc = max(1.0, float(np.abs(np.asarray(tr_u["tsda"])).max()))
+    assert np.abs(np.asarray(tr_u["tsda"]) - np.asarray(tr_f["tsda"])).max() / sc < 1e-9

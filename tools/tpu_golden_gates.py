@@ -55,15 +55,18 @@ zf = np.asarray(traj_f["pos"][0, :n, 0, 2], dtype=np.float64)
 d = zf - ref[:, 1]
 print(f"decay f32 FUSED:   L2={np.linalg.norm(d)/n:.2e} Linf={np.abs(d).max():.2e} (gates 1e-4 / 0.02)")
 
+# all 10 IEA reg-wave cases in ONE fused batched program (per-instance wave
+# params + PTO damping ride the kernel's bvec operand)
 sim3 = Simulation(spec2, dt=0.015, dtype=jnp.float32, block_size=128,
-                  wave=RegularWave(amplitude=AMPS[0], omega=OMEGAS[0]))
+                  wave=RegularWave(amplitude=np.asarray(AMPS), omega=np.asarray(OMEGAS)))
 p3 = dict(sim3.params)
-p3["tsda_c"] = jnp.asarray([DAMP[0]], jnp.float32)
+p3["tsda_c"] = jnp.asarray(DAMP, jnp.float32)[:, None]
 _, traj3 = jax.jit(lambda s, p: sim3.run_blocked_fused(n2, s, params=p))(
-    make_batched_states(sim3, 2), p3)
-z3 = np.asarray(traj3["pos"][0, :, 0, 2], dtype=np.float64)
-refp = np.loadtxt('/root/reference/tests/regression/reference_data/sphere/reg_waves/hc_ref_sphere_reg_waves_1.txt', skiprows=5)
-m = min(len(refp), n2)
-d = z3[:m] - refp[:m, 1]
-l2, li = np.linalg.norm(d)/m, np.abs(d).max()
-print(f"reg case 1 FUSED:  L2={l2:.2e} Linf={li:.2e} {'PASS' if (l2<=1e-4 and li<=0.02) else 'FAIL'}")
+    make_batched_states(sim3, 10), p3)
+z3 = np.asarray(traj3["pos"][:, :, 0, 2], dtype=np.float64)
+for i in range(10):
+    refp = np.loadtxt(f'/root/reference/tests/regression/reference_data/sphere/reg_waves/hc_ref_sphere_reg_waves_{i+1}.txt', skiprows=5)
+    m = min(len(refp), n2)
+    d = z3[i][:m] - refp[:m, 1]
+    l2, li = np.linalg.norm(d)/m, np.abs(d).max()
+    print(f"reg case {i+1} FUSED:  L2={l2:.2e} Linf={li:.2e} {'PASS' if (l2<=1e-4 and li<=0.02) else 'FAIL'}")
