@@ -828,14 +828,10 @@ class FusedStepBuilder:
         from jax.experimental.pallas import tpu as pltpu
 
         CS, CE, K = self.CS, self.CE, max(self.K, 1)
-        if RB % 8 == 0:
-            RT = 8
-        elif RB % 4 == 0:
-            RT = 4
-        elif RB % 2 == 0:
-            RT = 2
-        else:
-            RT = 1
+        # Mosaic requires the sublane block dim to be a multiple of 8 or to
+        # equal the full array dim; grid-tile only when RB splits into
+        # 8-sublane tiles, otherwise run the whole batch in one program
+        RT = 8 if RB % 8 == 0 else RB
         grid = (RB // RT,)
         has_fx = self.sim.hydro is not None
         has_bv = bool(idx_map)
