@@ -341,6 +341,15 @@ class FusedStepBuilder:
             reg(f"fix{b}_quat", 4,
                 lambda p, idx=b: p["_const"]["fixed_quat"][str(idx)])
 
+        # within-sub-block radiation weights W[0..s) for the multi-step
+        # kernel (make_fused_subblock); W_small_rev[m] = W[tb-1-m]
+        self.max_substep = 0
+        if sim.hydro is not None and sim.block_size:
+            self.max_substep = min(16, sim.block_size)
+            ms = self.max_substep
+            reg("wsub", ms * self.K * self.K,
+                lambda p, ms=ms: p["_const"]["W_small_rev"][::-1][:ms].reshape(-1))
+
         self._off = off
         self._fetch = fetch
         self.NC = pos
@@ -887,6 +896,115 @@ class FusedStepBuilder:
             if has_fx:
                 args.append(fx)
             args.append(sc)
+            return call(*args)
+
+        return fn
+
+
+
+    def make_fused_subblock(self, RB, sub, interpret=False, idx_map=None):
+        """Multi-step kernel: `sub` statically-unrolled integration steps per
+        Pallas dispatch (within-sub-block radiation handled in-kernel with
+        static weight indices from SMEM; far- and mid-field arrive per step
+        in `fpre`). Amortizes the per-step dispatch overhead that dominates
+        the single-step kernel (~5 XLA dispatches/step -> ~5 per `sub`).
+
+        Returns fn(cvec, sc [CS,RB,128], fpre [sub,K,RB,128], bvec?) ->
+        (sc_final, vout [sub,K,...], traj [sub,CS,...], extra [sub,CE,...]).
+        """
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        if self.sim.hydro is None or not self.sim.block_size:
+            raise NotImplementedError("sub-block kernel requires blocked hydro")
+        if sub > self.max_substep:
+            raise ValueError(f"sub={sub} exceeds max_substep={self.max_substep}")
+        CS, CE, K = self.CS, self.CE, self.K
+        RT = 8 if RB % 8 == 0 else RB
+        grid = (RB // RT,)
+        has_bv = bool(idx_map)
+        idx_map = idx_map or {}
+        NB = max(len(set(idx_map.values())), 1)
+        woff = self._off["wsub"]
+
+        v6_rows = []
+        for sl in self.sim.hydro_slots:
+            v6_rows.extend([self.il(sl, k) for k in range(3)])
+            v6_rows.extend([self.ia(sl, k) for k in range(3)])
+
+        def kernel(cref, *rest):
+            rest = list(rest)
+            bv = rest.pop(0)[...] if has_bv else None
+
+            def C(i):
+                j = idx_map.get(i)
+                return cref[i] if j is None else bv[j]
+
+            fpre = rest[0][...]  # [sub, K, RT, LANE]
+            sc = rest[1][...]
+            scoref, voutref, trajref, exref = rest[2], rest[3], rest[4], rest[5]
+
+            sc_rows = [sc[i] for i in range(CS)]
+            hist = []
+            v_steps, traj_steps, ex_steps = [], [], []
+            for e in range(sub):
+                v6 = [sc_rows[i] for i in v6_rows]
+                hist.append(v6)
+                fx = []
+                for i in range(K):
+                    acc = fpre[e, i]
+                    for j in range(e + 1):
+                        base = woff + (e - j) * K * K + i * K
+                        for k in range(K):
+                            acc = acc - C(base + k) * hist[j][k]
+                    fx.append(acc)
+                sc_rows, extra = self.step_rows(C, sc_rows, fx)
+                v_steps.append(v6)
+                traj_steps.append(sc_rows)
+                ex_steps.append(extra)
+
+            scoref[...] = jnp.stack(sc_rows)
+            voutref[...] = jnp.stack([jnp.stack(v) for v in v_steps])
+            trajref[...] = jnp.stack([jnp.stack(r) for r in traj_steps])
+            exref[...] = jnp.stack([jnp.stack(r) for r in ex_steps])
+
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        if has_bv:
+            in_specs.append(pl.BlockSpec((NB, RT, LANE), lambda g: (0, g, 0),
+                                         memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((sub, K, RT, LANE), lambda g: (0, 0, g, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((CS, RT, LANE), lambda g: (0, g, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs = [
+            pl.BlockSpec((CS, RT, LANE), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, K, RT, LANE), lambda g: (0, 0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, CS, RT, LANE), lambda g: (0, 0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, CE, RT, LANE), lambda g: (0, 0, g, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((CS, RB, LANE), self.dtype),
+                jax.ShapeDtypeStruct((sub, K, RB, LANE), self.dtype),
+                jax.ShapeDtypeStruct((sub, CS, RB, LANE), self.dtype),
+                jax.ShapeDtypeStruct((sub, CE, RB, LANE), self.dtype),
+            ],
+            interpret=interpret,
+        )
+
+        def fn(cvec, sc, fpre, bvec=None):
+            args = [cvec]
+            if has_bv:
+                args.append(bvec)
+            args.extend([fpre, sc])
             return call(*args)
 
         return fn

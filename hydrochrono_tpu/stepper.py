@@ -1129,7 +1129,8 @@ class Simulation:
 
     def run_blocked_fused(self, num_steps: int, states: State, params=None,
                           interpret: Optional[bool] = None,
-                          start_step: int = 0):
+                          start_step: int = 0,
+                          subblock: Optional[int] = None):
         """Blocked batched run with the fused Pallas step kernel.
 
         `states` carries a leading batch dim B (as produced by
@@ -1175,8 +1176,22 @@ class Simulation:
             bvec, idx_map = b.bvec(params, batched_entries, RB)
         else:
             bvec, idx_map = None, None
-        fused_call = b.make_fused_step(RB, interpret=interpret,
-                                       idx_map=idx_map)
+        if subblock is None:
+            # multi-step kernel: amortizes dispatch on TPU (~2x at B=512);
+            # sub=8 keeps the unrolled Mosaic op count moderate. Interpret
+            # mode (CPU tests) defaults to the per-step kernel — unrolled
+            # eager interpretation is needlessly slow there.
+            subblock = (8 if (not interpret and b.max_substep >= 8
+                              and tb % 8 == 0) else 1)
+        if subblock > 1 and tb % subblock != 0:
+            raise ValueError(f"subblock {subblock} must divide block_size {tb}")
+        if subblock > 1:
+            fused_sub_call = b.make_fused_subblock(RB, subblock,
+                                                   interpret=interpret,
+                                                   idx_map=idx_map)
+        else:
+            fused_call = b.make_fused_step(RB, interpret=interpret,
+                                           idx_map=idx_map)
 
         v6_rows = np.concatenate([
             np.concatenate([
@@ -1288,10 +1303,52 @@ class Simulation:
                         out[k] = sc2[spec_k[0]:spec_k[1]]
                 return (sc2, vblock), out
 
-            (sc, vblock), outs = jax.lax.scan(
-                inner, (sc, jnp.zeros((tb, K, RB, 128), self.dtype)),
-                jnp.arange(tb, dtype=jnp.int32),
-            )
+            def inner_sub(ic, c):
+                sc, vblock = ic
+                base = c * subblock
+                # mid-field: this block's steps before the current sub-block
+                # (rows >= base are still zero in vblock, so the wrapped
+                # weights multiply zeros — same invariant as the per-step
+                # rolled-kernel intra formulation)
+                idxm = jnp.mod(
+                    jnp.arange(tb)[None, :] - base
+                    - jnp.arange(subblock)[:, None] - 1, tb)
+                Wg = Wsr[idxm]  # [sub, tb, K, K]
+                f_mid = jnp.einsum("emij,mjrl->eirl", Wg, vblock)
+                fpre = -jax.lax.dynamic_slice_in_dim(f_far, base, subblock,
+                                                     axis=0) - f_mid
+                if f_exc is not None:
+                    fe = jax.lax.dynamic_slice_in_dim(f_exc, base, subblock,
+                                                      axis=0)
+                    fpre = fpre + (fe[:, :, None, None] if fe.ndim == 2 else fe)
+                sc2, vout, traj_sc, exs = fused_sub_call(cvec, sc, fpre, bvec)
+                vblock = jax.lax.dynamic_update_slice_in_dim(
+                    vblock, vout, base, axis=0
+                )
+                out = {}
+                for k in keys:
+                    spec_k = row_slices[k]
+                    if spec_k[0] is None:
+                        lo, hi = spec_k[1]
+                        out[k] = exs[:, lo:hi]
+                    else:
+                        out[k] = traj_sc[:, spec_k[0]:spec_k[1]]
+                return (sc2, vblock), out
+
+            if subblock > 1:
+                (sc, vblock), outs = jax.lax.scan(
+                    inner_sub, (sc, jnp.zeros((tb, K, RB, 128), self.dtype)),
+                    jnp.arange(tb // subblock, dtype=jnp.int32),
+                )
+                # [nsub, sub, C, RB, 128] -> [tb, C, RB, 128]
+                outs = jax.tree.map(
+                    lambda x: x.reshape((tb,) + x.shape[2:]), outs
+                )
+            else:
+                (sc, vblock), outs = jax.lax.scan(
+                    inner, (sc, jnp.zeros((tb, K, RB, 128), self.dtype)),
+                    jnp.arange(tb, dtype=jnp.int32),
+                )
             vhist = jax.lax.dynamic_update_slice_in_dim(
                 vhist, vblock, p0, axis=0
             )

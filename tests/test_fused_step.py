@@ -123,6 +123,28 @@ def test_fused_rm3ish_irregular(small_h5):
     _compare_runs(sim)
 
 
+def test_fused_subblock_kernel_matches(small_h5):
+    """The multi-step (sub-block) kernel == the per-step kernel == the
+    vmapped XLA path (in-kernel static intra + XLA mid-field split)."""
+    wave = IrregularWaveParams(height=2.0, period=8.0, nfrequencies=30,
+                               ramp_duration=2.0)
+    sim = Simulation(_spec_rm3ish(small_h5), dt=0.01, wave=wave, duration=5.0,
+                     block_size=16, outputs=("pos", "lambda", "tsda"))
+    B, n = 2, 32
+    states = make_batched_states(sim, B)
+    ref_final, ref_traj = jax.jit(jax.vmap(lambda s: sim.run(n, state=s)))(states)
+    got_final, got_traj = jax.jit(
+        lambda s: sim.run_blocked_fused(n, s, subblock=8))(states)
+    for k in got_traj:
+        if k in ref_traj:
+            scale = max(1.0, float(np.abs(np.asarray(ref_traj[k])).max()))
+            err = float(np.abs(np.asarray(ref_traj[k])
+                               - np.asarray(got_traj[k])).max())
+            assert err / scale < 1e-9, k
+    assert float(np.abs(np.asarray(ref_final.vhist)
+                        - np.asarray(got_final.vhist)).max()) < 1e-9
+
+
 def test_fused_revolute_fixed_rsda_regular(small_h5_1body):
     wave = RegularWave(amplitude=0.5, omega=1.2)
     sim = Simulation(_spec_revolute_fixed(small_h5_1body), dt=0.01, wave=wave,
