@@ -81,6 +81,10 @@ def main():
                      duration=2 * sim_t, dtype=jnp.float32, block_size=tb,
                      outputs=("pos",))
     states = make_batched_states(sim, B)
+    if n_dev > 1:
+        from hydrochrono_tpu.parallel.sharding import batch_mesh, shard_batch
+
+        states = shard_batch(states, batch_mesh())
     run = jax.jit(lambda s, p: sim.run_blocked_fused(n, s, params=p)[0].pos)
     t0 = time.time()
     wall_rm3, out = _timed(run, states, sim.params)
@@ -113,6 +117,10 @@ def main():
         offs = np.zeros((B, 1, 3), dtype=np.float32)
         offs[:, 0, 2] = rng.uniform(-0.5, 0.5, size=B)
         st2 = make_batched_states(sim2, B, pos_offsets=offs)
+        if n_dev > 1:
+            from hydrochrono_tpu.parallel.sharding import batch_mesh, shard_batch
+
+            st2 = shard_batch(st2, batch_mesh())
         run2 = jax.jit(lambda s, p: sim2.run_blocked_fused(n2, s, params=p)[0].pos)
         wall_sph, out2 = _timed(run2, st2, sim2.params)
         ok_sph = bool(np.isfinite(out2).all())

@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="blocked radiation convolution block (TPU perf)")
     p.add_argument("--state-space", action="store_true",
                    help="use the state-space radiation model (BEMIO fits)")
+    p.add_argument("--no-fused", action="store_true",
+                   help="disable the fused Pallas step kernel (TPU)")
     p.add_argument("--checkpoint", metavar="PATH",
                    help="write checkpoints here during the run")
     p.add_argument("--checkpoint-every", type=int, default=0, metavar="STEPS")
@@ -238,7 +240,8 @@ def run_case(args, log) -> int:
                 f"body states: {report.state_dump}"
             )
             return 1
-    elif jax.default_backend() == "tpu" and sim.fused_supported():
+    elif (jax.default_backend() == "tpu" and not args.no_fused
+          and sim.fused_supported()):
         # production TPU path: the fused Pallas step kernel (ops/pallas_step);
         # period sweeps ride the batch axis (the builder already batched the
         # regular-wave params)

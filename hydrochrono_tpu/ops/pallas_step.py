@@ -187,6 +187,10 @@ class FusedStepBuilder:
     coefficient TSDAs/RSDAs (no tabulated curves), no motors, float32.
     Unsupported configs raise at construction; callers fall back to the
     XLA step.
+
+    Forward-only: pallas_call has no automatic VJP, so jax.grad flows
+    through the XLA stepper path (stepper.run / run_batch), which remains
+    fully differentiable (tests/test_talos_and_grad.py).
     """
 
     def __init__(self, sim, for_kernel: bool = True):
