@@ -61,7 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", choices=["float32", "float64"], default=None,
                    help="simulation precision (default: platform-appropriate)")
     p.add_argument("--block-size", type=int, default=None,
-                   help="blocked radiation convolution block (TPU perf)")
+                   help="blocked radiation convolution block "
+                        "(default: 128 on TPU, off elsewhere)")
     p.add_argument("--state-space", action="store_true",
                    help="use the state-space radiation model (BEMIO fits)")
     p.add_argument("--no-fused", action="store_true",
@@ -196,8 +197,17 @@ def run_case(args, log) -> int:
             jax.config.update("jax_enable_x64", True)
 
     outputs = ("pos", "quat", "lin_vel", "ang_vel", "acc", "lambda", "tsda")
+    block_size = args.block_size
+    if (block_size is None and jax.default_backend() == "tpu"
+            and not args.no_fused and case.hydro_spec is not None
+            and not args.state_space
+            and not (args.guard_chunk or args.checkpoint)):
+        # production TPU default: blocked far-field convolution + the fused
+        # Pallas step kernel (the builder drops the block for state-space
+        # radiation, where there is no history to amortize)
+        block_size = 128
     sim = case.build_simulation(dtype=dtype, outputs=outputs,
-                                block_size=args.block_size)
+                                block_size=block_size)
     if args.state_space:
         from hydrochrono_tpu.stepper import Simulation
 

@@ -274,6 +274,20 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     fname = os.path.join(out_dir, f"results.{wave_type_name(case)}.h5")
 
+    # channel reconstruction (Cardan angles, joint reaction wrenches, RSDA
+    # channels) is hundreds of tiny jnp ops over host arrays — pin them to
+    # the host CPU backend: on remote-TPU stacks each device dispatch costs
+    # ~ms round trips, which made export dominate small-case wall time
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _export_results_impl(case, traj, times, fname, wall_time_s,
+                                    run_metadata, _v)
+
+
+def _export_results_impl(case, traj, times, fname, wall_time_s,
+                         run_metadata, _v) -> str:
+
     model = case.model
     moving = [i for i, b in enumerate(case.system.bodies) if not b.fixed]
     slot_of = {i: s for s, i in enumerate(moving)}

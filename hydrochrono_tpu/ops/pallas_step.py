@@ -183,10 +183,11 @@ class FusedStepBuilder:
     """Compiles a Simulation's step math into a single Pallas TPU kernel.
 
     Supported configuration (everything the production blocked TPU path
-    uses): euler_implicit_linearized integrator, convolution radiation,
-    coefficient TSDAs/RSDAs (no tabulated curves), no motors, float32.
-    Unsupported configs raise at construction; callers fall back to the
-    XLA step.
+    uses): euler_implicit_linearized or HHT-alpha integrators, convolution
+    radiation, TSDAs with coefficients or tabulated nonlinear curves
+    (evaluated in-kernel from SMEM tables), RSDAs, float32/float64.
+    Unsupported configs (motors, state-space radiation) raise at
+    construction; callers fall back to the XLA step.
 
     Forward-only: pallas_call has no automatic VJP, so jax.grad flows
     through the XLA stepper path (stepper.run / run_batch), which remains
@@ -197,18 +198,17 @@ class FusedStepBuilder:
         """for_kernel=False builds a geometry-only variant (constraint rows +
         constant vector) used by the exporter to reconstruct world-frame joint
         reaction wrenches along a trajectory; it skips the kernel-path gates
-        so it also serves HHT / motor / curve configurations."""
+        so it also serves motor / curve configurations."""
         spec = sim.spec
+        self.hht = sim.integrator == "hht"
         if for_kernel:
-            if sim.integrator != "euler_implicit_linearized":
-                raise NotImplementedError("fused step: euler integrator only")
+            if sim.integrator not in ("euler_implicit_linearized", "hht"):
+                raise NotImplementedError(
+                    f"fused step: integrator {sim.integrator}")
             if sim.radiation != "convolution":
                 raise NotImplementedError("fused step: convolution radiation only")
             if spec.motors:
                 raise NotImplementedError("fused step: motors unsupported")
-            for t in spec.tsdas:
-                if t.spring_curve is not None or t.damping_curve is not None:
-                    raise NotImplementedError("fused step: tabulated TSDA curves")
         if sim.dtype not in (jnp.float32, jnp.dtype("float64")):
             raise NotImplementedError("fused step: float32/float64 only")
         self.dtype = sim.dtype
@@ -314,6 +314,17 @@ class FusedStepBuilder:
                 p["tsda_k"].shape[:-1] + (1,)), batch_key="tsda_k")
             reg(f"t{t}_c", 1, lambda p, idx=t: p["tsda_c"][..., idx].reshape(
                 p["tsda_c"].shape[:-1] + (1,)), batch_key="tsda_c")
+            ts = spec.tsdas[t]
+            if ts.spring_curve is not None:
+                reg(f"t{t}_sx", len(ts.spring_curve),
+                    lambda p, idx=t: p["_const"]["tsda"][idx]["spring_x"])
+                reg(f"t{t}_sf", len(ts.spring_curve),
+                    lambda p, idx=t: p["_const"]["tsda"][idx]["spring_f"])
+            if ts.damping_curve is not None:
+                reg(f"t{t}_dx", len(ts.damping_curve),
+                    lambda p, idx=t: p["_const"]["tsda"][idx]["damp_x"])
+                reg(f"t{t}_df", len(ts.damping_curve),
+                    lambda p, idx=t: p["_const"]["tsda"][idx]["damp_f"])
 
         for r, rs in enumerate(spec.rsdas):
             reg(f"r{r}_a1l", 3,
@@ -448,17 +459,10 @@ class FusedStepBuilder:
         return State(pos=pos, quat=quat, lin_vel=lin, ang_vel=ang,
                      vhist=vh, ss=ss_like)
 
-    # -- the step math (plain jnp; runs inside or outside Pallas) ----------
-    def step_rows(self, C, sc, fx):
-        """One step on component rows.
-
-        C: scalar accessor (idx -> 0-d value); sc: [CS, ...] state rows;
-        fx: [K, ...] (f_wave - f_rad) rows or None.
-        Returns (new_sc_rows list[CS], extra_rows list[CE]).
-        """
+    # -- shared row-space physics helpers (plain jnp; in or out of Pallas) --
+    def _accessors(self, C, pos, quat, lin, ang):
+        """pose/vel/slot closures over per-slot component lists."""
         sim, spec = self.sim, self.spec
-        nm, nv, m = self.nm, self.nv, self.m
-        h = self.dt
         o = self._off
 
         def c1(name, i=0):
@@ -466,13 +470,6 @@ class FusedStepBuilder:
 
         def c3(name, base=0):
             return [c1(name, base + k) for k in range(3)]
-
-        pos = [[sc[self.ip(s, k)] for k in range(3)] for s in range(nm)]
-        quat = [[sc[self.iq(s, k)] for k in range(4)] for s in range(nm)]
-        lin = [[sc[self.il(s, k)] for k in range(3)] for s in range(nm)]
-        ang = [[sc[self.ia(s, k)] for k in range(3)] for s in range(nm)]
-
-        R = [_rot_matrix(quat[s]) for s in range(nm)]
 
         def pose_of(i):
             if i < 0:
@@ -493,6 +490,63 @@ class FusedStepBuilder:
                 return None
             return sim.slot_of[i]
 
+        return c1, c3, pose_of, vel_of, slot
+
+    def _interp_table(self, c1, x, name_x, name_f, npts):
+        """np.interp on a strictly-increasing SMEM table, statically unrolled
+        as telescoping clamped segments (exact, incl. end clamping)."""
+        y = c1(name_f, 0)
+        for s in range(npts - 1):
+            x0 = c1(name_x, s)
+            x1 = c1(name_x, s + 1)
+            t = jnp.clip((x - x0) / (x1 - x0), 0.0, 1.0)
+            y = y + t * (c1(name_f, s + 1) - c1(name_f, s))
+        return y
+
+    def _tsda_state(self, idx, c3, pos_of, vel_fn):
+        spec = self.spec
+        t = spec.tsdas[idx]
+        pb1, qb1 = pos_of(t.body1)
+        pb2, qb2 = pos_of(t.body2)
+        P1 = _vadd(pb1, _quat_rotate(qb1, c3(f"t{idx}_l1")))
+        P2 = _vadd(pb2, _quat_rotate(qb2, c3(f"t{idx}_l2")))
+        u1, w1 = vel_fn(t.body1)
+        u2, w2 = vel_fn(t.body2)
+        V1 = _vadd(u1, _cross3(w1, _vsub(P1, pb1)))
+        V2 = _vadd(u2, _cross3(w2, _vsub(P2, pb2)))
+        d = _vsub(P2, P1)
+        L = jnp.sqrt(_z(_dot3(d, d)) + 1e-30)
+        Lsafe = jnp.maximum(L, 1e-12)
+        dhat = [_z(x) / Lsafe for x in d]
+        dV = _vsub(V2, V1)
+        Ldot = _z(_dot3(dV, dhat))
+        return t, P1, P2, L, Ldot, dhat, pb1, pb2
+
+    def _tsda_scalar_forces(self, idx, c1, L, Ldot):
+        """Spring/damping force split; tabulated curves evaluated from SMEM
+        tables (stepper._tsda_forces_scalar / jnp.interp semantics)."""
+        t = self.spec.tsdas[idx]
+        if t.spring_curve is not None:
+            fs = -self._interp_table(c1, L - c1(f"t{idx}_L0"), f"t{idx}_sx",
+                                     f"t{idx}_sf", len(t.spring_curve))
+        else:
+            fs = -c1(f"t{idx}_k") * (L - c1(f"t{idx}_L0"))
+        if t.damping_curve is not None:
+            fd = -self._interp_table(c1, Ldot, f"t{idx}_dx", f"t{idx}_df",
+                                     len(t.damping_curve))
+        else:
+            fd = -c1(f"t{idx}_c") * Ldot
+        return fs, fd
+
+    def _forces_rows(self, C, pos, quat, lin, ang):
+        """Mechanical generalized forces (gravity, gyroscopic, TSDA, RSDA)
+        and world inertia. Returns (F list[nv] w/ None zeros, IW, R)."""
+        sim, spec = self.sim, self.spec
+        nm, nv = self.nm, self.nv
+        c1, c3, pose_of, vel_of, slot = self._accessors(C, pos, quat, lin, ang)
+
+        R = [_rot_matrix(quat[s]) for s in range(nm)]
+
         # world inertia I_w = R I_body R^T
         IW = []
         for s in range(nm):
@@ -503,7 +557,6 @@ class FusedStepBuilder:
             IW.append([[sum(RI[a][k] * R[s][b][k] for k in range(3))
                         for b in range(3)] for a in range(3)])
 
-        # ----- generalized forces F[nv] (None = structural zero) -----
         F = [None] * nv
         for s in range(nm):
             ms = c1("mass", s)
@@ -524,32 +577,10 @@ class FusedStepBuilder:
                 F[sl * 6 + k] = _sadd(F[sl * 6 + k], force[k])
                 F[sl * 6 + 3 + k] = _sadd(F[sl * 6 + 3 + k], torque[k])
 
-        def tsda_state(idx, pos_of, vel_fn):
-            t = spec.tsdas[idx]
-            pb1, qb1 = pos_of(t.body1)
-            pb2, qb2 = pos_of(t.body2)
-            P1 = _vadd(pb1, _quat_rotate(qb1, c3(f"t{idx}_l1")))
-            P2 = _vadd(pb2, _quat_rotate(qb2, c3(f"t{idx}_l2")))
-            u1, w1 = vel_fn(t.body1)
-            u2, w2 = vel_fn(t.body2)
-            V1 = _vadd(u1, _cross3(w1, _vsub(P1, pb1)))
-            V2 = _vadd(u2, _cross3(w2, _vsub(P2, pb2)))
-            d = _vsub(P2, P1)
-            L = jnp.sqrt(_z(_dot3(d, d)) + 1e-30)
-            Lsafe = jnp.maximum(L, 1e-12)
-            dhat = [_z(x) / Lsafe for x in d]
-            dV = _vsub(V2, V1)
-            Ldot = _z(_dot3(dV, dhat))
-            return t, P1, P2, L, Ldot, dhat, pb1, pb2
-
-        def tsda_scalar_forces(idx, L, Ldot):
-            fs = -c1(f"t{idx}_k") * (L - c1(f"t{idx}_L0"))
-            fd = -c1(f"t{idx}_c") * Ldot
-            return fs, fd
-
         for idx in range(self.n_tsda):
-            t, P1, P2, L, Ldot, dhat, pb1, pb2 = tsda_state(idx, pose_of, vel_of)
-            fs, fd = tsda_scalar_forces(idx, L, Ldot)
+            t, P1, P2, L, Ldot, dhat, pb1, pb2 = self._tsda_state(
+                idx, c3, pose_of, vel_of)
+            fs, fd = self._tsda_scalar_forces(idx, c1, L, Ldot)
             fmag = fs + fd
             fvec2 = [fmag * x for x in dhat]
             add_wrench(t.body2, fvec2, _cross3(_vsub(P2, pb2), fvec2))
@@ -573,28 +604,45 @@ class FusedStepBuilder:
             add_wrench(r.body2, [None] * 3, tvec)
             add_wrench(r.body1, [None] * 3, [-x for x in tvec])
 
-        # ----- hydrostatics + external hydro forcing -----
-        if sim.hydro is not None and fx is not None:
-            rho_g = c1("rho_g")
-            for hb in range(self.nh):
-                s = sim.hydro_slots[hb]
-                r02 = jnp.clip(R[s][0][2], -1.0, 1.0)
-                card_b = asin_tpu(r02)
-                card_a = atan2_tpu(-R[s][1][2], R[s][2][2])
-                card_c = atan2_tpu(-R[s][0][1], R[s][0][0])
-                disp6 = [pos[s][0] - c1("cg", hb * 3 + 0),
-                         pos[s][1] - c1("cg", hb * 3 + 1),
-                         pos[s][2] - c1("cg", hb * 3 + 2),
-                         card_a, card_b, card_c]
-                for i in range(6):
-                    acc = None
-                    for jj in range(6):
-                        acc = _sadd(acc, _smul(c1("klin", hb * 36 + i * 6 + jj),
-                                               disp6[jj]))
-                    fhs = -rho_g * _z(acc) + c1("buoy6", hb * 6 + i)
-                    F[s * 6 + i] = _sadd(F[s * 6 + i], fhs + fx[hb * 6 + i])
+        return F, IW, R
 
-        # ----- Mhat = blockdiag(m I3, I_w) + A_inf -----
+    def _add_hydro_rows(self, C, F, pos, R, fx):
+        """Add hydrostatic restoring + buoyancy + external hydro forcing
+        (fx = f_wave - f_rad) into F, in place."""
+        sim = self.sim
+        o = self._off
+
+        def c1(name, i=0):
+            return C(o[name] + i)
+
+        rho_g = c1("rho_g")
+        for hb in range(self.nh):
+            s = sim.hydro_slots[hb]
+            r02 = jnp.clip(R[s][0][2], -1.0, 1.0)
+            card_b = asin_tpu(r02)
+            card_a = atan2_tpu(-R[s][1][2], R[s][2][2])
+            card_c = atan2_tpu(-R[s][0][1], R[s][0][0])
+            disp6 = [pos[s][0] - c1("cg", hb * 3 + 0),
+                     pos[s][1] - c1("cg", hb * 3 + 1),
+                     pos[s][2] - c1("cg", hb * 3 + 2),
+                     card_a, card_b, card_c]
+            for i in range(6):
+                acc = None
+                for jj in range(6):
+                    acc = _sadd(acc, _smul(c1("klin", hb * 36 + i * 6 + jj),
+                                           disp6[jj]))
+                fhs = -rho_g * _z(acc) + c1("buoy6", hb * 6 + i)
+                F[s * 6 + i] = _sadd(F[s * 6 + i], fhs + fx[hb * 6 + i])
+        return F
+
+    def _mass_rows(self, C, IW):
+        """Mhat = blockdiag(m I3, I_w) + A_inf as an [nv][nv] list matrix."""
+        nv, nm = self.nv, self.nm
+        o = self._off
+
+        def c1(name, i=0):
+            return C(o[name] + i)
+
         M = [[c1("ainf", i * nv + j) for j in range(nv)] for i in range(nv)]
         for s in range(nm):
             ms = c1("mass", s)
@@ -605,6 +653,34 @@ class FusedStepBuilder:
                     M[s * 6 + 3 + a][s * 6 + 3 + b] = (
                         M[s * 6 + 3 + a][s * 6 + 3 + b] + IW[s][a][b]
                     )
+        return M
+
+    # -- the Euler step math ------------------------------------------------
+    def step_rows(self, C, sc, fx):
+        """One step on component rows.
+
+        C: scalar accessor (idx -> 0-d value); sc: [CS, ...] state rows;
+        fx: [K, ...] (f_wave - f_rad) rows or None.
+        Returns (new_sc_rows list[CS], extra_rows list[CE]).
+        """
+        sim, spec = self.sim, self.spec
+        nm, nv, m = self.nm, self.nv, self.m
+        h = self.dt
+
+        pos = [[sc[self.ip(s, k)] for k in range(3)] for s in range(nm)]
+        quat = [[sc[self.iq(s, k)] for k in range(4)] for s in range(nm)]
+        lin = [[sc[self.il(s, k)] for k in range(3)] for s in range(nm)]
+        ang = [[sc[self.ia(s, k)] for k in range(3)] for s in range(nm)]
+
+        c1, c3, pose_of, vel_of, slot = self._accessors(C, pos, quat, lin, ang)
+
+        F, IW, R = self._forces_rows(C, pos, quat, lin, ang)
+
+        # ----- hydrostatics + external hydro forcing -----
+        if sim.hydro is not None and fx is not None:
+            F = self._add_hydro_rows(C, F, pos, R, fx)
+
+        M = self._mass_rows(C, IW)
 
         v = []
         for s in range(nm):
@@ -683,11 +759,168 @@ class FusedStepBuilder:
                 return new_lin[s], new_ang[s]
 
             for idx in range(self.n_tsda):
-                _, P1, P2, L, Ldot, dhat, pb1, pb2 = tsda_state(idx, pose_new, vel_new)
-                fs, fd = tsda_scalar_forces(idx, L, Ldot)
+                _, P1, P2, L, Ldot, dhat, pb1, pb2 = self._tsda_state(
+                    idx, c3, pose_new, vel_new)
+                fs, fd = self._tsda_scalar_forces(idx, c1, L, Ldot)
                 extra.extend([L, Ldot, fs, fd])
 
         return sc_new, extra
+
+    # -- the HHT-alpha step math (stepper._step_hht on component rows) ------
+    def step_rows_hht(self, C, sc, hc, fx):
+        """One HHT-alpha step with `sim.hht_iterations` modified-Newton
+        iterations (mirrors stepper._step_hht: plain predictor, hydro frozen
+        at the predicted state, Chrono-matching on the reference YAML cases).
+
+        hc: list[2*nv] HHT carry rows — a_prev[nv] then f_prev[nv].
+        Returns (new_sc_rows, new_hc_rows, extra_rows).
+        """
+        sim, spec = self.sim, self.spec
+        nm, nv, m = self.nm, self.nv, self.m
+        h = self.dt
+        alpha = sim.hht_alpha
+        gamma = 0.5 - alpha
+        beta = (1.0 - alpha) ** 2 / 4.0
+
+        pos = [[sc[self.ip(s, k)] for k in range(3)] for s in range(nm)]
+        quat = [[sc[self.iq(s, k)] for k in range(4)] for s in range(nm)]
+        lin = [[sc[self.il(s, k)] for k in range(3)] for s in range(nm)]
+        ang = [[sc[self.ia(s, k)] for k in range(3)] for s in range(nm)]
+        ap = [hc[i] for i in range(nv)]
+        f_prev = [hc[nv + i] for i in range(nv)]
+
+        c1, c3, _, _, slot = self._accessors(C, pos, quat, lin, ang)
+
+        # plain predictor (x + h v, v) — the state at which the memoized
+        # hydro force freezes (hydro_forces.cpp:742-744)
+        x_p = [[pos[s][k] + h * lin[s][k] for k in range(3)] for s in range(nm)]
+        q_p = [self._quat_integrate(quat[s], ang[s], h) for s in range(nm)]
+
+        # frozen hydro wrench rows (hydrostatics at predicted pose + fx)
+        f_hydro = None
+        if sim.hydro is not None and fx is not None:
+            Rp = [_rot_matrix(q_p[s]) for s in range(nm)]
+            fh = [None] * nv
+            fh = self._add_hydro_rows(C, fh, x_p, Rp, fx)
+            f_hydro = fh
+
+        def kinematics(a):
+            pos_i, quat_i, lin_i, ang_i = [], [], [], []
+            for s in range(nm):
+                dx = [h * lin[s][k]
+                      + h * h * ((0.5 - beta) * _z(ap[s * 6 + k])
+                                 + beta * _z(a[s * 6 + k])) for k in range(3)]
+                drot = [h * ang[s][k]
+                        + h * h * ((0.5 - beta) * _z(ap[s * 6 + 3 + k])
+                                   + beta * _z(a[s * 6 + 3 + k]))
+                        for k in range(3)]
+                pos_i.append([pos[s][k] + dx[k] for k in range(3)])
+                quat_i.append(self._quat_integrate(
+                    quat[s], [d / h for d in drot], h))
+                lin_i.append([lin[s][k]
+                              + h * ((1 - gamma) * _z(ap[s * 6 + k])
+                                     + gamma * _z(a[s * 6 + k]))
+                              for k in range(3)])
+                ang_i.append([ang[s][k]
+                              + h * ((1 - gamma) * _z(ap[s * 6 + 3 + k])
+                                     + gamma * _z(a[s * 6 + 3 + k]))
+                              for k in range(3)])
+            return pos_i, quat_i, lin_i, ang_i
+
+        a = [None] * nv
+        lam = [None] * m
+        f_new = f_prev
+        for _ in range(sim.hht_iterations):
+            pos_i, quat_i, lin_i, ang_i = kinematics(a)
+            F, IW, _ = self._forces_rows(C, pos_i, quat_i, lin_i, ang_i)
+            if f_hydro is not None:
+                F = [_sadd(F[i], f_hydro[i]) for i in range(nv)]
+            f_new = F
+            M = self._mass_rows(C, IW)
+            r_a = []
+            for i in range(nv):
+                ma = None
+                for j in range(nv):
+                    ma = _sadd(ma, _smul(M[i][j], a[j]))
+                r_a.append(_sadd(_ssub(ma, _smul(1.0 + alpha, F[i])),
+                                 _smul(alpha, f_prev[i])))
+            if m > 0:
+                _, _, pose_i_of, _, _ = self._accessors(
+                    C, pos_i, quat_i, lin_i, ang_i)
+                crows, Jrows = self._constraints(C, pose_i_of, slot)
+                for i in range(nv):
+                    jl = None
+                    for aa in range(m):
+                        jl = _sadd(jl, _smul(Jrows[aa][i], lam[aa]))
+                    r_a[i] = _ssub(r_a[i], jl)
+                r_c = [_z(crows[aa]) / (beta * h * h) for aa in range(m)]
+                # KKT-structured modified-Newton update:
+                #   M da + J^T dneg_lam = -r_a ; J da = -r_c
+                Lm = _chol(M, nv)
+                bcols = [[_sneg(r_a[i])] + [Jrows[aa][i] for aa in range(m)]
+                         for i in range(nv)]
+                sol = _chol_solve_cols(Lm, bcols, nv, 1 + m)
+                minv_r = [sol[i][0] for i in range(nv)]
+                minv_jt = [[sol[i][1 + aa] for aa in range(m)]
+                           for i in range(nv)]
+                S = [[_z(_dot_list([Jrows[aa][i] for i in range(nv)],
+                                   [minv_jt[i][bb] for i in range(nv)]))
+                      for bb in range(m)] for aa in range(m)]
+                jr = [_dot_list([Jrows[aa][i] for i in range(nv)], minv_r)
+                      for aa in range(m)]
+                Ls = _chol(S, m)
+                dn_cols = _chol_solve_cols(
+                    Ls, [[_z(_sadd(jr[aa], r_c[aa]))] for aa in range(m)], m, 1)
+                dneg_lam = [_z(dn_cols[aa][0]) for aa in range(m)]
+                da = [_ssub(minv_r[i], _dot_list(minv_jt[i], dneg_lam))
+                      for i in range(nv)]
+                a = [_z(_sadd(a[i], da[i])) for i in range(nv)]
+                lam = [_z(_ssub(lam[aa], dneg_lam[aa])) for aa in range(m)]
+            else:
+                Lm = _chol(M, nv)
+                sol = _chol_solve_cols(
+                    Lm, [[_sneg(r_a[i])] for i in range(nv)], nv, 1)
+                a = [_z(_sadd(a[i], sol[i][0])) for i in range(nv)]
+
+        pos_n, quat_n, lin_n, ang_n = kinematics(a)
+
+        sc_new = []
+        for s in range(nm):
+            sc_new.extend(pos_n[s])
+        for s in range(nm):
+            sc_new.extend(quat_n[s])
+        for s in range(nm):
+            sc_new.extend(lin_n[s])
+        for s in range(nm):
+            sc_new.extend(ang_n[s])
+        hc_new = [_z(a[i]) for i in range(nv)] + [_z(f_new[i]) for i in range(nv)]
+
+        extra = [_z(a[i]) for i in range(nv)]
+        # export multipliers in the Euler impulse convention (stepper._step_hht)
+        extra.extend([-_z(lam[aa]) * h for aa in range(m)])
+        if self.n_tsda:
+            def pose_new(i):
+                if i < 0:
+                    return [0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]
+                if spec.bodies[i].fixed:
+                    return c3(f"fix{i}_pos"), [c1(f"fix{i}_quat", k)
+                                               for k in range(4)]
+                s = sim.slot_of[i]
+                return pos_n[s], quat_n[s]
+
+            def vel_new(i):
+                if i < 0 or spec.bodies[i].fixed:
+                    return [None] * 3, [None] * 3
+                s = sim.slot_of[i]
+                return lin_n[s], ang_n[s]
+
+            for idx in range(self.n_tsda):
+                _, P1, P2, L, Ldot, dhat, pb1, pb2 = self._tsda_state(
+                    idx, c3, pose_new, vel_new)
+                fs, fd = self._tsda_scalar_forces(idx, c1, L, Ldot)
+                extra.extend([L, Ldot, fs, fd])
+
+        return sc_new, hc_new, extra
 
     @staticmethod
     def _quat_integrate(q, w, h):
@@ -833,7 +1066,8 @@ class FusedStepBuilder:
     # -- pallas wrapper ------------------------------------------------------
     def make_fused_step(self, RB, interpret=False, idx_map=None):
         """Returns fn(cvec [NC], sc [CS, RB, 128], fx [K, RB, 128] or None,
-        bvec [NB, RB, 128] or None) -> (sc_new, extra [CE, RB, 128]).
+        bvec [NB, RB, 128] or None, hc [2nv, RB, 128] when HHT) ->
+        (sc_new, extra [CE, RB, 128]) — or (sc_new, hc_new, extra) for HHT.
 
         idx_map (from bvec()): cvec index -> bvec row, for per-instance
         batched constants (sweeps over PTO coefficients / masses)."""
@@ -848,6 +1082,8 @@ class FusedStepBuilder:
         grid = (RB // RT,)
         has_fx = self.sim.hydro is not None
         has_bv = bool(idx_map)
+        hht = self.hht
+        CH = 2 * self.nv
         idx_map = idx_map or {}
         NB = max(len(set(idx_map.values())), 1)
 
@@ -855,50 +1091,71 @@ class FusedStepBuilder:
             rest = list(rest)
             bv = rest.pop(0)[...] if has_bv else None
             fx = rest.pop(0)[...] if has_fx else None
-            scref, scoref, exref = rest[0], rest[1], rest[2]
+            hcref = rest.pop(0) if hht else None
+            scref = rest.pop(0)
+            scoref = rest.pop(0)
+            hcoref = rest.pop(0) if hht else None
+            exref = rest.pop(0)
 
             def C(i):
                 j = idx_map.get(i)
                 return cref[i] if j is None else bv[j]
 
             sc = scref[...]
-            sc_new, extra = self.step_rows(C, sc, fx)
-            scoref[...] = jnp.stack(sc_new)
-            exref[...] = jnp.stack(extra)
+
+            def bstack(rows):
+                # rows produced purely from SMEM constants stay scalar-shaped;
+                # broadcast everything to the batch tile before stacking
+                return jnp.stack([
+                    jnp.broadcast_to(jnp.asarray(r, self.dtype), sc.shape[1:])
+                    for r in rows
+                ])
+
+            if hht:
+                hc = hcref[...]
+                sc_new, hc_new, extra = self.step_rows_hht(C, sc, hc, fx)
+                hcoref[...] = bstack(hc_new)
+            else:
+                sc_new, extra = self.step_rows(C, sc, fx)
+            scoref[...] = bstack(sc_new)
+            exref[...] = bstack(extra)
+
+        def vspec(c):
+            return pl.BlockSpec((c, RT, LANE), lambda g: (0, g, 0),
+                                memory_space=pltpu.VMEM)
 
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
         if has_bv:
-            in_specs.append(pl.BlockSpec((NB, RT, LANE), lambda g: (0, g, 0),
-                                         memory_space=pltpu.VMEM))
+            in_specs.append(vspec(NB))
         if has_fx:
-            in_specs.append(pl.BlockSpec((K, RT, LANE), lambda g: (0, g, 0),
-                                         memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((CS, RT, LANE), lambda g: (0, g, 0),
-                                     memory_space=pltpu.VMEM))
-        out_specs = [
-            pl.BlockSpec((CS, RT, LANE), lambda g: (0, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CE, RT, LANE), lambda g: (0, g, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+            in_specs.append(vspec(K))
+        if hht:
+            in_specs.append(vspec(CH))
+        in_specs.append(vspec(CS))
+        out_specs = [vspec(CS)]
+        out_shape = [jax.ShapeDtypeStruct((CS, RB, LANE), self.dtype)]
+        if hht:
+            out_specs.append(vspec(CH))
+            out_shape.append(jax.ShapeDtypeStruct((CH, RB, LANE), self.dtype))
+        out_specs.append(vspec(CE))
+        out_shape.append(jax.ShapeDtypeStruct((CE, RB, LANE), self.dtype))
         call = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
-            out_shape=[
-                jax.ShapeDtypeStruct((CS, RB, LANE), self.dtype),
-                jax.ShapeDtypeStruct((CE, RB, LANE), self.dtype),
-            ],
+            out_shape=out_shape,
             interpret=interpret,
         )
 
-        def fn(cvec, sc, fx=None, bvec=None):
+        def fn(cvec, sc, fx=None, bvec=None, hc=None):
             args = [cvec]
             if has_bv:
                 args.append(bvec)
             if has_fx:
                 args.append(fx)
+            if hht:
+                args.append(hc)
             args.append(sc)
             return call(*args)
 
@@ -913,8 +1170,9 @@ class FusedStepBuilder:
         in `fpre`). Amortizes the per-step dispatch overhead that dominates
         the single-step kernel (~5 XLA dispatches/step -> ~5 per `sub`).
 
-        Returns fn(cvec, sc [CS,RB,128], fpre [sub,K,RB,128], bvec?) ->
-        (sc_final, vout [sub,K,...], traj [sub,CS,...], extra [sub,CE,...]).
+        Returns fn(cvec, sc [CS,RB,128], fpre [sub,K,RB,128], bvec?, hc?) ->
+        (sc_final, [hc_final,] vout [sub,K,...], traj [sub,CS,...],
+        extra [sub,CE,...]).
         """
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -927,6 +1185,8 @@ class FusedStepBuilder:
         RT = 8 if RB % 8 == 0 else RB
         grid = (RB // RT,)
         has_bv = bool(idx_map)
+        hht = self.hht
+        CH = 2 * self.nv
         idx_map = idx_map or {}
         NB = max(len(set(idx_map.values())), 1)
         woff = self._off["wsub"]
@@ -944,9 +1204,15 @@ class FusedStepBuilder:
                 j = idx_map.get(i)
                 return cref[i] if j is None else bv[j]
 
-            fpre = rest[0][...]  # [sub, K, RT, LANE]
-            sc = rest[1][...]
-            scoref, voutref, trajref, exref = rest[2], rest[3], rest[4], rest[5]
+            fpre = rest.pop(0)[...]  # [sub, K, RT, LANE]
+            hc_rows = None
+            if hht:
+                hc = rest.pop(0)[...]
+                hc_rows = [hc[i] for i in range(CH)]
+            sc = rest.pop(0)[...]
+            scoref = rest.pop(0)
+            hcoref = rest.pop(0) if hht else None
+            voutref, trajref, exref = rest[0], rest[1], rest[2]
 
             sc_rows = [sc[i] for i in range(CS)]
             hist = []
@@ -962,53 +1228,73 @@ class FusedStepBuilder:
                         for k in range(K):
                             acc = acc - C(base + k) * hist[j][k]
                     fx.append(acc)
-                sc_rows, extra = self.step_rows(C, sc_rows, fx)
+                if hht:
+                    sc_rows, hc_rows, extra = self.step_rows_hht(
+                        C, sc_rows, hc_rows, fx)
+                else:
+                    sc_rows, extra = self.step_rows(C, sc_rows, fx)
                 v_steps.append(v6)
                 traj_steps.append(sc_rows)
                 ex_steps.append(extra)
 
-            scoref[...] = jnp.stack(sc_rows)
-            voutref[...] = jnp.stack([jnp.stack(v) for v in v_steps])
-            trajref[...] = jnp.stack([jnp.stack(r) for r in traj_steps])
-            exref[...] = jnp.stack([jnp.stack(r) for r in ex_steps])
+            def bstack(rows):
+                # rows produced purely from SMEM constants stay scalar-shaped;
+                # broadcast everything to the batch tile before stacking
+                return jnp.stack([
+                    jnp.broadcast_to(jnp.asarray(r, self.dtype), sc.shape[1:])
+                    for r in rows
+                ])
+
+            scoref[...] = bstack(sc_rows)
+            if hht:
+                hcoref[...] = bstack(hc_rows)
+            voutref[...] = jnp.stack([bstack(v) for v in v_steps])
+            trajref[...] = jnp.stack([bstack(r) for r in traj_steps])
+            exref[...] = jnp.stack([bstack(r) for r in ex_steps])
+
+        def vspec(*dims):
+            n = len(dims)
+            if n == 2:
+                return pl.BlockSpec(dims + (RT, LANE), lambda g: (0, 0, g, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec(dims + (RT, LANE), lambda g: (0, g, 0),
+                                memory_space=pltpu.VMEM)
 
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
         if has_bv:
-            in_specs.append(pl.BlockSpec((NB, RT, LANE), lambda g: (0, g, 0),
-                                         memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((sub, K, RT, LANE), lambda g: (0, 0, g, 0),
-                                     memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((CS, RT, LANE), lambda g: (0, g, 0),
-                                     memory_space=pltpu.VMEM))
-        out_specs = [
-            pl.BlockSpec((CS, RT, LANE), lambda g: (0, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, K, RT, LANE), lambda g: (0, 0, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, CS, RT, LANE), lambda g: (0, 0, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, CE, RT, LANE), lambda g: (0, 0, g, 0),
-                         memory_space=pltpu.VMEM),
+            in_specs.append(vspec(NB))
+        in_specs.append(vspec(sub, K))
+        if hht:
+            in_specs.append(vspec(CH))
+        in_specs.append(vspec(CS))
+        out_specs = [vspec(CS)]
+        out_shape = [jax.ShapeDtypeStruct((CS, RB, LANE), self.dtype)]
+        if hht:
+            out_specs.append(vspec(CH))
+            out_shape.append(jax.ShapeDtypeStruct((CH, RB, LANE), self.dtype))
+        out_specs += [vspec(sub, K), vspec(sub, CS), vspec(sub, CE)]
+        out_shape += [
+            jax.ShapeDtypeStruct((sub, K, RB, LANE), self.dtype),
+            jax.ShapeDtypeStruct((sub, CS, RB, LANE), self.dtype),
+            jax.ShapeDtypeStruct((sub, CE, RB, LANE), self.dtype),
         ]
         call = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
-            out_shape=[
-                jax.ShapeDtypeStruct((CS, RB, LANE), self.dtype),
-                jax.ShapeDtypeStruct((sub, K, RB, LANE), self.dtype),
-                jax.ShapeDtypeStruct((sub, CS, RB, LANE), self.dtype),
-                jax.ShapeDtypeStruct((sub, CE, RB, LANE), self.dtype),
-            ],
+            out_shape=out_shape,
             interpret=interpret,
         )
 
-        def fn(cvec, sc, fpre, bvec=None):
+        def fn(cvec, sc, fpre, bvec=None, hc=None):
             args = [cvec]
             if has_bv:
                 args.append(bvec)
-            args.extend([fpre, sc])
+            args.append(fpre)
+            if hht:
+                args.append(hc)
+            args.append(sc)
             return call(*args)
 
         return fn

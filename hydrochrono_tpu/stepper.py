@@ -1159,6 +1159,12 @@ class Simulation:
                 f"blocked mode resumes at block boundaries only "
                 f"(start_step={start_step} is not a multiple of {tb})"
             )
+        hht = self.integrator == "hht"
+        if hht and start_step != 0:
+            raise NotImplementedError(
+                "blocked HHT resume: the HHT carry (a_prev, f_prev) is not "
+                "part of State; use the Euler path or checkpoint per-step"
+            )
         start_block = start_step // tb
         nblocks = -(-num_steps // tb)
         H2 = self.hist_len
@@ -1176,6 +1182,28 @@ class Simulation:
             bvec, idx_map = b.bvec(params, batched_entries, RB)
         else:
             bvec, idx_map = None, None
+
+        hc0 = None
+        if hht:
+            # initial HHT carry per instance: a0 = 0, f0 = F(initial state)
+            # with zero radiation (stepper._hht_initial_carry), vmapped over
+            # the batch (and over any per-instance params leaves)
+            f_rad0 = jnp.zeros((K,), self.dtype)
+            axes = {}
+            for k2, v2 in params.items():
+                base_leaf = self.params.get(k2)
+                axes[k2] = (0 if (k2 != "_const" and base_leaf is not None
+                                  and hasattr(v2, "ndim")
+                                  and v2.ndim > base_leaf.ndim) else None)
+            f0 = jax.vmap(
+                lambda st, p: self._forces(p, st, jnp.int32(0), f_rad=f_rad0)[0],
+                in_axes=(0, axes),
+            )(states, params)  # [B, nv]
+            hc_flat = jnp.concatenate(
+                [jnp.zeros_like(f0), f0.astype(self.dtype)], axis=1)  # [B, 2nv]
+            Bp = RB * 128
+            sel0 = jnp.minimum(jnp.arange(Bp), B - 1)
+            hc0 = hc_flat[sel0].T.reshape(2 * nv, RB, 128)
         if subblock is None:
             # multi-step kernel: amortizes dispatch on TPU (~2x at B=512);
             # sub=8 keeps the unrolled Mosaic op count moderate. Interpret
@@ -1229,8 +1257,11 @@ class Simulation:
             [tb, K, RB, 128]."""
             if self.wave_kind == "NoWave":
                 return None
+            # HHT evaluates the (frozen) excitation at t+h (stepper._step_hht);
+            # leave the Euler graph literally unchanged (compile-cache hygiene)
+            nb = (n0 + 1) if hht else n0
             if regular:
-                t = (n0 + jnp.arange(tb)).astype(self.dtype) * self.dt
+                t = (nb + jnp.arange(tb)).astype(self.dtype) * self.dt
                 if params["reg_mag"].ndim == 1:
                     f = params["reg_mag"][None, :] * params["reg_amp"] * jnp.cos(
                         params["reg_omega"] * t[:, None]
@@ -1254,14 +1285,15 @@ class Simulation:
                 )
             M = self._exc_window
             if eta_batched:
-                etaw = jax.lax.dynamic_slice_in_dim(eta_p, n0, M + tb - 1, axis=-1)
+                etaw = jax.lax.dynamic_slice_in_dim(eta_p, nb, M + tb - 1,
+                                                    axis=-1)
                 return jnp.einsum(
                     "djk,rlj->dkrl",
                     const["eh_kernel"].astype(self.dtype),
                     etaw,
                 )
             etaw = jax.lax.dynamic_slice_in_dim(
-                params["irr_eta"], n0, M + tb - 1, axis=-1
+                params["irr_eta"], nb, M + tb - 1, axis=-1
             )
             return rad.excitation_block(
                 const["eh_kernel"], etaw.astype(self.far_dtype)
@@ -1270,7 +1302,10 @@ class Simulation:
         Wsr = const["W_small_rev"]
 
         def block(carry, bi):
-            sc, vhist = carry
+            if hht:
+                sc, hc, vhist = carry
+            else:
+                (sc, vhist), hc = carry, None
             n0 = bi * tb
             p0 = jnp.mod(n0, H2)
             vold = jnp.roll(vhist[::-1], p0, axis=0)[:Hj]  # [Hj, K, RB, 128]
@@ -1281,7 +1316,7 @@ class Simulation:
             f_exc = wave_block(n0)
 
             def inner(ic, d):
-                sc, vblock = ic
+                sc, hc, vblock = ic
                 v6 = sc[v6_rows]  # [K, RB, 128]
                 vblock = jax.lax.dynamic_update_slice_in_dim(
                     vblock, v6[None], d, axis=0
@@ -1292,7 +1327,11 @@ class Simulation:
                 if f_exc is not None:
                     fe = f_exc[d]
                     fxd = fxd + (fe[:, None, None] if fe.ndim == 1 else fe)
-                sc2, extra = fused_call(cvec, sc, fxd, bvec)
+                if hht:
+                    sc2, hc2, extra = fused_call(cvec, sc, fxd, bvec, hc)
+                else:
+                    sc2, extra = fused_call(cvec, sc, fxd, bvec)
+                    hc2 = hc
                 out = {}
                 for k in keys:
                     spec_k = row_slices[k]
@@ -1301,10 +1340,10 @@ class Simulation:
                         out[k] = extra[lo:hi]
                     else:
                         out[k] = sc2[spec_k[0]:spec_k[1]]
-                return (sc2, vblock), out
+                return (sc2, hc2, vblock), out
 
             def inner_sub(ic, c):
-                sc, vblock = ic
+                sc, hc, vblock = ic
                 base = c * subblock
                 # mid-field: this block's steps before the current sub-block
                 # (rows >= base are still zero in vblock, so the wrapped
@@ -1321,7 +1360,13 @@ class Simulation:
                     fe = jax.lax.dynamic_slice_in_dim(f_exc, base, subblock,
                                                       axis=0)
                     fpre = fpre + (fe[:, :, None, None] if fe.ndim == 2 else fe)
-                sc2, vout, traj_sc, exs = fused_sub_call(cvec, sc, fpre, bvec)
+                if hht:
+                    sc2, hc2, vout, traj_sc, exs = fused_sub_call(
+                        cvec, sc, fpre, bvec, hc)
+                else:
+                    sc2, vout, traj_sc, exs = fused_sub_call(
+                        cvec, sc, fpre, bvec)
+                    hc2 = hc
                 vblock = jax.lax.dynamic_update_slice_in_dim(
                     vblock, vout, base, axis=0
                 )
@@ -1333,11 +1378,12 @@ class Simulation:
                         out[k] = exs[:, lo:hi]
                     else:
                         out[k] = traj_sc[:, spec_k[0]:spec_k[1]]
-                return (sc2, vblock), out
+                return (sc2, hc2, vblock), out
 
+            vblock0 = jnp.zeros((tb, K, RB, 128), self.dtype)
             if subblock > 1:
-                (sc, vblock), outs = jax.lax.scan(
-                    inner_sub, (sc, jnp.zeros((tb, K, RB, 128), self.dtype)),
+                (sc, hc, vblock), outs = jax.lax.scan(
+                    inner_sub, (sc, hc, vblock0),
                     jnp.arange(tb // subblock, dtype=jnp.int32),
                 )
                 # [nsub, sub, C, RB, 128] -> [tb, C, RB, 128]
@@ -1345,19 +1391,24 @@ class Simulation:
                     lambda x: x.reshape((tb,) + x.shape[2:]), outs
                 )
             else:
-                (sc, vblock), outs = jax.lax.scan(
-                    inner, (sc, jnp.zeros((tb, K, RB, 128), self.dtype)),
+                (sc, hc, vblock), outs = jax.lax.scan(
+                    inner, (sc, hc, vblock0),
                     jnp.arange(tb, dtype=jnp.int32),
                 )
             vhist = jax.lax.dynamic_update_slice_in_dim(
                 vhist, vblock, p0, axis=0
             )
-            return (sc, vhist), outs
+            return ((sc, hc, vhist) if hht else (sc, vhist)), outs
 
-        (sc_f, vhist_f), traj = jax.lax.scan(
-            block, (sc0, vhist0),
+        carry0 = (sc0, hc0, vhist0) if hht else (sc0, vhist0)
+        final_carry, traj = jax.lax.scan(
+            block, carry0,
             start_block + jnp.arange(nblocks, dtype=jnp.int32),
         )
+        if hht:
+            sc_f, _, vhist_f = final_carry
+        else:
+            sc_f, vhist_f = final_carry
 
         final = b.unpack_state(sc_f, vhist_f, B, states.ss)
 

@@ -47,6 +47,15 @@ def component_breakdown(sim, state=None, reps: int = 20) -> dict:
     n = jnp.int32(0)
     out = {}
 
+    if sim.hydro is not None and sim.radiation == "convolution":
+        # blocked sims carry a block-aligned ring longer than the kernel;
+        # time the per-step component kernels on the kernel-length window
+        import dataclasses
+
+        H = const["W_rev"].shape[0]
+        if state.vhist.shape[0] != H:
+            state = dataclasses.replace(state, vhist=state.vhist[:H])
+
     if sim.hydro is not None:
         out["hydrostatics"] = _time(
             jax.jit(lambda: sim._hydrostatic(params, state.pos, state.quat)), reps=reps

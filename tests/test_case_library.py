@@ -30,9 +30,10 @@ def test_case_library_end_to_end(tmp_path):
         env={**os.environ, "JAX_PLATFORMS": "cpu"}, cwd=REPO,
     )
     assert out.returncode == 0, out.stdout + out.stderr
-    # all five topologies discovered and green
-    for case in ("rm3/decay", "rm3/irregular", "oswec/decay", "f3of/decay",
-                 "deepcwind/decay"):
+    # all topologies discovered and green (incl. the nonlinear-PTO + HHT
+    # variant mirroring the reference's rm3_nonlinearPTO.model.yaml)
+    for case in ("rm3/decay", "rm3/irregular", "rm3/nonlinear", "oswec/decay",
+                 "f3of/decay", "deepcwind/decay"):
         assert case in out.stdout, f"case {case} not discovered"
-    assert out.stdout.count("PASS") >= 5, out.stdout
+    assert out.stdout.count("PASS") >= 6, out.stdout
     assert "FAIL" not in out.stdout and "ERROR" not in out.stdout, out.stdout

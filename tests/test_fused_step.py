@@ -232,17 +232,18 @@ def test_fused_analytic_jacobian_matches_jvp(small_h5, small_h5_1body):
 
 
 def test_fused_gating(small_h5):
-    """Unsupported configurations refuse cleanly."""
+    """Unsupported configurations refuse cleanly; supported ones don't."""
     spec = _spec_rm3ish(small_h5)
-    sim_hht = Simulation(spec, dt=0.01, block_size=8, integrator="hht")
-    assert not sim_hht.fused_supported()
     sim_unblocked = Simulation(spec, dt=0.01)
     assert not sim_unblocked.fused_supported()
 
+    # round-3: HHT and tabulated TSDA curves run in-kernel now
+    sim_hht = Simulation(spec, dt=0.01, block_size=8, integrator="hht")
+    assert sim_hht.fused_supported()
     curve = np.array([[-1.0, -100.0], [1.0, 100.0]])
     spec_curve = dataclass_replace_tsda(spec, curve)
     sim_curve = Simulation(spec_curve, dt=0.01, block_size=8)
-    assert not sim_curve.fused_supported()
+    assert sim_curve.fused_supported()
 
     sim_ok = Simulation(spec, dt=0.01, block_size=8)
     assert sim_ok.fused_supported()
@@ -254,6 +255,60 @@ def dataclass_replace_tsda(spec, curve):
     t = spec.tsdas[0]
     t2 = dataclasses.replace(t, spring_curve=curve)
     return dataclasses.replace(spec, tsdas=[t2])
+
+
+def test_fused_hht_irregular(small_h5):
+    """Fused HHT kernel == the blocked XLA HHT path (the reference's YAML
+    integrator, run_hydrochrono_from_yaml.cpp:185-214) incl. acc/lambda/tsda
+    channels and the frozen-hydro t+h excitation convention."""
+    wave = IrregularWaveParams(height=2.0, period=8.0, nfrequencies=30,
+                               ramp_duration=2.0)
+    sim = Simulation(_spec_rm3ish(small_h5), dt=0.01, wave=wave, duration=5.0,
+                     block_size=8, integrator="hht",
+                     outputs=("pos", "quat", "lin_vel", "ang_vel", "acc",
+                              "lambda", "tsda"))
+    _compare_runs(sim)
+
+
+def test_fused_hht_subblock_regular(small_h5_1body):
+    """HHT through the multi-step sub-block kernel (regular waves, RSDA)."""
+    wave = RegularWave(amplitude=0.5, omega=1.2)
+    sim = Simulation(_spec_revolute_fixed(small_h5_1body), dt=0.01, wave=wave,
+                     block_size=16, integrator="hht",
+                     outputs=("pos", "quat", "lambda"))
+    B, n = 2, 32
+    states = make_batched_states(sim, B)
+    ref_final, ref_traj = jax.jit(jax.vmap(lambda s: sim.run(n, state=s)))(states)
+    got_final, got_traj = jax.jit(
+        lambda s: sim.run_blocked_fused(n, s, subblock=8))(states)
+    for k in got_traj:
+        if k in ref_traj:
+            scale = max(1.0, float(np.abs(np.asarray(ref_traj[k])).max()))
+            err = float(np.abs(np.asarray(ref_traj[k])
+                               - np.asarray(got_traj[k])).max())
+            assert err / scale < 1e-9, k
+    assert float(np.abs(np.asarray(ref_final.vhist)
+                        - np.asarray(got_final.vhist)).max()) < 1e-9
+
+
+def test_fused_tsda_curves(small_h5):
+    """Tabulated nonlinear TSDA curves (rm3_nonlinearPTO.model.yaml) evaluated
+    in-kernel from SMEM tables == jnp.interp in the XLA path, including
+    out-of-range end clamping."""
+    import dataclasses
+
+    spec = _spec_rm3ish(small_h5)
+    t = spec.tsdas[0]
+    spring = np.array([[-2.0, -4e4], [-1.0, -1.5e4], [0.0, 0.0],
+                       [1.0, 1.5e4], [2.0, 4e4]])
+    damp = np.array([[-3.0, 3e4], [-1.5, 2e4], [-0.5, 5e3], [0.0, 0.0],
+                     [0.5, -5e3], [1.5, -2e4], [3.0, -3e4]])
+    t2 = dataclasses.replace(t, spring_curve=spring, damping_curve=damp)
+    spec = dataclasses.replace(spec, tsdas=[t2])
+    wave = RegularWave(amplitude=1.5, omega=1.0)
+    sim = Simulation(spec, dt=0.01, wave=wave, block_size=8,
+                     outputs=("pos", "tsda"))
+    _compare_runs(sim)
 
 
 def test_pallas_math_accuracy():
