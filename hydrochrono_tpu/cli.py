@@ -200,7 +200,7 @@ def run_case(args, log) -> int:
     block_size = args.block_size
     if (block_size is None and jax.default_backend() == "tpu"
             and not args.no_fused and case.hydro_spec is not None
-            and not args.state_space
+            and not args.state_space and args.dtype != "float64"
             and not (args.guard_chunk or args.checkpoint)):
         # production TPU default: blocked far-field convolution + the fused
         # Pallas step kernel (the builder drops the block for state-space
@@ -251,7 +251,9 @@ def run_case(args, log) -> int:
             )
             return 1
     elif (jax.default_backend() == "tpu" and not args.no_fused
-          and sim.fused_supported()):
+          and sim.dtype == jnp.float32 and sim.fused_supported()):
+        # (f64 stays on the XLA path: Mosaic has no f64 lowering on TPU —
+        # the fused builder's f64 support exists for CPU interpret tests)
         # production TPU path: the fused Pallas step kernel (ops/pallas_step);
         # period sweeps ride the batch axis (the builder already batched the
         # regular-wave params)

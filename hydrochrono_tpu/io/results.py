@@ -521,6 +521,43 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
             for name, data in ch.items():
                 g.create_dataset(name, data=data)
 
+        # mooring line channels (beyond-reference: the reference declares a
+        # moordyn block but implements nothing). Quasi-static tensions are
+        # reconstructed from the body poses (physics/mooring.py).
+        moorings = getattr(case.system, "moorings", None)
+        if moorings is not None and sim is not None:
+            import jax
+            import jax.numpy as jnp_
+
+            from hydrochrono_tpu.physics import mooring as moor_
+            from hydrochrono_tpu.physics.rotations import quat_rotate
+
+            mc = sim.params["_const"]["moor"]
+            for i, ml in enumerate(moorings.lines):
+                _v(f"mooring line discovered: line{i + 1}")
+                g = f.require_group(f"results/model/moorings/line{i + 1}")
+                g.attrs.update({
+                    "time_ref": "/results/time/time", "type": "quasi-static",
+                    "units_force": "N", "frame": "world",
+                    "unstretched_length_m": float(ml.length),
+                    "weight_per_m_N": float(ml.weight_per_m),
+                    "ea_N": float(ml.ea),
+                })
+                s = sim.moor_slots[i]
+                pq = jnp_.asarray(pos[:, s]), jnp_.asarray(quat[:, s])
+                pf = pq[0] + quat_rotate(pq[1], mc["local"][i][None, :])
+                fvec, (Hc, Vc) = jax.vmap(
+                    lambda p: moor_.fairlead_force(
+                        mc["anchor"][i], p, mc["L0"][i], mc["w"][i],
+                        mc["ea"][i], mc["seabed"][i])
+                )(pf)
+                g.create_dataset("fairlead_force", data=np.asarray(fvec))
+                g.create_dataset("tension_h", data=np.asarray(Hc))
+                g.create_dataset("tension_v", data=np.asarray(Vc))
+                g.create_dataset(
+                    "tension_mag",
+                    data=np.sqrt(np.asarray(Hc) ** 2 + np.asarray(Vc) ** 2))
+
         # ---------------- meta ----------------
         meta = f.require_group("meta")
         meta.attrs["schema_version"] = SCHEMA_VERSION

@@ -209,6 +209,18 @@ class FusedStepBuilder:
                 raise NotImplementedError("fused step: convolution radiation only")
             if spec.motors:
                 raise NotImplementedError("fused step: motors unsupported")
+            if spec.moorings is not None:
+                raise NotImplementedError(
+                    "fused step: mooring lines run on the XLA path")
+            for t in spec.tsdas:
+                for curve in (t.spring_curve, t.damping_curve):
+                    if curve is not None and np.any(np.diff(curve[:, 0]) <= 0):
+                        # the unrolled segment interp divides by x[i+1]-x[i];
+                        # duplicated breakpoints would NaN — leave such
+                        # tables to the XLA path's jnp.interp
+                        raise NotImplementedError(
+                            "fused step: curve abscissae must be strictly "
+                            "increasing")
         if sim.dtype not in (jnp.float32, jnp.dtype("float64")):
             raise NotImplementedError("fused step: float32/float64 only")
         self.dtype = sim.dtype
@@ -538,6 +550,34 @@ class FusedStepBuilder:
             fd = -c1(f"t{idx}_c") * Ldot
         return fs, fd
 
+    def _tsda_extras(self, c1, c3, pos_n, quat_n, lin_n, ang_n):
+        """Per-TSDA exporter rows [L, Ldot, f_spring, f_damp] evaluated at
+        the post-step state (stepper._tsda_outputs)."""
+        sim, spec = self.sim, self.spec
+
+        def pose_new(i):
+            if i < 0:
+                return [0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]
+            if spec.bodies[i].fixed:
+                return c3(f"fix{i}_pos"), [c1(f"fix{i}_quat", k)
+                                           for k in range(4)]
+            s = sim.slot_of[i]
+            return pos_n[s], quat_n[s]
+
+        def vel_new(i):
+            if i < 0 or spec.bodies[i].fixed:
+                return [None] * 3, [None] * 3
+            s = sim.slot_of[i]
+            return lin_n[s], ang_n[s]
+
+        rows = []
+        for idx in range(self.n_tsda):
+            _, P1, P2, L, Ldot, dhat, pb1, pb2 = self._tsda_state(
+                idx, c3, pose_new, vel_new)
+            fs, fd = self._tsda_scalar_forces(idx, c1, L, Ldot)
+            rows.extend([L, Ldot, fs, fd])
+        return rows
+
     def _forces_rows(self, C, pos, quat, lin, ang):
         """Mechanical generalized forces (gravity, gyroscopic, TSDA, RSDA)
         and world inertia. Returns (F list[nv] w/ None zeros, IW, R)."""
@@ -744,25 +784,8 @@ class FusedStepBuilder:
             extra.append((v_new[i] - _z(v[i])) / h)
         extra.extend(lam)
         if self.n_tsda:
-            def pose_new(i):
-                if i < 0:
-                    return [0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]
-                if spec.bodies[i].fixed:
-                    return c3(f"fix{i}_pos"), [c1(f"fix{i}_quat", k) for k in range(4)]
-                s = sim.slot_of[i]
-                return new_pos[s], new_quat[s]
-
-            def vel_new(i):
-                if i < 0 or spec.bodies[i].fixed:
-                    return [None] * 3, [None] * 3
-                s = sim.slot_of[i]
-                return new_lin[s], new_ang[s]
-
-            for idx in range(self.n_tsda):
-                _, P1, P2, L, Ldot, dhat, pb1, pb2 = self._tsda_state(
-                    idx, c3, pose_new, vel_new)
-                fs, fd = self._tsda_scalar_forces(idx, c1, L, Ldot)
-                extra.extend([L, Ldot, fs, fd])
+            extra.extend(self._tsda_extras(c1, c3, new_pos, new_quat,
+                                           new_lin, new_ang))
 
         return sc_new, extra
 
@@ -899,26 +922,8 @@ class FusedStepBuilder:
         # export multipliers in the Euler impulse convention (stepper._step_hht)
         extra.extend([-_z(lam[aa]) * h for aa in range(m)])
         if self.n_tsda:
-            def pose_new(i):
-                if i < 0:
-                    return [0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]
-                if spec.bodies[i].fixed:
-                    return c3(f"fix{i}_pos"), [c1(f"fix{i}_quat", k)
-                                               for k in range(4)]
-                s = sim.slot_of[i]
-                return pos_n[s], quat_n[s]
-
-            def vel_new(i):
-                if i < 0 or spec.bodies[i].fixed:
-                    return [None] * 3, [None] * 3
-                s = sim.slot_of[i]
-                return lin_n[s], ang_n[s]
-
-            for idx in range(self.n_tsda):
-                _, P1, P2, L, Ldot, dhat, pb1, pb2 = self._tsda_state(
-                    idx, c3, pose_new, vel_new)
-                fs, fd = self._tsda_scalar_forces(idx, c1, L, Ldot)
-                extra.extend([L, Ldot, fs, fd])
+            extra.extend(self._tsda_extras(c1, c3, pos_n, quat_n,
+                                           lin_n, ang_n))
 
         return sc_new, hc_new, extra
 
@@ -1104,12 +1109,7 @@ class FusedStepBuilder:
             sc = scref[...]
 
             def bstack(rows):
-                # rows produced purely from SMEM constants stay scalar-shaped;
-                # broadcast everything to the batch tile before stacking
-                return jnp.stack([
-                    jnp.broadcast_to(jnp.asarray(r, self.dtype), sc.shape[1:])
-                    for r in rows
-                ])
+                return _bstack(rows, sc.shape[1:], self.dtype)
 
             if hht:
                 hc = hcref[...]
@@ -1238,12 +1238,7 @@ class FusedStepBuilder:
                 ex_steps.append(extra)
 
             def bstack(rows):
-                # rows produced purely from SMEM constants stay scalar-shaped;
-                # broadcast everything to the batch tile before stacking
-                return jnp.stack([
-                    jnp.broadcast_to(jnp.asarray(r, self.dtype), sc.shape[1:])
-                    for r in rows
-                ])
+                return _bstack(rows, sc.shape[1:], self.dtype)
 
             scoref[...] = bstack(sc_rows)
             if hht:
@@ -1305,3 +1300,12 @@ def _dot_list(a, b):
     for x, y in zip(a, b):
         acc = _sadd(acc, _smul(x, y))
     return acc
+
+
+def _bstack(rows, tile_shape, dtype):
+    """Stack row values into one array; rows produced purely from SMEM
+    constants stay scalar-shaped, so broadcast everything to the batch tile
+    first."""
+    return jnp.stack([
+        jnp.broadcast_to(jnp.asarray(r, dtype), tile_shape) for r in rows
+    ])

@@ -1,0 +1,304 @@
+"""Quasi-static catenary mooring (the reference's declared-but-unimplemented
+`moordyn:` hydro-YAML block, hydro_types.h + demos/yaml/rm3/rm3_decay.hydro.yaml
+— no `src/` implementation exists in the reference and the MoorDyn input file
+is absent from its tree; grep confirms the block is parsed nowhere).
+
+This module provides the capability TPU-natively:
+
+  * a tolerant MoorDyn-style input-file parser (LINE TYPES / POINTS /
+    LINES / OPTIONS sections, v1 "Connects" and v2 "Points" spellings);
+  * a quasi-static elastic catenary solver for the fairlead tension
+    components (H, V) given the anchor->fairlead offsets — the classic
+    two-branch formulation (fully suspended vs. seabed touchdown, e.g.
+    Jonkman 2007 / MAP++), solved with a fixed-iteration Newton method so
+    it compiles under `jit`/`vmap`/`lax.scan` and differentiates with
+    `jax.grad`;
+  * per-step fairlead wrenches applied in the stepper's mechanical-force
+    assembly (both the Euler and HHT integrators).
+
+Quasi-static means no line inertia/damping: at every step each line is in
+static equilibrium with its endpoints — the standard mooring model for WEC
+time-domain studies at this fidelity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# spec dataclasses
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MooringLine:
+    """One quasi-static line: world anchor -> body fairlead."""
+
+    body: int                      # spec body index carrying the fairlead
+    anchor: Sequence[float]        # world anchor position
+    fairlead: Sequence[float]      # world fairlead position at t0
+    length: float                  # unstretched length [m]
+    weight_per_m: float            # net submerged weight per length [N/m]
+    ea: float                      # axial stiffness EA [N]
+    seabed: bool = True            # anchor rests on the seabed (touchdown
+    #                                branch allowed); False = fully suspended
+
+
+@dataclasses.dataclass(frozen=True)
+class MooringSpec:
+    lines: Sequence[MooringLine]
+
+
+# ---------------------------------------------------------------------------
+# MoorDyn-style input file parser
+# ---------------------------------------------------------------------------
+
+def _tokens(line: str):
+    return line.replace(",", " ").split()
+
+
+def parse_moordyn_file(path: str, body_names: Sequence[str],
+                       rho: float = 1025.0, g: float = 9.81) -> MooringSpec:
+    """Parse a MoorDyn-style lines file into a MooringSpec.
+
+    body_names: the YAML `moordyn.bodies` list — "Vessel"/"Coupled"/"Body"
+    attachments resolve into it ("vessel" = first entry; "body2"/"vessel2" =
+    second entry, 1-based). Returned MooringLine.body carries the INDEX INTO
+    body_names; the scene layer remaps to spec body indices.
+
+    Only the quasi-static subset is consumed: line-type diameter, mass/m and
+    EA; point attachments/positions; line endpoints + unstretched length.
+    Dynamic-only columns (BA, Cd, Ca, NumSegs, ...) parse and are ignored.
+    Options rows may override `rho`, `g` and set `wtrdpth` (used only to mark
+    fixed anchors near the seabed as touchdown-capable).
+    """
+    types = {}       # name -> (diam, mass_per_m, ea)
+    points = {}      # id -> (attach_kind, body_idx_or_None, xyz)
+    lines_rows = []  # (type_name, idA, idB, unstretched_length)
+    options = {}
+
+    section = None
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if not line:
+                continue
+            upper = line.upper()
+            if line.startswith("-") or line.startswith("="):
+                if "TYPE" in upper and "LINE" in upper:
+                    section = "types"
+                elif ("POINT" in upper or "CONNECT" in upper
+                      or "NODE" in upper):
+                    section = "points"
+                elif "LINE" in upper:
+                    section = "lines"
+                elif "OPTION" in upper or "SOLVER" in upper:
+                    section = "options"
+                else:
+                    section = None
+                continue
+            if line.startswith("(") or line.startswith("#"):
+                continue
+            toks = _tokens(line)
+            if not toks:
+                continue
+            # header rows (column names) start with a non-numeric token in
+            # every section except types/options where names lead — detect
+            # the standard header words instead
+            first_upper = toks[0].upper()
+            if first_upper in ("TYPENAME", "NAME", "ID", "LINE", "NODE",
+                               "POINT"):
+                continue
+            if section == "types" and len(toks) >= 4:
+                name = toks[0]
+                diam = float(toks[1])
+                mass_per_m = float(toks[2])
+                ea = _parse_stiffness(toks[3])
+                types[name] = (diam, mass_per_m, ea)
+            elif section == "points" and len(toks) >= 5:
+                pid = int(float(toks[0]))
+                attach = toks[1].lower()
+                xyz = tuple(float(t) for t in toks[2:5])
+                if attach.startswith(("fix", "anchor")):
+                    points[pid] = ("fixed", None, xyz)
+                elif attach.startswith(("vessel", "coupled", "body")):
+                    digits = "".join(c for c in attach if c.isdigit())
+                    bidx = int(digits) - 1 if digits else 0
+                    if not 0 <= bidx < len(body_names):
+                        raise ValueError(
+                            f"mooring point {pid}: attachment '{toks[1]}' "
+                            f"needs {bidx + 1} bodies but the YAML moordyn "
+                            f"block lists {len(body_names)}")
+                    points[pid] = ("body", bidx, xyz)
+                else:
+                    raise ValueError(
+                        f"mooring point {pid}: unknown attachment "
+                        f"'{toks[1]}' (expected Fixed/Vessel/Body#)")
+            elif section == "lines" and len(toks) >= 5:
+                lines_rows.append((toks[1], int(float(toks[2])),
+                                   int(float(toks[3])), float(toks[4])))
+            elif section == "options" and len(toks) >= 2:
+                try:
+                    options[toks[1].lower()] = float(toks[0])
+                except ValueError:
+                    options[toks[0].lower()] = toks[1]
+
+    rho = float(options.get("rho", options.get("wtrdnsty", rho)))
+    g = abs(float(options.get("g", g)))
+    depth = options.get("wtrdpth")
+
+    out = []
+    for type_name, ida, idb, L0 in lines_rows:
+        if type_name not in types:
+            raise ValueError(f"mooring line references unknown type "
+                             f"'{type_name}'")
+        diam, mass_per_m, ea = types[type_name]
+        w = (mass_per_m - rho * np.pi / 4.0 * diam * diam) * g
+        if w <= 0:
+            raise ValueError(
+                f"mooring type '{type_name}' is neutrally/positively "
+                f"buoyant (net weight {w:.3g} N/m); the quasi-static "
+                f"catenary requires negatively buoyant line")
+        pa, pb = points[ida], points[idb]
+        if pa[0] == "fixed" and pb[0] == "body":
+            anchor, fair = pa, pb
+        elif pb[0] == "fixed" and pa[0] == "body":
+            anchor, fair = pb, pa
+        else:
+            raise ValueError(
+                "each quasi-static line needs exactly one Fixed anchor and "
+                "one Vessel/Body fairlead")
+        seabed = True
+        if depth is not None:
+            # anchors hovering above the seabed hold a suspended line
+            seabed = anchor[2][2] <= -abs(depth) + 1e-3
+        out.append(MooringLine(
+            body=fair[1], anchor=anchor[2], fairlead=fair[2], length=L0,
+            weight_per_m=w, ea=ea, seabed=seabed,
+        ))
+    if not out:
+        raise ValueError(f"no mooring lines found in {path}")
+    return MooringSpec(lines=tuple(out))
+
+
+def _parse_stiffness(tok: str) -> float:
+    """MoorDyn writes EA like '384.243E6' or '3.84e8'."""
+    return float(tok)
+
+
+# ---------------------------------------------------------------------------
+# quasi-static elastic catenary
+# ---------------------------------------------------------------------------
+
+def _profile(H, V, L, w, EA, seabed):
+    """Fairlead offsets (x, z) for fairlead tension components (H, V).
+
+    Suspended:  x = (H/w)[asinh(V/H) - asinh(Va/H)] + H L/EA
+                z = (H/w)[sqrt(1+(V/H)^2) - sqrt(1+(Va/H)^2)]
+                    + (V L - w L^2/2)/EA              with Va = V - wL
+    Touchdown (anchor on seabed, resting length Lb = L - V/w):
+                x = Lb + (H/w) asinh(V/H) + H L/EA
+                z = (H/w)[sqrt(1+(V/H)^2) - 1] + V^2/(2 EA w)
+    (classic quasi-static closed form, frictionless seabed)
+    """
+    t = V / H
+    ta = (V - w * L) / H
+    sq = jnp.sqrt(1.0 + t * t)
+    sqa = jnp.sqrt(1.0 + ta * ta)
+    x_s = (H / w) * (jnp.arcsinh(t) - jnp.arcsinh(ta)) + H * L / EA
+    z_s = (H / w) * (sq - sqa) + (V * L - 0.5 * w * L * L) / EA
+
+    Lb = L - V / w
+    x_t = Lb + (H / w) * jnp.arcsinh(t) + H * L / EA
+    z_t = (H / w) * (sq - 1.0) + V * V / (2.0 * EA * w)
+
+    lifted = V >= w * L
+    use_susp = jnp.logical_or(lifted, jnp.logical_not(seabed))
+    return (jnp.where(use_susp, x_s, x_t), jnp.where(use_susp, z_s, z_t))
+
+
+import functools
+
+
+def _solve2(J, y):
+    """2x2 linear solve (guarded determinant)."""
+    det = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return jnp.stack([
+        (J[1, 1] * y[0] - J[0, 1] * y[1]) / det,
+        (J[0, 0] * y[1] - J[1, 0] * y[0]) / det,
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def catenary_hv(xf, zf, L, w, EA, seabed=True, iters: int = 24):
+    """Solve the quasi-static catenary for fairlead tension (H, V).
+
+    xf: horizontal anchor->fairlead distance (>= 0); zf: fairlead height
+    above the anchor; L/w/EA: line properties; seabed: allow touchdown.
+    Fixed-iteration damped Newton inside `lax.custom_root`, so gradients
+    flow by implicit differentiation (one 2x2 tangent solve) instead of
+    unrolling the iteration — jit/vmap/scan/grad-safe; H kept positive.
+    """
+    dtype = jnp.result_type(xf, zf, L, w, EA, jnp.float32)
+    xf = jnp.asarray(xf, dtype)
+    zf = jnp.asarray(zf, dtype)
+    L = jnp.asarray(L, dtype)
+    w = jnp.asarray(w, dtype)
+    EA = jnp.asarray(EA, dtype)
+    seabed = jnp.asarray(seabed, bool)
+
+    Hmin = 1e-6 * w * L
+    xf_safe = jnp.maximum(xf, 1e-6 * L)
+
+    # Jonkman starting values: catenary parameter from the inextensible
+    # sag estimate, taut fallback when the chord exceeds L
+    slack = L * L > zf * zf + xf_safe * xf_safe
+    lam = jnp.where(
+        slack,
+        jnp.sqrt(jnp.maximum(3.0 * ((L * L - zf * zf) / (xf_safe * xf_safe)
+                                    - 1.0), 1e-8)),
+        1.0,
+    )
+    H = jnp.maximum(jnp.abs(w * xf_safe / (2.0 * lam)), Hmin)
+    V = 0.5 * w * (zf / jnp.tanh(lam) + L)
+
+    def residual(hv):
+        x, z = _profile(hv[0], hv[1], L, w, EA, seabed)
+        return jnp.stack([x - xf_safe, z - zf])
+
+    def solve(f, hv0):
+        hv = hv0
+        for _ in range(iters):
+            r = f(hv)
+            J = jax.jacfwd(f)(hv)
+            d = _solve2(J, r)
+            # damped step, H kept positive (asinh(V/H) needs H > 0)
+            Hn = jnp.maximum(hv[0] - d[0], 0.1 * hv[0])
+            Vn = hv[1] - d[1]
+            Vn = jnp.where(seabed, jnp.maximum(Vn, Hmin), Vn)
+            hv = jnp.stack([jnp.maximum(Hn, Hmin), Vn])
+        return hv
+
+    def tangent_solve(g, y):
+        return _solve2(jax.jacfwd(g)(jnp.zeros_like(y)), y)
+
+    hv = jax.lax.custom_root(residual, jnp.stack([H, V]), solve, tangent_solve)
+    return hv[0], hv[1]
+
+
+def fairlead_force(anchor, pf, L, w, EA, seabed, iters: int = 24):
+    """World-frame force the line exerts on the body at fairlead position pf."""
+    d = pf - anchor
+    dx = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + 1e-30)
+    H, V = catenary_hv(dx, d[2], L, w, EA, seabed, iters=iters)
+    ux = jnp.where(dx > 1e-9, d[0] / dx, 0.0)
+    uy = jnp.where(dx > 1e-9, d[1] / dx, 0.0)
+    # the line pulls the fairlead horizontally back toward the anchor and
+    # vertically down
+    return jnp.stack([-H * ux, -H * uy, -V]), (H, V)

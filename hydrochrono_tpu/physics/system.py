@@ -122,6 +122,9 @@ class SystemSpec:
     motors: Sequence[Motor] = ()
     hydro: Optional[HydroAttachment] = None
     gravity: Sequence[float] = (0.0, 0.0, -9.81)
+    # quasi-static catenary mooring (physics/mooring.py) — the capability the
+    # reference's `moordyn:` hydro-YAML block declares but never implements
+    moorings: Optional[object] = None  # MooringSpec
 
     @property
     def moving_indices(self):

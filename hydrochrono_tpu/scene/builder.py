@@ -110,6 +110,47 @@ def _quat0_from_orientation(orientation, degrees: bool):
     return tuple(float(x) for x in q)
 
 
+def _build_moorings(moordyn: dict, hydro_file: str, name_to_idx: dict,
+                    hd, warnings: list):
+    """Wire the hydro-YAML `moordyn:` block to the quasi-static catenary
+    module (physics/mooring.py). The reference declares this block in its
+    demo YAML (demos/yaml/rm3/rm3_decay.hydro.yaml) but implements nothing;
+    here `enabled: true` + an existing input file activates real mooring.
+    A missing file degrades to a warning (the reference tree ships none)."""
+    from hydrochrono_tpu.physics import mooring as moor
+
+    if not moordyn.get("enabled", False):
+        warnings.append("moordyn block present but enabled: false; ignored")
+        return None
+    input_file = moordyn.get("input_file")
+    if not input_file:
+        warnings.append("moordyn block has no input_file; mooring skipped")
+        return None
+    path = input_file
+    if not os.path.isabs(path):
+        path = os.path.join(os.path.dirname(os.path.abspath(hydro_file)), path)
+    if not os.path.exists(path):
+        warnings.append(
+            f"moordyn input file {input_file} not found; mooring skipped "
+            "(the reference tree ships no MoorDyn input either)")
+        return None
+    body_names = moordyn.get("bodies") or []
+    for nm in body_names:
+        if nm not in name_to_idx:
+            raise KeyError(f"moordyn body '{nm}' not found among model bodies")
+    g = 9.81
+    rho = float(hd.rho) if hd is not None else 1025.0
+    spec = moor.parse_moordyn_file(path, body_names, rho=rho, g=g)
+    # remap fairlead indices: parser indexes into body_names
+    import dataclasses as _dc
+
+    lines = tuple(
+        _dc.replace(ln, body=name_to_idx[body_names[ln.body]])
+        for ln in spec.lines
+    )
+    return moor.MooringSpec(lines=lines)
+
+
 def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = None,
                simulation_file: Optional[str] = None, hydro_file: Optional[str] = None,
                output_directory: Optional[str] = None) -> Case:
@@ -201,6 +242,7 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
     hydro_att = None
     wave = wv.NoWave()
     sweep = None
+    moorings = None
     if hydro_spec is not None and hydro_spec.bodies:
         h5_file = hydro_spec.bodies[0].h5_file  # first body's file used for all
         # (setup_hydro_from_yaml.cpp:92-95)
@@ -248,14 +290,12 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
                 eta_file_path=ws.eta_file,
             )
         if hydro_spec.moordyn:
-            warnings.append(
-                "moordyn block found in hydro YAML: mooring is not implemented "
-                "(matches reference behavior - no moordyn support in v0.3.2)"
-            )
+            moorings = _build_moorings(hydro_spec.moordyn, hydro_file,
+                                       name_to_idx, hd, warnings)
 
     system = SystemSpec(
         bodies=bodies, joints=joints, tsdas=tsdas, rsdas=rsdas, motors=motors,
-        hydro=hydro_att, gravity=tuple(sim.gravity),
+        hydro=hydro_att, gravity=tuple(sim.gravity), moorings=moorings,
     )
 
     case = Case(

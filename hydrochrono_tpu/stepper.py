@@ -286,11 +286,13 @@ class Simulation:
             self.irr = data
             # zero-pad the eta series so the per-step dynamic_slice window
             # stays in bounds for every step (jax clamps out-of-range starts,
-            # which would silently misalign the window otherwise)
+            # which would silently misalign the window otherwise). Blocked
+            # runs round the step count up to a block boundary (and HHT reads
+            # the window at t+h), so cover the full final-block overhang too.
             M = data.exc_kernel.shape[1]
             n_max = int(np.ceil(self.duration / self.dt)) + 2
             eta = np.asarray(data.eta)
-            need = n_max + M
+            need = n_max + M + (self.block_size or 0)
             if eta.shape[-1] < need:
                 pad = need - eta.shape[-1]
                 eta = np.concatenate([eta, np.zeros(eta.shape[:-1] + (pad,))], axis=-1)
@@ -541,6 +543,32 @@ class Simulation:
             params["rsda_k"] = jnp.asarray(rsda_k, self.dtype)
             params["rsda_c"] = jnp.asarray(rsda_c, self.dtype)
 
+        # quasi-static catenary mooring lines (physics/mooring.py)
+        if spec.moorings is not None:
+            self.moor_slots = []
+            anchors, locals_, L0s, ws, eas, seabeds = [], [], [], [], [], []
+            for ml in spec.moorings.lines:
+                if spec.bodies[ml.body].fixed:
+                    raise ValueError(
+                        f"mooring fairlead body {ml.body} is fixed")
+                self.moor_slots.append(self.slot_of[ml.body])
+                p0, q0 = self._initial_pose(ml.body)
+                anchors.append(np.asarray(ml.anchor, dtype=np.float64))
+                locals_.append(
+                    _rot_np(q0).T @ (np.asarray(ml.fairlead, np.float64) - p0))
+                L0s.append(ml.length)
+                ws.append(ml.weight_per_m)
+                eas.append(ml.ea)
+                seabeds.append(ml.seabed)
+            const["moor"] = {
+                "anchor": jnp.asarray(np.stack(anchors), self.dtype),
+                "local": jnp.asarray(np.stack(locals_), self.dtype),
+                "L0": jnp.asarray(L0s, self.dtype),
+                "w": jnp.asarray(ws, self.dtype),
+                "ea": jnp.asarray(eas, self.dtype),
+                "seabed": jnp.asarray(seabeds, bool),
+            }
+
     def _tsda_state(self, idx, const, pos, quat, lin_vel, ang_vel):
         """Geometry of TSDA `idx`: (P1, P2, L, Ldot, dhat, pb1, pb2, L0)."""
         t = self.spec.tsdas[idx]
@@ -651,7 +679,27 @@ class Simulation:
         F = F.reshape(self.nv)
         if self.spec.tsdas or self.spec.rsdas:
             F = F + self._element_forces(params, const, pos, quat, lv, av)
+        if self.spec.moorings is not None:
+            F = F + self._mooring_forces(const, pos, quat)
         return F, I_w
+
+    def _mooring_forces(self, const, pos, quat):
+        """Quasi-static catenary fairlead wrenches, accumulated into [nv]
+        (physics/mooring.py; the reference's `moordyn:` capability)."""
+        from hydrochrono_tpu.physics import mooring as moor
+
+        mc = const["moor"]
+        F = jnp.zeros((self.nv,), self.dtype)
+        for i, s in enumerate(self.moor_slots):
+            pf = pos[s] + quat_rotate(quat[s], mc["local"][i])
+            f, _ = moor.fairlead_force(
+                mc["anchor"][i], pf, mc["L0"][i], mc["w"][i], mc["ea"][i],
+                mc["seabed"][i],
+            )
+            tau = jnp.cross(pf - pos[s], f)
+            F = F.at[s * 6 : s * 6 + 3].add(f)
+            F = F.at[s * 6 + 3 : s * 6 + 6].add(tau)
+        return F
 
     def _hydrostatic(self, params, pos, quat):
         """Hydrostatic+buoyancy 6-force of the hydro bodies, [6*Nh]."""
@@ -1187,14 +1235,20 @@ class Simulation:
         if hht:
             # initial HHT carry per instance: a0 = 0, f0 = F(initial state)
             # with zero radiation (stepper._hht_initial_carry), vmapped over
-            # the batch (and over any per-instance params leaves)
+            # the batch (and over any per-instance params leaves). Batched
+            # leaves are detected against the leaf's canonical UNBATCHED rank
+            # — sim.params itself may already carry sweep batches (the
+            # builder stores period-sweep reg_* params batched), so comparing
+            # against self.params would miss them.
             f_rad0 = jnp.zeros((K,), self.dtype)
+            base_ndim = {"mass": 1, "tsda_k": 1, "tsda_c": 1, "rsda_k": 1,
+                         "rsda_c": 1, "motor_speed": 1, "reg_mag": 1,
+                         "reg_phase": 1, "reg_amp": 0, "reg_omega": 0,
+                         "irr_eta": 1}
             axes = {}
             for k2, v2 in params.items():
-                base_leaf = self.params.get(k2)
-                axes[k2] = (0 if (k2 != "_const" and base_leaf is not None
-                                  and hasattr(v2, "ndim")
-                                  and v2.ndim > base_leaf.ndim) else None)
+                axes[k2] = (0 if (k2 in base_ndim and hasattr(v2, "ndim")
+                                  and v2.ndim > base_ndim[k2]) else None)
             f0 = jax.vmap(
                 lambda st, p: self._forces(p, st, jnp.int32(0), f_rad=f_rad0)[0],
                 in_axes=(0, axes),

@@ -31,9 +31,10 @@ def test_case_library_end_to_end(tmp_path):
     )
     assert out.returncode == 0, out.stdout + out.stderr
     # all topologies discovered and green (incl. the nonlinear-PTO + HHT
-    # variant mirroring the reference's rm3_nonlinearPTO.model.yaml)
-    for case in ("rm3/decay", "rm3/irregular", "rm3/nonlinear", "oswec/decay",
-                 "f3of/decay", "deepcwind/decay"):
+    # variant mirroring the reference's rm3_nonlinearPTO.model.yaml, and the
+    # moored variant activating the reference's declared moordyn block)
+    for case in ("rm3/decay", "rm3/irregular", "rm3/nonlinear", "rm3/moored",
+                 "oswec/decay", "f3of/decay", "deepcwind/decay"):
         assert case in out.stdout, f"case {case} not discovered"
-    assert out.stdout.count("PASS") >= 6, out.stdout
+    assert out.stdout.count("PASS") >= 7, out.stdout
     assert "FAIL" not in out.stdout and "ERROR" not in out.stdout, out.stdout

@@ -291,6 +291,46 @@ def test_fused_hht_subblock_regular(small_h5_1body):
                         - np.asarray(got_final.vhist)).max()) < 1e-9
 
 
+def test_fused_hht_batched_sweep(small_h5_1body):
+    """HHT + per-instance regular-wave sweep params: the initial-carry vmap
+    must map batched leaves that live in sim.params (period sweeps are
+    stored batched by the builder) — regression for a crash found in review."""
+    from hydrochrono_tpu.io.bemio import load_bemio_h5
+
+    hydro = load_bemio_h5(small_h5_1body, num_bodies=1)
+    spec = SystemSpec(
+        bodies=[Body("body1", 2.5e5, (0.0, 0.0, -3.9)),
+                Body("ground", 9.0, (0.0, 0.0, -9.0), fixed=True)],
+        joints=[Joint("prismatic", 0, 1, location=(0.0, 0.0, -3.9),
+                      axis=(0.0, 0.0, 1.0))],
+        tsdas=[TSDA(0, 1, (0.0, 0.0, -3.9), (0.0, 0.0, -9.0),
+                    spring_coeff=0.0, damping_coeff=2e5)],
+        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    B = 3
+    sim = Simulation(spec, dt=0.015, block_size=8, integrator="hht",
+                     wave=RegularWave(amplitude=np.array([0.2, 0.4, 0.6]),
+                                      omega=np.array([1.0, 1.5, 2.0])),
+                     outputs=("pos",))
+    batched = {k: sim.params[k] for k in
+               ("reg_mag", "reg_phase", "reg_amp", "reg_omega")}
+    n = 16
+    _, tr_u = sim.run_batch(n, batched)
+    states = make_batched_states(sim, B)
+    _, tr_f = jax.jit(lambda s: sim.run_blocked_fused(n, s))(states)
+    assert np.abs(np.asarray(tr_u["pos"]) - np.asarray(tr_f["pos"])).max() < 1e-9
+
+
+def test_fused_curve_gating_duplicate_breakpoints(small_h5):
+    """Curves with non-increasing abscissae fall back to the XLA path (the
+    unrolled segment interp would divide by zero)."""
+    curve = np.array([[0.0, 0.0], [0.0, 1e4], [1.0, 2e4]])
+    spec = dataclass_replace_tsda(_spec_rm3ish(small_h5), curve)
+    sim = Simulation(spec, dt=0.01, block_size=8)
+    assert not sim.fused_supported()
+
+
 def test_fused_tsda_curves(small_h5):
     """Tabulated nonlinear TSDA curves (rm3_nonlinearPTO.model.yaml) evaluated
     in-kernel from SMEM tables == jnp.interp in the XLA path, including

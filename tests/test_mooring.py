@@ -1,0 +1,281 @@
+"""Quasi-static catenary mooring (physics/mooring.py).
+
+The reference declares a `moordyn:` hydro-YAML block but implements nothing
+(hydro_types.h, demos/yaml/rm3/rm3_decay.hydro.yaml; no match in src/); this
+module is the framework's real implementation of that capability.
+
+Oracles:
+  * ODE quadrature — the closed-form profile is checked against a dense
+    numerical integration of the elastic-catenary equilibrium equations;
+  * inextensible catenary — H from the classic sqrt(L^2-h^2) = 2a sinh(d/2a)
+    transcendental solved with bisection;
+  * inverse consistency — the Newton solver recovers (H, V) used to
+    construct (xf, zf), in both suspended and touchdown branches;
+  * end-to-end — a moored decaying body through Simulation and the CLI
+    moordyn YAML block.
+"""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hydrochrono_tpu.physics import mooring as moor
+from hydrochrono_tpu.physics.system import Body, SystemSpec, TSDA
+from hydrochrono_tpu.stepper import Simulation
+
+
+def _profile_quadrature(H, V, L, w, EA, n=200_000):
+    """Integrate the elastic catenary from anchor (s=0) to fairlead (s=L):
+    tension T(s) = sqrt(H^2 + (V - w(L-s))^2) (fully suspended), with
+    dx/ds = (H/T)(1 + T/EA), dz/ds = ((V - w(L-s))/T)(1 + T/EA)."""
+    s = np.linspace(0.0, L, n)
+    Vz = V - w * (L - s)
+    T = np.sqrt(H * H + Vz * Vz)
+    dx = (H / T) * (1.0 + T / EA)
+    dz = (Vz / T) * (1.0 + T / EA)
+    return np.trapezoid(dx, s), np.trapezoid(dz, s)
+
+
+def test_profile_matches_quadrature():
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        L = rng.uniform(50.0, 900.0)
+        w = rng.uniform(50.0, 800.0)
+        EA = rng.uniform(1e7, 1e9)
+        H = rng.uniform(0.2, 5.0) * w * L
+        # fully-suspended branch requires V >= wL
+        V = w * L * rng.uniform(1.0, 3.0)
+        x, z = moor._profile(jnp.float64(H), jnp.float64(V),
+                             jnp.float64(L), jnp.float64(w), jnp.float64(EA),
+                             jnp.asarray(True))
+        xq, zq = _profile_quadrature(H, V, L, w, EA)
+        assert abs(float(x) - xq) < 1e-5 * L
+        assert abs(float(z) - zq) < 1e-5 * L
+
+
+def test_inextensible_catenary_oracle():
+    """Classic suspended catenary: sqrt(L^2 - h^2) = 2a sinh(d/(2a))."""
+    from scipy.optimize import brentq
+
+    L, w, d, h = 500.0, 300.0, 380.0, 120.0
+    EA = 1e15  # effectively inextensible
+
+    def f(a):
+        return 2.0 * a * np.sinh(d / (2.0 * a)) - np.sqrt(L * L - h * h)
+
+    a = brentq(f, 1.0, 1e5)
+    H_ref = a * w
+    # catenary z = a cosh(x/a): L = 2a cosh(m/a) sinh(d/2a) and
+    # h = 2a sinh(m/a) sinh(d/2a) with m the mean abscissa; V = H sinh(xu/a)
+    m = a * np.arcsinh(h / (2.0 * a * np.sinh(d / (2.0 * a))))
+    xu = m + d / 2.0
+    V_ref = H_ref * np.sinh(xu / a)
+
+    H, V = moor.catenary_hv(jnp.float64(d), jnp.float64(h), jnp.float64(L),
+                            jnp.float64(w), jnp.float64(EA), seabed=False)
+    assert abs(float(H) - H_ref) / H_ref < 1e-6
+    assert abs(float(V) - V_ref) / V_ref < 1e-6
+
+
+@pytest.mark.parametrize("seabed,vfrac", [(False, 1.7), (True, 1.4),
+                                          (True, 0.45), (True, 0.85)])
+def test_solver_inverse_consistency(seabed, vfrac):
+    """catenary_hv recovers the (H, V) used to construct (xf, zf) in both
+    branches (touchdown cases have V < wL)."""
+    rng = np.random.RandomState(3)
+    for _ in range(10):
+        L = rng.uniform(100.0, 800.0)
+        w = rng.uniform(80.0, 600.0)
+        EA = rng.uniform(5e7, 5e9)
+        H0 = rng.uniform(0.05, 2.0) * w * L
+        V0 = vfrac * w * L * rng.uniform(0.9, 1.1)
+        if not seabed:
+            V0 = max(V0, 1.05 * w * L)  # keep the suspended branch valid
+        x, z = moor._profile(jnp.float64(H0), jnp.float64(V0), jnp.float64(L),
+                             jnp.float64(w), jnp.float64(EA),
+                             jnp.asarray(seabed))
+        H, V = moor.catenary_hv(x, z, jnp.float64(L), jnp.float64(w),
+                                jnp.float64(EA), seabed=seabed)
+        assert abs(float(H) - H0) / H0 < 1e-5, (H0, float(H))
+        assert abs(float(V) - V0) / V0 < 1e-5, (V0, float(V))
+
+
+def test_taut_vertical_spring_limit():
+    """A (nearly) vertical taut line behaves like an axial spring + weight."""
+    L, w, EA = 100.0, 200.0, 1e9
+    strain = 1e-3
+    zf = L * (1.0 + strain)
+    H, V = moor.catenary_hv(jnp.float64(1e-4), jnp.float64(zf),
+                            jnp.float64(L), jnp.float64(w), jnp.float64(EA),
+                            seabed=False)
+    # fairlead vertical tension ~ EA*strain + wL (the line's own weight
+    # hangs from the top); mean-tension stretch correction is O(wL/EA)
+    assert abs(float(V) - (EA * strain + w * L)) / (EA * strain) < 0.05
+
+
+def test_moored_body_simulation_and_grad():
+    """A moored floating body: 4-line spread keeps it near station, the
+    simulation stays finite, and jax.grad flows through the catenary."""
+    spec = SystemSpec(
+        bodies=[
+            Body(name="buoy", mass=5e4, pos0=(0.0, 0.0, 0.0),
+                 inertia=np.diag([1e6, 1e6, 1e6])),
+            Body(name="seabed", mass=1.0, pos0=(0.0, 0.0, -50.0), fixed=True),
+        ],
+        # vertical damper stands in for hydro drag so the decay settles
+        tsdas=[TSDA(0, 1, (0.0, 0.0, 0.0), (0.0, 0.0, -50.0),
+                    spring_coeff=4e4, damping_coeff=3e4)],
+        gravity=(0.0, 0.0, 0.0),  # buoyancy-balanced; mooring is the force
+        moorings=moor.MooringSpec(lines=tuple(
+            moor.MooringLine(
+                body=0,
+                anchor=(120.0 * np.cos(th), 120.0 * np.sin(th), -50.0),
+                fairlead=(2.0 * np.cos(th), 2.0 * np.sin(th), -1.0),
+                length=140.0, weight_per_m=300.0, ea=1e8,
+            )
+            for th in np.linspace(0.0, 2 * np.pi, 4, endpoint=False)
+        )),
+    )
+    sim = Simulation(spec, dt=0.05)
+    import dataclasses
+
+    st = sim.init_state()
+    st = dataclasses.replace(st, pos=st.pos.at[0, 0].add(3.0))  # surge offset
+    final, traj = jax.jit(lambda s: sim.run(300, state=s))(st)
+    p = np.asarray(traj["pos"])
+    assert np.isfinite(p).all()
+    # the spread pulls the offset buoy back toward station
+    assert abs(p[-1, 0, 0]) < 3.0
+    assert abs(p[-1, 0, 0]) < abs(p[0, 0, 0])
+
+    # differentiability through the catenary Newton solve
+    def surge_after(k):
+        params = jax.tree.map(lambda x: x, sim.params)
+        params["_const"]["moor"]["ea"] = params["_const"]["moor"]["ea"] * k
+        _, tr = sim.run(10, state=st, params=params)
+        return tr["pos"][-1, 0, 0]
+
+    g = jax.grad(surge_after)(jnp.float64(1.0))
+    assert np.isfinite(float(g))
+
+
+def test_moordyn_yaml_end_to_end(tmp_path):
+    """The hydro-YAML moordyn block + a MoorDyn-style lines file drive a CLI
+    run end-to-end (the reference parses this block but implements nothing)."""
+    from hydrochrono_tpu import cli
+
+    case = tmp_path / "moored"
+    (case / "inputs").mkdir(parents=True)
+    (case / "inputs" / "mooring").mkdir()
+
+    sphere_h5 = "/root/reference/demos/sphere/hydroData/sphere.h5"
+    if not os.path.exists(sphere_h5):
+        pytest.skip("sphere.h5 unavailable")
+
+    (case / "inputs" / "m.setup.yaml").write_text(textwrap.dedent("""\
+        model_file: m.model.yaml
+        simulation_file: m.simulation.yaml
+        hydro_file: m.hydro.yaml
+        output_directory: ../outputs
+    """))
+    (case / "inputs" / "m.model.yaml").write_text(textwrap.dedent("""\
+        chrono-version: 9.0
+        model:
+          name: moored_sphere
+          angle_degrees: false
+          bodies:
+            - name: body1
+              location: [0, 0, -1.5]
+              mass: 261800.0
+              fixed: false
+              inertia:
+                moments: [1e6, 1e6, 1e6]
+                products: [0, 0, 0]
+    """))
+    (case / "inputs" / "m.simulation.yaml").write_text(textwrap.dedent("""\
+        chrono-version: 9.0
+        simulation:
+          contact_method: SMC
+          time_step: 0.015
+          end_time: 3.0
+          gravity: [0, 0, -9.81]
+          integrator:
+            type: EULER_IMPLICIT_LINEARIZED
+    """))
+    (case / "inputs" / "m.hydro.yaml").write_text(textwrap.dedent("""\
+        hydrodynamics:
+          bodies:
+            - name: body1
+              h5_file: %s
+          waves:
+            type: still
+          moordyn:
+            enabled: true
+            input_file: mooring/lines.txt
+            bodies: [body1]
+    """ % sphere_h5))
+    (case / "inputs" / "mooring" / "lines.txt").write_text(textwrap.dedent("""\
+        --------------------- MoorDyn Input File -------------------
+        Mooring for the moored-sphere test
+        ----------------------- LINE TYPES -------------------------
+        TypeName  Diam   Mass/m  EA        BA/-zeta
+        (name)    (m)    (kg/m)  (N)       (N-s/-)
+        chain     0.09   77.7    3.842E8   -0.8
+        ---------------------- POINTS -------------------------------
+        ID  Attachment  X      Y     Z      M  V  CdA  Ca
+        1   Fixed       60.0   0.0  -40.0   0  0  0    0
+        2   Vessel     -60.0   0.0  -40.0   0  0  0    0
+        3   Fixed        2.5   0.0  -2.5    0  0  0    0
+        4   Vessel      -2.5   0.0  -2.5    0  0  0    0
+        ---------------------- LINES --------------------------------
+        ID  LineType  AttachA  AttachB  UnstrLen  NumSegs  Outputs
+        1   chain     1        4        75.0      20       -
+        2   chain     3        2        75.0      20       -
+        ---------------------- OPTIONS ------------------------------
+        40.0   wtrdpth
+        ---------------------- need this line -----------------------
+    """))
+
+    rc = cli.main([str(case / "inputs"), "--quiet",
+                   "--output-h5", str(case / "out")])
+    assert rc == 0
+    import h5py
+
+    with h5py.File(str(case / "out" / "results.still.h5"), "r") as f:
+        z = f["results/model/bodies/body1/position"][:, 2]
+        t1 = f["results/model/moorings/line1/tension_mag"][:]
+        t2 = f["results/model/moorings/line2/tension_mag"][:]
+    assert np.isfinite(z).all()
+    assert np.isfinite(t1).all() and np.isfinite(t2).all()
+    assert t1.min() > 0 and t2.min() > 0  # lines stay under tension
+
+
+def test_mooring_gates_fused_path(tmp_path):
+    """Moored systems fall back to the XLA step (fused kernel gates)."""
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+    from hydrochrono_tpu.io.bemio import load_bemio_h5
+    from hydrochrono_tpu.physics.system import HydroAttachment
+
+    h5 = str(tmp_path / "m1.h5")
+    write_bemio_h5(h5, 1, seed=5, cg_list=[np.array([0.0, 0.0, -1.0])],
+                   rirf_tmax=1.0, rirf_steps=101)
+    hydro = load_bemio_h5(h5, num_bodies=1)
+    spec = SystemSpec(
+        bodies=[Body("body1", 2.6e5, (0.0, 0.0, -1.0))],
+        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+        moorings=moor.MooringSpec(lines=(
+            moor.MooringLine(body=0, anchor=(50.0, 0.0, -30.0),
+                             fairlead=(1.0, 0.0, -1.5), length=60.0,
+                             weight_per_m=300.0, ea=1e8),
+        )),
+    )
+    sim = Simulation(spec, dt=0.015, block_size=8)
+    assert not sim.fused_supported()
+    # ...but the blocked XLA path runs the moored system fine
+    final, traj = jax.jit(lambda: sim.run(16))()
+    assert np.isfinite(np.asarray(traj["pos"])).all()
