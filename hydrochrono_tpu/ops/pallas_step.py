@@ -210,8 +210,22 @@ class FusedStepBuilder:
             if spec.motors:
                 raise NotImplementedError("fused step: motors unsupported")
             if spec.moorings is not None:
-                raise NotImplementedError(
-                    "fused step: mooring lines run on the XLA path")
+                # Euler: the catenary evaluates OUTSIDE the kernel at the
+                # step-start state (exactly the XLA path's semantics) and is
+                # folded into the fx operand — requires every fairlead body
+                # to carry hydro rows. HHT re-evaluates mooring inside each
+                # Newton iteration, which the frozen fx cannot express.
+                if sim.integrator != "euler_implicit_linearized":
+                    raise NotImplementedError(
+                        "fused step: moorings supported with the Euler "
+                        "integrator only")
+                hydro_bodies = (set(sim.hydro.body_indices)
+                                if sim.hydro is not None else set())
+                for ml in spec.moorings.lines:
+                    if ml.body not in hydro_bodies:
+                        raise NotImplementedError(
+                            "fused step: mooring fairlead on a non-hydro "
+                            "body runs on the XLA path")
             for t in spec.tsdas:
                 for curve in (t.spring_curve, t.damping_curve):
                     if curve is not None and np.any(np.diff(curve[:, 0]) <= 0):

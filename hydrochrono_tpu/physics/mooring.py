@@ -225,25 +225,21 @@ def _profile(H, V, L, w, EA, seabed):
 import functools
 
 
-def _solve2(J, y):
-    """2x2 linear solve (guarded determinant)."""
-    det = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
-    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-    return jnp.stack([
-        (J[1, 1] * y[0] - J[0, 1] * y[1]) / det,
-        (J[0, 0] * y[1] - J[1, 0] * y[0]) / det,
-    ])
-
-
 @functools.partial(jax.jit, static_argnames=("iters",))
-def catenary_hv(xf, zf, L, w, EA, seabed=True, iters: int = 24):
+def catenary_hv(xf, zf, L, w, EA, seabed=True, iters: int = 24, hv0=None):
     """Solve the quasi-static catenary for fairlead tension (H, V).
 
+    Broadcast-batched: every argument may carry arbitrary (mutually
+    broadcastable) leading shape — one elementwise Newton per element, so
+    a whole [batch] of lines solves in a single fused elementwise chain.
     xf: horizontal anchor->fairlead distance (>= 0); zf: fairlead height
     above the anchor; L/w/EA: line properties; seabed: allow touchdown.
     Fixed-iteration damped Newton inside `lax.custom_root`, so gradients
     flow by implicit differentiation (one 2x2 tangent solve) instead of
     unrolling the iteration — jit/vmap/scan/grad-safe; H kept positive.
+    The 2x2 Jacobians come from two `jax.jvp` unit-tangent passes, which
+    stays elementwise for any batch shape (jacfwd on stacked vectors would
+    build a dense cross-batch Jacobian).
     """
     dtype = jnp.result_type(xf, zf, L, w, EA, jnp.float32)
     xf = jnp.asarray(xf, dtype)
@@ -256,39 +252,64 @@ def catenary_hv(xf, zf, L, w, EA, seabed=True, iters: int = 24):
     Hmin = 1e-6 * w * L
     xf_safe = jnp.maximum(xf, 1e-6 * L)
 
-    # Jonkman starting values: catenary parameter from the inextensible
-    # sag estimate, taut fallback when the chord exceeds L
-    slack = L * L > zf * zf + xf_safe * xf_safe
-    lam = jnp.where(
-        slack,
-        jnp.sqrt(jnp.maximum(3.0 * ((L * L - zf * zf) / (xf_safe * xf_safe)
-                                    - 1.0), 1e-8)),
-        1.0,
-    )
-    H = jnp.maximum(jnp.abs(w * xf_safe / (2.0 * lam)), Hmin)
-    V = 0.5 * w * (zf / jnp.tanh(lam) + L)
+    shape = jnp.broadcast_shapes(xf_safe.shape, zf.shape, L.shape, w.shape,
+                                 EA.shape, seabed.shape)
+    ones = jnp.ones(shape, dtype)
+    zeros = jnp.zeros(shape, dtype)
+
+    if hv0 is not None:
+        # warm start (e.g. the previous time step's solution carried through
+        # a scan) — Newton re-converges in a few iterations
+        H0 = jnp.broadcast_to(jnp.maximum(jnp.asarray(hv0[0], dtype), Hmin),
+                              shape)
+        V0 = jnp.broadcast_to(jnp.asarray(hv0[1], dtype), shape)
+    else:
+        # Jonkman starting values: catenary parameter from the inextensible
+        # sag estimate, taut fallback when the chord exceeds L
+        slack = L * L > zf * zf + xf_safe * xf_safe
+        lam = jnp.where(
+            slack,
+            jnp.sqrt(jnp.maximum(3.0 * ((L * L - zf * zf) / (xf_safe * xf_safe)
+                                        - 1.0), 1e-8)),
+            1.0,
+        )
+        H0 = jnp.broadcast_to(jnp.maximum(jnp.abs(w * xf_safe / (2.0 * lam)),
+                                          Hmin), shape)
+        V0 = jnp.broadcast_to(0.5 * w * (zf / jnp.tanh(lam) + L), shape)
 
     def residual(hv):
         x, z = _profile(hv[0], hv[1], L, w, EA, seabed)
-        return jnp.stack([x - xf_safe, z - zf])
+        return (x - xf_safe, z - zf)
+
+    def _jac2(f, hv):
+        """Elementwise 2x2 Jacobian of f at hv via two unit-tangent jvps."""
+        r, (a, c) = jax.jvp(f, (hv,), ((ones, zeros),))
+        _, (b, d) = jax.jvp(f, (hv,), ((zeros, ones),))
+        return r, (a, b, c, d)
+
+    def _apply_inv(a, b, c, d, y1, y2):
+        det = a * d - b * c
+        det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        return (d * y1 - b * y2) / det, (a * y2 - c * y1) / det
 
     def solve(f, hv0):
         hv = hv0
         for _ in range(iters):
-            r = f(hv)
-            J = jax.jacfwd(f)(hv)
-            d = _solve2(J, r)
+            (r1, r2), (a, b, c, d) = _jac2(f, hv)
+            dh, dv = _apply_inv(a, b, c, d, r1, r2)
             # damped step, H kept positive (asinh(V/H) needs H > 0)
-            Hn = jnp.maximum(hv[0] - d[0], 0.1 * hv[0])
-            Vn = hv[1] - d[1]
+            Hn = jnp.maximum(hv[0] - dh, 0.1 * hv[0])
+            Vn = hv[1] - dv
             Vn = jnp.where(seabed, jnp.maximum(Vn, Hmin), Vn)
-            hv = jnp.stack([jnp.maximum(Hn, Hmin), Vn])
+            hv = (jnp.maximum(Hn, Hmin), Vn)
         return hv
 
     def tangent_solve(g, y):
-        return _solve2(jax.jacfwd(g)(jnp.zeros_like(y)), y)
+        _, (a, b, c, d) = _jac2(g, (zeros, zeros))
+        dh, dv = _apply_inv(a, b, c, d, y[0], y[1])
+        return (dh, dv)
 
-    hv = jax.lax.custom_root(residual, jnp.stack([H, V]), solve, tangent_solve)
+    hv = jax.lax.custom_root(residual, (H0, V0), solve, tangent_solve)
     return hv[0], hv[1]
 
 

@@ -1265,6 +1265,12 @@ class Simulation:
             # eager interpretation is needlessly slow there.
             subblock = (8 if (not interpret and b.max_substep >= 8
                               and tb % 8 == 0) else 1)
+        moored = self.spec.moorings is not None
+        if moored:
+            # the catenary is evaluated in XLA from the step-start state
+            # between kernel dispatches and folded into fx, so each dispatch
+            # must be one integration step
+            subblock = 1
         if subblock > 1 and tb % subblock != 0:
             raise ValueError(f"subblock {subblock} must divide block_size {tb}")
         if subblock > 1:
@@ -1282,6 +1288,56 @@ class Simulation:
             ])
             for s in self.hydro_slots
         ]).astype(np.int32)
+
+        if moored:
+            from hydrochrono_tpu.ops.pallas_step import _cross3, _quat_rotate
+            from hydrochrono_tpu.physics import mooring as moorphys
+
+            hydro_index_of_body = {
+                int(bi): hb for hb, bi in enumerate(self.hydro.body_indices)
+            }
+            moor_map = [
+                (self.moor_slots[i], 6 * hydro_index_of_body[ml.body])
+                for i, ml in enumerate(self.spec.moorings.lines)
+            ]
+            mc = const["moor"]
+            nl = len(moor_map)
+
+            def _bc(x):  # [nl] line constant -> broadcast vs [nl, RB, 128]
+                return x[:, None, None]
+
+            def mooring_fx(sc, hv):
+                """Catenary fairlead wrenches on the step-start state, as a
+                [K, RB, 128] contribution to the kernel's fx operand (the
+                same state the kernel reads, so the fused Euler step equals
+                the XLA path's _forces_mech exactly). All lines solve in one
+                broadcast-batched Newton; `hv` warm-starts it from the
+                previous step's solution (None = cold Jonkman init).
+                Returns (fx_contribution, (H, V) carry [nl, RB, 128])."""
+                posc = [jnp.stack([sc[b.ip(s, k)] for s, _ in moor_map])
+                        for k in range(3)]   # 3 x [nl, RB, 128]
+                quatc = [jnp.stack([sc[b.iq(s, k)] for s, _ in moor_map])
+                         for k in range(4)]  # 4 x [nl, RB, 128]
+                loc = [_bc(mc["local"][:, k]) for k in range(3)]
+                rloc = _quat_rotate(quatc, loc)
+                d0 = posc[0] + rloc[0] - _bc(mc["anchor"][:, 0])
+                d1 = posc[1] + rloc[1] - _bc(mc["anchor"][:, 1])
+                d2 = posc[2] + rloc[2] - _bc(mc["anchor"][:, 2])
+                dx = jnp.sqrt(d0 * d0 + d1 * d1 + 1e-30)
+                iters = 6 if hv is not None else 24
+                H, V = moorphys.catenary_hv(
+                    dx, d2, _bc(mc["L0"]), _bc(mc["w"]), _bc(mc["ea"]),
+                    _bc(mc["seabed"]), iters=iters, hv0=hv,
+                )
+                inv = 1.0 / jnp.maximum(dx, 1e-9)
+                f = [-H * d0 * inv, -H * d1 * inv, -V]
+                tau = _cross3(rloc, f)
+                out = jnp.zeros((K,) + sc.shape[1:], self.dtype)
+                for i, (_, base) in enumerate(moor_map):
+                    for k in range(3):
+                        out = out.at[base + k].add(f[k][i])
+                        out = out.at[base + 3 + k].add(tau[k][i])
+                return out, (H, V)
 
         irregular = self.wave_kind == "IrregularWaveParams"
         regular = self.wave_kind == "RegularWave"
@@ -1356,10 +1412,7 @@ class Simulation:
         Wsr = const["W_small_rev"]
 
         def block(carry, bi):
-            if hht:
-                sc, hc, vhist = carry
-            else:
-                (sc, vhist), hc = carry, None
+            sc, hc, mhv, vhist = carry
             n0 = bi * tb
             p0 = jnp.mod(n0, H2)
             vold = jnp.roll(vhist[::-1], p0, axis=0)[:Hj]  # [Hj, K, RB, 128]
@@ -1370,7 +1423,7 @@ class Simulation:
             f_exc = wave_block(n0)
 
             def inner(ic, d):
-                sc, hc, vblock = ic
+                sc, hc, mhv, vblock = ic
                 v6 = sc[v6_rows]  # [K, RB, 128]
                 vblock = jax.lax.dynamic_update_slice_in_dim(
                     vblock, v6[None], d, axis=0
@@ -1381,6 +1434,9 @@ class Simulation:
                 if f_exc is not None:
                     fe = f_exc[d]
                     fxd = fxd + (fe[:, None, None] if fe.ndim == 1 else fe)
+                if moored:
+                    f_moor, mhv = mooring_fx(sc, mhv)
+                    fxd = fxd + f_moor
                 if hht:
                     sc2, hc2, extra = fused_call(cvec, sc, fxd, bvec, hc)
                 else:
@@ -1394,10 +1450,10 @@ class Simulation:
                         out[k] = extra[lo:hi]
                     else:
                         out[k] = sc2[spec_k[0]:spec_k[1]]
-                return (sc2, hc2, vblock), out
+                return (sc2, hc2, mhv, vblock), out
 
             def inner_sub(ic, c):
-                sc, hc, vblock = ic
+                sc, hc, mhv, vblock = ic
                 base = c * subblock
                 # mid-field: this block's steps before the current sub-block
                 # (rows >= base are still zero in vblock, so the wrapped
@@ -1432,12 +1488,12 @@ class Simulation:
                         out[k] = exs[:, lo:hi]
                     else:
                         out[k] = traj_sc[:, spec_k[0]:spec_k[1]]
-                return (sc2, hc2, vblock), out
+                return (sc2, hc2, mhv, vblock), out
 
             vblock0 = jnp.zeros((tb, K, RB, 128), self.dtype)
             if subblock > 1:
-                (sc, hc, vblock), outs = jax.lax.scan(
-                    inner_sub, (sc, hc, vblock0),
+                (sc, hc, mhv, vblock), outs = jax.lax.scan(
+                    inner_sub, (sc, hc, mhv, vblock0),
                     jnp.arange(tb // subblock, dtype=jnp.int32),
                 )
                 # [nsub, sub, C, RB, 128] -> [tb, C, RB, 128]
@@ -1445,24 +1501,23 @@ class Simulation:
                     lambda x: x.reshape((tb,) + x.shape[2:]), outs
                 )
             else:
-                (sc, hc, vblock), outs = jax.lax.scan(
-                    inner, (sc, hc, vblock0),
+                (sc, hc, mhv, vblock), outs = jax.lax.scan(
+                    inner, (sc, hc, mhv, vblock0),
                     jnp.arange(tb, dtype=jnp.int32),
                 )
             vhist = jax.lax.dynamic_update_slice_in_dim(
                 vhist, vblock, p0, axis=0
             )
-            return ((sc, hc, vhist) if hht else (sc, vhist)), outs
+            return (sc, hc, mhv, vhist), outs
 
-        carry0 = (sc0, hc0, vhist0) if hht else (sc0, vhist0)
+        # warm-start carry for the mooring Newton (cold-solved at the start)
+        mhv0 = mooring_fx(sc0, None)[1] if moored else None
+        carry0 = (sc0, hc0, mhv0, vhist0)
         final_carry, traj = jax.lax.scan(
             block, carry0,
             start_block + jnp.arange(nblocks, dtype=jnp.int32),
         )
-        if hht:
-            sc_f, _, vhist_f = final_carry
-        else:
-            sc_f, vhist_f = final_carry
+        sc_f, _, _, vhist_f = final_carry
 
         final = b.unpack_state(sc_f, vhist_f, B, states.ss)
 

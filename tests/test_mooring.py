@@ -255,27 +255,55 @@ def test_moordyn_yaml_end_to_end(tmp_path):
     assert t1.min() > 0 and t2.min() > 0  # lines stay under tension
 
 
-def test_mooring_gates_fused_path(tmp_path):
-    """Moored systems fall back to the XLA step (fused kernel gates)."""
+def _moored_hydro_spec(tmp_path, n_lines=2):
     from hydrochrono_tpu.io.synth import write_bemio_h5
     from hydrochrono_tpu.io.bemio import load_bemio_h5
     from hydrochrono_tpu.physics.system import HydroAttachment
 
     h5 = str(tmp_path / "m1.h5")
-    write_bemio_h5(h5, 1, seed=5, cg_list=[np.array([0.0, 0.0, -1.0])],
-                   rirf_tmax=1.0, rirf_steps=101)
+    if not os.path.exists(h5):
+        write_bemio_h5(h5, 1, seed=5, cg_list=[np.array([0.0, 0.0, -1.0])],
+                       rirf_tmax=1.0, rirf_steps=101)
     hydro = load_bemio_h5(h5, num_bodies=1)
-    spec = SystemSpec(
+    lines = tuple(
+        moor.MooringLine(body=0,
+                         anchor=(50.0 * np.cos(th), 50.0 * np.sin(th), -30.0),
+                         fairlead=(np.cos(th), np.sin(th), -1.5), length=60.0,
+                         weight_per_m=300.0, ea=1e8)
+        for th in np.linspace(0.0, 2 * np.pi, n_lines, endpoint=False)
+    )
+    return SystemSpec(
         bodies=[Body("body1", 2.6e5, (0.0, 0.0, -1.0))],
         hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
-        moorings=moor.MooringSpec(lines=(
-            moor.MooringLine(body=0, anchor=(50.0, 0.0, -30.0),
-                             fairlead=(1.0, 0.0, -1.5), length=60.0,
-                             weight_per_m=300.0, ea=1e8),
-        )),
+        moorings=moor.MooringSpec(lines=lines),
     )
-    sim = Simulation(spec, dt=0.015, block_size=8)
-    assert not sim.fused_supported()
-    # ...but the blocked XLA path runs the moored system fine
-    final, traj = jax.jit(lambda: sim.run(16))()
+
+
+def test_mooring_fused_path_matches_xla(tmp_path):
+    """Moored Euler systems take the fused path (catenary folded into the
+    fx operand at the step-start state) and match the XLA step exactly;
+    HHT + mooring stays gated to the XLA path."""
+    from hydrochrono_tpu.parallel.sharding import make_batched_states
+
+    spec = _moored_hydro_spec(tmp_path)
+    sim = Simulation(spec, dt=0.015, block_size=8, outputs=("pos", "quat"))
+    assert sim.fused_supported()
+
+    B, n = 2, 16
+    rng = np.random.RandomState(1)
+    offs = np.zeros((B, 1, 3))
+    offs[:, 0, 0] = rng.uniform(-0.5, 0.5, size=B)  # surge offsets
+    states = make_batched_states(sim, B, pos_offsets=offs)
+    ref_final, ref_traj = jax.jit(jax.vmap(lambda s: sim.run(n, state=s)))(states)
+    got_final, got_traj = jax.jit(lambda s: sim.run_blocked_fused(n, s))(states)
+    for k in got_traj:
+        if k in ref_traj:
+            err = float(np.abs(np.asarray(ref_traj[k])
+                               - np.asarray(got_traj[k])).max())
+            assert err < 1e-9, k
+
+    sim_hht = Simulation(spec, dt=0.015, block_size=8, integrator="hht")
+    assert not sim_hht.fused_supported()
+    # ...and the blocked XLA path still runs the moored HHT system
+    final, traj = jax.jit(lambda: sim_hht.run(16))()
     assert np.isfinite(np.asarray(traj["pos"])).all()
