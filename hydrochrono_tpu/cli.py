@@ -200,11 +200,12 @@ def run_case(args, log) -> int:
     block_size = args.block_size
     if (block_size is None and jax.default_backend() == "tpu"
             and not args.no_fused and case.hydro_spec is not None
-            and not args.state_space and args.dtype != "float64"
+            and not args.state_space
             and not (args.guard_chunk or args.checkpoint)):
         # production TPU default: blocked far-field convolution + the fused
         # Pallas step kernel (the builder drops the block for state-space
-        # radiation, where there is no history to amortize)
+        # radiation, where there is no history to amortize; f64 keeps the
+        # blocked XLA path — only the Mosaic kernel lacks f64 lowering)
         block_size = 128
     sim = case.build_simulation(dtype=dtype, outputs=outputs,
                                 block_size=block_size)

@@ -41,12 +41,16 @@ class MooringLine:
 
     body: int                      # spec body index carrying the fairlead
     anchor: Sequence[float]        # world anchor position
-    fairlead: Sequence[float]      # world fairlead position at t0
+    fairlead: Sequence[float]      # fairlead position (see fairlead_frame)
     length: float                  # unstretched length [m]
     weight_per_m: float            # net submerged weight per length [N/m]
     ea: float                      # axial stiffness EA [N]
     seabed: bool = True            # anchor rests on the seabed (touchdown
     #                                branch allowed); False = fully suspended
+    # "world": fairlead given in world coordinates at t0 (programmatic API);
+    # "body": fairlead given in the body frame relative to the body reference
+    # point (the MoorDyn file convention for Vessel/Body attachments)
+    fairlead_frame: str = "world"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,21 +85,36 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
     points = {}      # id -> (attach_kind, body_idx_or_None, xyz)
     lines_rows = []  # (type_name, idA, idB, unstretched_length)
     options = {}
+    # LINES column positions; default = v2 order (ID Type AttachA AttachB
+    # UnstrLen ...), overridden from the section's header row when present
+    # (v1 orders the columns Line Type UnstrLen [NumSegs] NodeAnch NodeFair)
+    lines_cols = {"len": 4, "a": 2, "b": 3}
 
     section = None
+    done = False
     with open(path) as f:
         for raw in f:
+            if done:
+                break
             line = raw.strip()
             if not line:
                 continue
             upper = line.upper()
-            if line.startswith("-") or line.startswith("="):
-                if "TYPE" in upper and "LINE" in upper:
+            # section dividers are dash/equals RULES (>= 3 leading marks) —
+            # a single '-' would also match negative OPTION values
+            if line.startswith("---") or line.startswith("==="):
+                if section == "options":
+                    # MoorDyn ignores everything after the divider that
+                    # closes the options section ('need this line')
+                    done = True
+                elif ("TYPE" in upper or "DICTIONARY" in upper) and \
+                        "LINE" in upper:
                     section = "types"
                 elif ("POINT" in upper or "CONNECT" in upper
                       or "NODE" in upper):
                     section = "points"
-                elif "LINE" in upper:
+                elif "LINES" in upper or ("LINE" in upper
+                                          and "PROPERT" in upper):
                     section = "lines"
                 elif "OPTION" in upper or "SOLVER" in upper:
                     section = "options"
@@ -111,8 +130,18 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
             # every section except types/options where names lead — detect
             # the standard header words instead
             first_upper = toks[0].upper()
-            if first_upper in ("TYPENAME", "NAME", "ID", "LINE", "NODE",
-                               "POINT"):
+            if first_upper in ("TYPENAME", "LINETYPE", "NAME", "ID", "LINE",
+                               "NODE", "POINT"):
+                if section == "lines":
+                    # read the column order off the header (v1 vs v2)
+                    for ci, t in enumerate(toks):
+                        tu = t.upper()
+                        if "UNSTRLEN" in tu or "LENGTH" in tu:
+                            lines_cols["len"] = ci
+                        elif "NODEANCH" in tu or "ATTACHA" in tu:
+                            lines_cols["a"] = ci
+                        elif "NODEFAIR" in tu or "ATTACHB" in tu:
+                            lines_cols["b"] = ci
                 continue
             if section == "types" and len(toks) >= 4:
                 name = toks[0]
@@ -140,8 +169,16 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
                         f"mooring point {pid}: unknown attachment "
                         f"'{toks[1]}' (expected Fixed/Vessel/Body#)")
             elif section == "lines" and len(toks) >= 5:
-                lines_rows.append((toks[1], int(float(toks[2])),
-                                   int(float(toks[3])), float(toks[4])))
+                c = dict(lines_cols)
+                if c == {"len": 4, "a": 2, "b": 3} and (
+                    "." in toks[2] or "e" in toks[2].lower()
+                ):
+                    # headerless v1-style row: a fractional value in the
+                    # AttachA column means UnstrLen comes third
+                    c = {"len": 2, "a": 3, "b": 4}
+                lines_rows.append((toks[1], int(float(toks[c["a"]])),
+                                   int(float(toks[c["b"]])),
+                                   float(toks[c["len"]])))
             elif section == "options" and len(toks) >= 2:
                 try:
                     options[toks[1].lower()] = float(toks[0])
@@ -180,6 +217,9 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
         out.append(MooringLine(
             body=fair[1], anchor=anchor[2], fairlead=fair[2], length=L0,
             weight_per_m=w, ea=ea, seabed=seabed,
+            # MoorDyn convention: Vessel/Body point coordinates are given in
+            # the body frame relative to the body reference point
+            fairlead_frame="body",
         ))
     if not out:
         raise ValueError(f"no mooring lines found in {path}")

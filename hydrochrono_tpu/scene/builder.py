@@ -111,7 +111,7 @@ def _quat0_from_orientation(orientation, degrees: bool):
 
 
 def _build_moorings(moordyn: dict, hydro_file: str, name_to_idx: dict,
-                    hd, warnings: list):
+                    hd, warnings: list, g: float = 9.81):
     """Wire the hydro-YAML `moordyn:` block to the quasi-static catenary
     module (physics/mooring.py). The reference declares this block in its
     demo YAML (demos/yaml/rm3/rm3_decay.hydro.yaml) but implements nothing;
@@ -138,7 +138,6 @@ def _build_moorings(moordyn: dict, hydro_file: str, name_to_idx: dict,
     for nm in body_names:
         if nm not in name_to_idx:
             raise KeyError(f"moordyn body '{nm}' not found among model bodies")
-    g = 9.81
     rho = float(hd.rho) if hd is not None else 1025.0
     spec = moor.parse_moordyn_file(path, body_names, rho=rho, g=g)
     # remap fairlead indices: parser indexes into body_names
@@ -290,8 +289,10 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
                 eta_file_path=ws.eta_file,
             )
         if hydro_spec.moordyn:
-            moorings = _build_moorings(hydro_spec.moordyn, hydro_file,
-                                       name_to_idx, hd, warnings)
+            moorings = _build_moorings(
+                hydro_spec.moordyn, hydro_file, name_to_idx, hd, warnings,
+                g=float(np.linalg.norm(np.asarray(sim.gravity))),
+            )
 
     system = SystemSpec(
         bodies=bodies, joints=joints, tsdas=tsdas, rsdas=rsdas, motors=motors,

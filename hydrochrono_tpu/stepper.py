@@ -554,8 +554,14 @@ class Simulation:
                 self.moor_slots.append(self.slot_of[ml.body])
                 p0, q0 = self._initial_pose(ml.body)
                 anchors.append(np.asarray(ml.anchor, dtype=np.float64))
-                locals_.append(
-                    _rot_np(q0).T @ (np.asarray(ml.fairlead, np.float64) - p0))
+                if getattr(ml, "fairlead_frame", "world") == "body":
+                    # MoorDyn file convention: body-frame offset from the
+                    # body reference point
+                    locals_.append(np.asarray(ml.fairlead, np.float64))
+                else:
+                    locals_.append(
+                        _rot_np(q0).T
+                        @ (np.asarray(ml.fairlead, np.float64) - p0))
                 L0s.append(ml.length)
                 ws.append(ml.weight_per_m)
                 eas.append(ml.ea)
@@ -685,20 +691,29 @@ class Simulation:
 
     def _mooring_forces(self, const, pos, quat):
         """Quasi-static catenary fairlead wrenches, accumulated into [nv]
-        (physics/mooring.py; the reference's `moordyn:` capability)."""
+        (physics/mooring.py; the reference's `moordyn:` capability). All
+        lines solve in ONE broadcast-batched Newton (catenary_hv is
+        shape-polymorphic) — per-line sequential solves measured ~11x the
+        batched cost (PERF.md)."""
         from hydrochrono_tpu.physics import mooring as moor
 
         mc = const["moor"]
+        sel = jnp.asarray(self.moor_slots)
+        p = pos[sel]   # [nl, 3]
+        q = quat[sel]  # [nl, 4]
+        rl = quat_rotate(q, mc["local"])
+        pf = p + rl
+        d = pf - mc["anchor"]
+        dx = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2 + 1e-30)
+        H, V = moor.catenary_hv(dx, d[:, 2], mc["L0"], mc["w"], mc["ea"],
+                                mc["seabed"])
+        inv = 1.0 / jnp.maximum(dx, 1e-9)
+        f = jnp.stack([-H * d[:, 0] * inv, -H * d[:, 1] * inv, -V], axis=-1)
+        tau = jnp.cross(rl, f)
         F = jnp.zeros((self.nv,), self.dtype)
         for i, s in enumerate(self.moor_slots):
-            pf = pos[s] + quat_rotate(quat[s], mc["local"][i])
-            f, _ = moor.fairlead_force(
-                mc["anchor"][i], pf, mc["L0"][i], mc["w"][i], mc["ea"][i],
-                mc["seabed"][i],
-            )
-            tau = jnp.cross(pf - pos[s], f)
-            F = F.at[s * 6 : s * 6 + 3].add(f)
-            F = F.at[s * 6 + 3 : s * 6 + 6].add(tau)
+            F = F.at[s * 6 : s * 6 + 3].add(f[i])
+            F = F.at[s * 6 + 3 : s * 6 + 6].add(tau[i])
         return F
 
     def _hydrostatic(self, params, pos, quat):

@@ -255,6 +255,69 @@ def test_moordyn_yaml_end_to_end(tmp_path):
     assert t1.min() > 0 and t2.min() > 0  # lines stay under tension
 
 
+def test_parser_edge_cases(tmp_path):
+    """Review regressions: negative OPTIONS values are not section dividers,
+    v1 'NodeAnch/NodeFair' column order parses, the trailing 'need this
+    line' divider terminates parsing, and Vessel coordinates are body-frame."""
+    p = tmp_path / "v1.txt"
+    p.write_text(textwrap.dedent("""\
+        --------------------- MoorDyn v1-style Input File -----------
+        ----------------------- LINE DICTIONARY ---------------------
+        LineType  Diam   MassDen   EA       BA/-zeta
+        (-)       (m)    (kg/m)    (N)      (Pa-s)
+        main      0.09   77.7      3.84E8   -0.8
+        ---------------------- CONNECTION PROPERTIES ----------------
+        Node  Type    X      Y    Z      M  V  FX FY FZ
+        1     Fix     80.0   0.0  -40.0  0  0  0  0  0
+        2     Vessel  2.0    0.0  -1.0   0  0  0  0  0
+        ---------------------- LINE PROPERTIES ----------------------
+        Line  LineType  UnstrLen  NodeAnch  NodeFair  Flags
+        1     main      95.5      1         2         -
+        ---------------------- SOLVER OPTIONS -----------------------
+        -9.80665   g
+        40.0       wtrdpth
+        ---------------------- need this line -----------------------
+        this trailing annotation must be ignored by the parser entirely
+    """))
+    spec = moor.parse_moordyn_file(str(p), ["body1"])
+    assert len(spec.lines) == 1
+    ln = spec.lines[0]
+    assert ln.length == 95.5
+    assert tuple(ln.anchor) == (80.0, 0.0, -40.0)
+    # Vessel coordinates are body-frame (MoorDyn convention)
+    assert ln.fairlead_frame == "body"
+    assert tuple(ln.fairlead) == (2.0, 0.0, -1.0)
+    # the negative g option row was consumed as an option, not a divider,
+    # so wtrdpth survived: the anchor at z=-40 sits above the 70... at the
+    # 40 m depth -> seabed contact
+    assert ln.seabed
+    # g=9.80665 from the file (|g|): w = (77.7 - 1025*pi/4*0.09^2)*9.80665
+    w_ref = (77.7 - 1025.0 * np.pi / 4.0 * 0.09**2) * 9.80665
+    assert abs(ln.weight_per_m - w_ref) < 1e-9
+
+
+def test_parser_anchor_above_seabed_is_suspended(tmp_path):
+    p = tmp_path / "susp.txt"
+    p.write_text(textwrap.dedent("""\
+        ----------------------- LINE TYPES --------------------------
+        TypeName  Diam   Mass/m  EA
+        chain     0.09   77.7    3.84E8
+        ---------------------- POINTS -------------------------------
+        ID  Attachment  X      Y     Z      M  V  CdA  Ca
+        1   Fixed       30.0   0.0  -20.0   0  0  0    0
+        2   Vessel      1.0    0.0  -1.0    0  0  0    0
+        ---------------------- LINES --------------------------------
+        ID  LineType  AttachA  AttachB  UnstrLen  NumSegs
+        1   chain     1        2        40.0      10
+        ---------------------- OPTIONS ------------------------------
+        60.0   wtrdpth
+        ---------------------- need this line -----------------------
+    """))
+    spec = moor.parse_moordyn_file(str(p), ["b"])
+    # anchor 40 m above the seabed -> fully suspended line
+    assert not spec.lines[0].seabed
+
+
 def _moored_hydro_spec(tmp_path, n_lines=2):
     from hydrochrono_tpu.io.synth import write_bemio_h5
     from hydrochrono_tpu.io.bemio import load_bemio_h5

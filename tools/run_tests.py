@@ -29,6 +29,14 @@ import time
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# honor JAX_PLATFORMS=cpu even when a site hook pre-imports jax with another
+# platform (the env var alone is ignored once a backend wins selection)
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
 from compare_results import compare, load_series, render_plot  # noqa: E402
 
 

@@ -70,3 +70,49 @@ for i in range(10):
     d = z3[i][:m] - refp[:m, 1]
     l2, li = np.linalg.norm(d)/m, np.abs(d).max()
     print(f"reg case {i+1} FUSED:  L2={l2:.2e} Linf={li:.2e} {'PASS' if (l2<=1e-4 and li<=0.02) else 'FAIL'}")
+
+# 4) fused HHT gate (round 3): the iea_sphere YAML decay (the reference's
+# flagship HHT pipeline) driven through the CLI on the TPU fused path,
+# compared against the Chrono-generated expected H5
+import shutil, subprocess, tempfile
+import h5py
+case_root = '/root/reference/tests/regression/run_hydrochrono/iea_sphere'
+case_src = os.path.join(case_root, 'decay')
+if os.path.exists(os.path.join(case_src, 'expected', 'results.still.h5')):
+    with tempfile.TemporaryDirectory() as td:
+        # the decay case resolves ../assets/hydroData/*.h5 — copy the tree
+        shutil.copytree(case_root, os.path.join(td, 'iea_sphere'))
+        from hydrochrono_tpu import cli as _cli
+        rc = _cli.main([os.path.join(td, 'iea_sphere', 'decay', 'inputs'),
+                        '--quiet', '--output-h5', os.path.join(td, 'out')])
+        assert rc == 0, f"iea_sphere CLI run failed rc={rc}"
+        with h5py.File(os.path.join(td, 'out', 'results.still.h5')) as f:
+            z = f['results/model/bodies/body1/position'][:, 2]
+        with h5py.File(os.path.join(case_src, 'expected', 'results.still.h5')) as f:
+            ze = f['results/model/bodies/body1/position'][:, 2]
+        m = min(len(z), len(ze))
+        d = z[:m].astype(np.float64) - ze[:m].astype(np.float64)
+        l2, li = np.linalg.norm(d) / m, np.abs(d).max()
+        print(f"iea_sphere HHT FUSED CLI: L2={l2:.2e} Linf={li:.2e} "
+              f"{'PASS' if (l2 <= 1e-4 and li <= 0.02) else 'FAIL'}")
+
+# 5) moored RM3 YAML case (round 3) on the fused path vs its f64 baseline
+moored_dir = os.path.join(os.path.dirname(__file__), '..', 'cases', 'rm3', 'moored')
+if os.path.exists(os.path.join(moored_dir, 'expected', 'results.still.h5')):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'cases'))
+    from gen_assets import ensure_assets
+    ensure_assets()
+    import tempfile as _tf
+    with _tf.TemporaryDirectory() as td:
+        from hydrochrono_tpu import cli as _cli
+        rc = _cli.main([os.path.join(moored_dir, 'inputs'), '--quiet',
+                        '--output-h5', os.path.join(td, 'out')])
+        assert rc == 0
+        with h5py.File(os.path.join(td, 'out', 'results.still.h5')) as f:
+            z = f['results/model/bodies/body1/position'][:, 2]
+        with h5py.File(os.path.join(moored_dir, 'expected', 'results.still.h5')) as f:
+            ze = f['results/model/bodies/body1/position'][:, 2]
+        d = z.astype(np.float64) - ze.astype(np.float64)
+        l2, li = np.linalg.norm(d) / len(d), np.abs(d).max()
+        print(f"rm3 moored FUSED CLI:    L2={l2:.2e} Linf={li:.2e} "
+              f"{'PASS' if (l2 <= 1e-4 and li <= 0.02) else 'FAIL'}")
