@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the state-space radiation model (BEMIO fits)")
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas step kernel (TPU)")
+    p.add_argument("--seeds", type=int, default=0, metavar="N",
+                   help="run N irregular-wave seed realizations batched in "
+                        "one device program (exports seed_<s>/ dirs + "
+                        "cross-seed statistics)")
     p.add_argument("--checkpoint", metavar="PATH",
                    help="write checkpoints here during the run")
     p.add_argument("--checkpoint-every", type=int, default=0, metavar="STEPS")
@@ -207,6 +211,20 @@ def run_case(args, log) -> int:
         # radiation, where there is no history to amortize; f64 keeps the
         # blocked XLA path — only the Mosaic kernel lacks f64 lowering)
         block_size = 128
+    seed_sweep = None
+    if args.seeds and args.seeds > 1:
+        # batched wave-seed realizations (beyond-reference: the reference
+        # runs one seed per process; here N sea states ride the batch axis
+        # of one device program — wave-farm/fatigue statistics in one run)
+        ws0 = case.hydro_spec.waves if case.hydro_spec else None
+        if ws0 is not None and ws0.kind == "irregular":
+            import dataclasses as _dc
+
+            base = int(np.asarray(case.wave.seed).reshape(-1)[0])
+            seed_sweep = base + np.arange(args.seeds)
+            case.wave = _dc.replace(case.wave, seed=seed_sweep)
+        else:
+            log.warning("--seeds applies to irregular waves only; ignored")
     sim = case.build_simulation(dtype=dtype, outputs=outputs,
                                 block_size=block_size)
     if args.state_space:
@@ -229,7 +247,8 @@ def run_case(args, log) -> int:
         sweep_batched = {k: sim.params[k] for k in
                          ("reg_mag", "reg_phase", "reg_amp", "reg_omega")}
 
-    if (args.guard_chunk or args.checkpoint) and sweep_batched is None:
+    if (args.guard_chunk or args.checkpoint) and sweep_batched is None \
+            and seed_sweep is None:
         # host-checked chunks with divergence detection + body-state dumps
         # (reference: run_hydrochrono_from_yaml.cpp:746-764, 863-905).
         # --checkpoint alone implies chunked execution so checkpoints can
@@ -260,13 +279,18 @@ def run_case(args, log) -> int:
         # regular-wave params)
         from hydrochrono_tpu.parallel.sharding import make_batched_states
 
-        B = int(np.atleast_1d(ws.periods).size) if sweep_batched is not None else 1
+        if sweep_batched is not None:
+            B = int(np.atleast_1d(ws.periods).size)
+        elif seed_sweep is not None:
+            B = len(seed_sweep)
+        else:
+            B = 1
         log.info(f"step path: fused Pallas kernel (blocked, batch {B})")
         states = make_batched_states(sim, B)
         _, traj_b = jax.jit(
             lambda s, p: sim.run_blocked_fused(n, s, params=p)
         )(states, sim.params)
-        if sweep_batched is None:
+        if sweep_batched is None and seed_sweep is None:
             traj = jax.tree.map(lambda v: np.asarray(v)[0], traj_b)
         else:
             traj = jax.tree.map(np.asarray, traj_b)
@@ -277,14 +301,19 @@ def run_case(args, log) -> int:
         if sweep_batched is not None:
             axes = {k: (0 if k in sweep_batched else None) for k in sim.params}
             run = jax.jit(jax.vmap(lambda p: sim.run(n, params=p), in_axes=(axes,)))
+        elif seed_sweep is not None:
+            axes = {k: (0 if k == "irr_eta" else None) for k in sim.params}
+            run = jax.jit(jax.vmap(lambda p: sim.run(n, params=p), in_axes=(axes,)))
         _, traj = run(sim.params)
         traj = jax.tree.map(np.asarray, traj)
         t_run = time.time() - t_run0
         log.progress(1.0, f"{n} steps")
 
-    # NaN/divergence guard (reference: run_hydrochrono_from_yaml.cpp:863-905)
+    # NaN/divergence guard (reference: run_hydrochrono_from_yaml.cpp:863-905);
+    # batched sweeps/seeds defer to the per-case skip logic at export time
     pos = np.asarray(traj["pos"])
-    if not np.isfinite(pos).all():
+    if sweep_batched is None and seed_sweep is None \
+            and not np.isfinite(pos).all():
         bad = np.argwhere(~np.isfinite(pos))
         log.error(f"non-finite body state detected (first at step {bad[0][0]})")
         return 1
@@ -317,6 +346,26 @@ def run_case(args, log) -> int:
                                         wall_time_s=t_run, run_metadata=meta,
                                         verbose_log=vlog))
         log.success(f"exported {len(paths)} sweep cases under {out_dir}")
+    elif seed_sweep is not None:
+        paths = []
+        for i, s in enumerate(seed_sweep):
+            sub = jax.tree.map(lambda v: np.asarray(v)[i], traj)
+            if not np.isfinite(np.asarray(sub["pos"])).all():
+                if args.fail_fast:
+                    log.error(f"seed {s} diverged; aborting (--fail-fast)")
+                    return 1
+                log.warning(f"seed {s} diverged; skipped")
+                continue
+            d = os.path.join(out_dir, f"seed_{int(s)}")
+            paths.append(export_results(case, sub, times, d,
+                                        wall_time_s=t_run, run_metadata=meta,
+                                        verbose_log=vlog))
+        # cross-realization statistics (the point of seed batching)
+        z = pos[..., 0, 2]  # [B, T] body-1 heave
+        zstd = z.std(axis=-1)
+        log.success(f"exported {len(paths)} seed realizations under {out_dir}")
+        log.info(f"heave std across seeds: mean {zstd.mean():.4f} m, "
+                 f"spread {zstd.std():.4f} m (n={len(seed_sweep)})")
     else:
         path = export_results(case, traj, times, out_dir,
                               wall_time_s=t_run, run_metadata=meta,

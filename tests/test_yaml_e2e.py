@@ -196,3 +196,77 @@ def test_yaml_eta_file_import(tmp_path):
         z = np.asarray(f["results/model/bodies/body1/position"][:, 2])
     assert abs(eta.max() - 0.5) < 1e-9  # the imported series, not a spectrum
     assert np.isfinite(z).all() and np.ptp(z) > 1e-4  # waves actually force it
+
+
+def test_cli_seed_sweep(tmp_path):
+    """--seeds N runs N irregular realizations batched in one program and
+    exports per-seed dirs (beyond-reference: the reference runs one seed
+    per process)."""
+    import textwrap
+
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+
+    d = tmp_path / "inputs"
+    d.mkdir()
+    h5 = str(tmp_path / "one.h5")
+    write_bemio_h5(h5, 1, seed=3, cg_list=[np.array([0.0, 0.0, -0.7])],
+                   rirf_tmax=1.0, rirf_steps=51)
+    (d / "c.setup.yaml").write_text(textwrap.dedent("""
+        model_file: c.model.yaml
+        simulation_file: c.simulation.yaml
+        hydro_file: c.hydro.yaml
+        output_directory: ../outputs
+    """))
+    (d / "c.model.yaml").write_text(textwrap.dedent("""
+        model:
+          name: seed_sweep_case
+          bodies:
+            - name: body1
+              location: [0, 0, -0.7]
+              mass: 2.5e5
+              inertia: {moments: [1e6, 1e6, 1e6], products: [0, 0, 0]}
+    """))
+    (d / "c.simulation.yaml").write_text(textwrap.dedent("""
+        simulation:
+          time_step: 0.02
+          end_time: 5.0
+          gravity: [0, 0, -9.81]
+    """))
+    (d / "c.hydro.yaml").write_text(textwrap.dedent(f"""
+        hydrodynamics:
+          bodies:
+            - {{name: body1, h5_file: {h5}}}
+          waves:
+            type: irregular
+            height: 1.5
+            period: 7.0
+            seed: 10
+    """))
+    rc = cli.main([str(d), "--quiet", "--seeds", "3",
+                   "--output-h5", str(tmp_path / "out")])
+    assert rc == 0
+    zs = []
+    for s in (10, 11, 12):  # base seed from the YAML, then +1, +2
+        with h5py.File(tmp_path / "out" / f"seed_{s}" / "results.irregular.h5") as f:
+            zs.append(np.asarray(f["results/model/bodies/body1/position"][:, 2]))
+    zs = np.stack(zs)
+    assert np.isfinite(zs).all()
+    # distinct realizations, identical wave statistics family
+    assert np.abs(zs[0] - zs[1]).max() > 1e-3
+    assert np.abs(zs[1] - zs[2]).max() > 1e-3
+    # each realization matches a single-seed run of the same case
+    (d / "c.hydro.yaml").write_text(textwrap.dedent(f"""
+        hydrodynamics:
+          bodies:
+            - {{name: body1, h5_file: {h5}}}
+          waves:
+            type: irregular
+            height: 1.5
+            period: 7.0
+            seed: 11
+    """))
+    rc = cli.main([str(d), "--quiet", "--output-h5", str(tmp_path / "out1")])
+    assert rc == 0
+    with h5py.File(tmp_path / "out1" / "results.irregular.h5") as f:
+        z1 = np.asarray(f["results/model/bodies/body1/position"][:, 2])
+    assert np.abs(z1 - zs[1]).max() < 1e-12
