@@ -287,6 +287,15 @@ def run_case(args, log) -> int:
             B = 1
         log.info(f"step path: fused Pallas kernel (blocked, batch {B})")
         states = make_batched_states(sim, B)
+        n_dev = len(jax.devices())
+        if n_dev > 1 and B % n_dev == 0:
+            # sweep/seed batches shard over the device mesh (no per-step
+            # collectives; instances are independent)
+            from hydrochrono_tpu.parallel.sharding import (
+                batch_mesh, shard_batch)
+
+            states = shard_batch(states, batch_mesh())
+            log.info(f"batch sharded over {n_dev} devices")
         _, traj_b = jax.jit(
             lambda s, p: sim.run_blocked_fused(n, s, params=p)
         )(states, sim.params)

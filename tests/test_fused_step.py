@@ -271,16 +271,21 @@ def test_fused_hht_irregular(small_h5):
 
 
 def test_fused_hht_subblock_regular(small_h5_1body):
-    """HHT through the multi-step sub-block kernel (regular waves, RSDA)."""
+    """HHT through the multi-step sub-block kernel (regular waves, RSDA).
+
+    subblock=4 keeps the interpret-mode trace tractable (the sub-block
+    kernel unrolls sub x hht_iterations step bodies); the sub-block
+    machinery is sub-generic and the production sub=8 shape is exercised on
+    hardware by bench.py / tools/tpu_golden_gates.py."""
     wave = RegularWave(amplitude=0.5, omega=1.2)
     sim = Simulation(_spec_revolute_fixed(small_h5_1body), dt=0.01, wave=wave,
-                     block_size=16, integrator="hht",
+                     block_size=8, integrator="hht",
                      outputs=("pos", "quat", "lambda"))
-    B, n = 2, 32
+    B, n = 2, 16
     states = make_batched_states(sim, B)
     ref_final, ref_traj = jax.jit(jax.vmap(lambda s: sim.run(n, state=s)))(states)
     got_final, got_traj = jax.jit(
-        lambda s: sim.run_blocked_fused(n, s, subblock=8))(states)
+        lambda s: sim.run_blocked_fused(n, s, subblock=4))(states)
     for k in got_traj:
         if k in ref_traj:
             scale = max(1.0, float(np.abs(np.asarray(ref_traj[k])).max()))
