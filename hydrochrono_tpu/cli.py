@@ -212,19 +212,29 @@ def run_case(args, log) -> int:
         # blocked XLA path — only the Mosaic kernel lacks f64 lowering)
         block_size = 128
     seed_sweep = None
-    if args.seeds and args.seeds > 1:
+    if args.seeds and args.seeds >= 1:
         # batched wave-seed realizations (beyond-reference: the reference
         # runs one seed per process; here N sea states ride the batch axis
-        # of one device program — wave-farm/fatigue statistics in one run)
+        # of one device program — wave-farm/fatigue statistics in one run).
+        # --seeds 1 still takes this path so outputs always land in
+        # seed_<s>/ directories.
         ws0 = case.hydro_spec.waves if case.hydro_spec else None
-        if ws0 is not None and ws0.kind == "irregular":
+        if ws0 is None or ws0.kind != "irregular":
+            log.warning("--seeds applies to irregular waves only; ignored")
+        elif ws0.eta_file:
+            # an imported eta series IS the (single) realization — there is
+            # nothing to re-seed (build_irregular_wave ignores seeds then)
+            log.warning("--seeds ignored: this case imports eta from "
+                        f"'{ws0.eta_file}' (a fixed realization)")
+        else:
             import dataclasses as _dc
 
             base = int(np.asarray(case.wave.seed).reshape(-1)[0])
             seed_sweep = base + np.arange(args.seeds)
             case.wave = _dc.replace(case.wave, seed=seed_sweep)
-        else:
-            log.warning("--seeds applies to irregular waves only; ignored")
+    if (args.guard_chunk or args.checkpoint) and seed_sweep is not None:
+        log.warning("--guard-chunk/--checkpoint are not supported with "
+                    "--seeds; running unguarded")
     sim = case.build_simulation(dtype=dtype, outputs=outputs,
                                 block_size=block_size)
     if args.state_space:
@@ -246,6 +256,10 @@ def run_case(args, log) -> int:
         # the batched params already carry the sweep axis from the builder
         sweep_batched = {k: sim.params[k] for k in
                          ("reg_mag", "reg_phase", "reg_amp", "reg_omega")}
+
+    if (args.guard_chunk or args.checkpoint) and sweep_batched is not None:
+        log.warning("--guard-chunk/--checkpoint are not supported with "
+                    "period sweeps; running unguarded")
 
     if (args.guard_chunk or args.checkpoint) and sweep_batched is None \
             and seed_sweep is None:
@@ -306,12 +320,11 @@ def run_case(args, log) -> int:
         t_run = time.time() - t_run0
         log.progress(1.0, f"{n} steps")
     else:
+        batched_keys = (set(sweep_batched) if sweep_batched is not None
+                        else {"irr_eta"} if seed_sweep is not None else None)
         run = jax.jit(lambda p: sim.run(n, params=p))
-        if sweep_batched is not None:
-            axes = {k: (0 if k in sweep_batched else None) for k in sim.params}
-            run = jax.jit(jax.vmap(lambda p: sim.run(n, params=p), in_axes=(axes,)))
-        elif seed_sweep is not None:
-            axes = {k: (0 if k == "irr_eta" else None) for k in sim.params}
+        if batched_keys:
+            axes = {k: (0 if k in batched_keys else None) for k in sim.params}
             run = jax.jit(jax.vmap(lambda p: sim.run(n, params=p), in_axes=(axes,)))
         _, traj = run(sim.params)
         traj = jax.tree.map(np.asarray, traj)
@@ -335,46 +348,47 @@ def run_case(args, log) -> int:
     times = sim.times(n)
     meta = {"tag": args.tag} if args.tag else {}
     vlog = log if args.h5_verbose else None
-    if sweep_batched is not None:
-        periods = np.atleast_1d(ws.periods)
+    if sweep_batched is not None or seed_sweep is not None:
+        # one batched device program -> one results dir per case. The
+        # reference --fail-fast stops a serial sweep on the first failure
+        # (app/run_hydrochrono.cpp:46,138); without it the remaining cases
+        # still export.
+        if sweep_batched is not None:
+            cases_out = [(f"period_{T:g}", f"sweep case {i + 1} (T={T:g} s)",
+                          None)
+                         for i, T in enumerate(np.atleast_1d(ws.periods))]
+            noun = "sweep cases"
+        else:
+            cases_out = [(f"seed_{int(s)}", f"seed {int(s)}", i)
+                         for i, s in enumerate(seed_sweep)]
+            noun = "seed realizations"
         paths = []
-        for i, T in enumerate(periods):
+        finite = np.zeros(len(cases_out), dtype=bool)
+        for i, (dname, desc, eta_i) in enumerate(cases_out):
             sub = jax.tree.map(lambda v: np.asarray(v)[i], traj)
-            if not np.isfinite(np.asarray(sub["pos"])).all():
-                # reference --fail-fast stops the serial sweep on the first
-                # failing case (app/run_hydrochrono.cpp:46,138); without it
-                # the remaining cases still export
+            finite[i] = bool(np.isfinite(np.asarray(sub["pos"])).all())
+            if not finite[i]:
                 if args.fail_fast:
-                    log.error(f"sweep case {i + 1} (T={T:g} s) diverged; "
-                              "aborting remaining exports (--fail-fast)")
+                    log.error(f"{desc} diverged; aborting remaining exports "
+                              "(--fail-fast)")
                     return 1
-                log.warning(f"sweep case {i + 1} (T={T:g} s) diverged; skipped")
+                log.warning(f"{desc} diverged; skipped")
                 continue
-            d = os.path.join(out_dir, f"period_{T:g}")
+            d = os.path.join(out_dir, dname)
             paths.append(export_results(case, sub, times, d,
                                         wall_time_s=t_run, run_metadata=meta,
-                                        verbose_log=vlog))
-        log.success(f"exported {len(paths)} sweep cases under {out_dir}")
-    elif seed_sweep is not None:
-        paths = []
-        for i, s in enumerate(seed_sweep):
-            sub = jax.tree.map(lambda v: np.asarray(v)[i], traj)
-            if not np.isfinite(np.asarray(sub["pos"])).all():
-                if args.fail_fast:
-                    log.error(f"seed {s} diverged; aborting (--fail-fast)")
-                    return 1
-                log.warning(f"seed {s} diverged; skipped")
-                continue
-            d = os.path.join(out_dir, f"seed_{int(s)}")
-            paths.append(export_results(case, sub, times, d,
-                                        wall_time_s=t_run, run_metadata=meta,
-                                        verbose_log=vlog))
-        # cross-realization statistics (the point of seed batching)
-        z = pos[..., 0, 2]  # [B, T] body-1 heave
-        zstd = z.std(axis=-1)
-        log.success(f"exported {len(paths)} seed realizations under {out_dir}")
-        log.info(f"heave std across seeds: mean {zstd.mean():.4f} m, "
-                 f"spread {zstd.std():.4f} m (n={len(seed_sweep)})")
+                                        verbose_log=vlog, eta_index=eta_i))
+        if not paths:
+            log.error(f"all {len(cases_out)} batched cases diverged; "
+                      "nothing exported")
+            return 1
+        log.success(f"exported {len(paths)} {noun} under {out_dir}")
+        if seed_sweep is not None:
+            # cross-realization statistics over the finite seeds only
+            z = pos[finite][..., 0, 2]  # [n_ok, T] body-1 heave
+            zstd = z.std(axis=-1)
+            log.info(f"heave std across seeds: mean {zstd.mean():.4f} m, "
+                     f"spread {zstd.std():.4f} m (n={int(finite.sum())})")
     else:
         path = export_results(case, traj, times, out_dir,
                               wall_time_s=t_run, run_metadata=meta,

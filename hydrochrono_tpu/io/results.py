@@ -261,7 +261,7 @@ def _rsda_channels(case, sim, k, pos, quat, ang_vel, slot_of, nsteps):
 
 def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
                    wall_time_s: float = 0.0, run_metadata: Optional[dict] = None,
-                   verbose_log=None) -> str:
+                   verbose_log=None, eta_index: Optional[int] = None) -> str:
     """Write one case's trajectory to results.<wave>.h5; returns the path.
 
     traj: trajectory pytree from Simulation.run with outputs including at
@@ -282,11 +282,11 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
 
     with jax.default_device(jax.devices("cpu")[0]):
         return _export_results_impl(case, traj, times, fname, wall_time_s,
-                                    run_metadata, _v)
+                                    run_metadata, _v, eta_index)
 
 
 def _export_results_impl(case, traj, times, fname, wall_time_s,
-                         run_metadata, _v) -> str:
+                         run_metadata, _v, eta_index=None) -> str:
 
     model = case.model
     moving = [i for i, b in enumerate(case.system.bodies) if not b.fixed]
@@ -390,7 +390,12 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
                 gi.create_dataset("spectral_densities",
                                   data=np.asarray(irr.spectral_densities))
                 gi.create_dataset("free_surface_time", data=np.asarray(irr.eta_time))
-                gi.create_dataset("free_surface_eta", data=np.asarray(irr.eta))
+                eta = np.asarray(irr.eta)
+                if eta.ndim > 1:
+                    # batched seed realizations: each per-seed file carries
+                    # ITS OWN 1-D series (shape parity with single-seed runs)
+                    eta = eta[eta_index if eta_index is not None else 0]
+                gi.create_dataset("free_surface_eta", data=eta)
 
         # ---------------- results ----------------
         # groups created up front regardless of content, matching the

@@ -305,7 +305,17 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
         span = duration + 2.0 * (t_irf_max - t_irf_min)
         num = int(np.ceil(span / dt))
         eta_time = np.linspace(0.0, num * dt, num + 1) - t_irf_max
-        if seeds.shape[0] > 8:
+        use_device_synth = seeds.shape[0] > 8
+        if use_device_synth:
+            # the device path synthesizes in f32 — keep the host f64 loop
+            # when running CPU/x64 so every realization stays bit-identical
+            # to a single-seed build (interpret-mode Pallas on CPU is also
+            # far slower than the numpy loop)
+            import jax
+
+            use_device_synth = (jax.default_backend() == "tpu"
+                                and not jax.config.jax_enable_x64)
+        if use_device_synth:
             # large seed batches: synthesize on-device (Pallas on TPU) — the
             # host loop is O(B*T*F) cos terms and becomes the setup bottleneck
             import jax.numpy as jnp

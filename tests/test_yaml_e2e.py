@@ -245,11 +245,16 @@ def test_cli_seed_sweep(tmp_path):
     rc = cli.main([str(d), "--quiet", "--seeds", "3",
                    "--output-h5", str(tmp_path / "out")])
     assert rc == 0
-    zs = []
+    zs, etas = [], []
     for s in (10, 11, 12):  # base seed from the YAML, then +1, +2
         with h5py.File(tmp_path / "out" / f"seed_{s}" / "results.irregular.h5") as f:
             zs.append(np.asarray(f["results/model/bodies/body1/position"][:, 2]))
+            etas.append(np.asarray(
+                f["inputs/simulation/waves/irregular/free_surface_eta"]))
     zs = np.stack(zs)
+    # each per-seed file carries ITS OWN 1-D eta series, not the batch
+    assert all(e.ndim == 1 for e in etas)
+    assert np.abs(etas[0] - etas[1]).max() > 1e-3
     assert np.isfinite(zs).all()
     # distinct realizations, identical wave statistics family
     assert np.abs(zs[0] - zs[1]).max() > 1e-3
