@@ -52,6 +52,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from hydrochrono_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # fresh-process compiles load from .jax_cache
+
     from hydrochrono_tpu.io.bemio import load_bemio_h5
     from hydrochrono_tpu.io.synth import write_bemio_h5
     from hydrochrono_tpu.models import rm3

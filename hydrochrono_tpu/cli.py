@@ -104,6 +104,15 @@ def main(argv=None) -> int:
 
     import jax
 
+    # honor JAX_PLATFORMS=cpu even when a site hook pre-imported jax with
+    # another platform (the env var alone loses to the axon site hook)
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from hydrochrono_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.info:
         log.banner("HydroChrono-TPU", __version__)
         log.aligned("JAX version", jax.__version__)

@@ -91,6 +91,7 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
     lines_cols = {"len": 4, "a": 2, "b": 3}
 
     section = None
+    expect_header = True
     done = False
     with open(path) as f:
         for raw in f:
@@ -120,6 +121,7 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
                     section = "options"
                 else:
                     section = None
+                expect_header = True
                 continue
             if line.startswith("(") or line.startswith("#"):
                 continue
@@ -128,10 +130,14 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
                 continue
             # header rows (column names) start with a non-numeric token in
             # every section except types/options where names lead — detect
-            # the standard header words instead
+            # the standard header words, but ONLY on the first row of a
+            # section: a line type literally named 'line'/'node'/... in a
+            # later data row must not be dropped as a header (ADVICE r2)
             first_upper = toks[0].upper()
-            if first_upper in ("TYPENAME", "LINETYPE", "NAME", "ID", "LINE",
-                               "NODE", "POINT"):
+            if expect_header and first_upper in (
+                    "TYPENAME", "LINETYPE", "NAME", "ID", "LINE",
+                    "NODE", "POINT"):
+                expect_header = False
                 if section == "lines":
                     # read the column order off the header (v1 vs v2)
                     for ci, t in enumerate(toks):
@@ -143,6 +149,7 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
                         elif "NODEFAIR" in tu or "ATTACHB" in tu:
                             lines_cols["b"] = ci
                 continue
+            expect_header = False
             if section == "types" and len(toks) >= 4:
                 name = toks[0]
                 diam = float(toks[1])
@@ -169,15 +176,33 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
                         f"mooring point {pid}: unknown attachment "
                         f"'{toks[1]}' (expected Fixed/Vessel/Body#)")
             elif section == "lines" and len(toks) >= 5:
+                def _pid(tok):
+                    try:
+                        v = float(tok)
+                    except ValueError:
+                        return None
+                    return int(v) if float(int(v)) == v else None
                 c = dict(lines_cols)
-                if c == {"len": 4, "a": 2, "b": 3} and (
-                    "." in toks[2] or "e" in toks[2].lower()
-                ):
-                    # headerless v1-style row: a fractional value in the
-                    # AttachA column means UnstrLen comes third
-                    c = {"len": 2, "a": 3, "b": 4}
-                lines_rows.append((toks[1], int(float(toks[c["a"]])),
-                                   int(float(toks[c["b"]])),
+                if c == {"len": 4, "a": 2, "b": 3}:
+                    # Headerless row: decide v1 vs v2 column order by which
+                    # interpretation's attach columns resolve to declared
+                    # point ids (ADVICE r2 — an integer UnstrLen like '850'
+                    # defeats any decimal-formatting heuristic).
+                    v2_ok = (_pid(toks[2]) in points
+                             and _pid(toks[3]) in points)
+                    v1_ok = (_pid(toks[3]) in points
+                             and _pid(toks[4]) in points)
+                    frac = "." in toks[2] or "e" in toks[2].lower()
+                    if v1_ok and (not v2_ok or frac):
+                        # v1-style: UnstrLen comes third
+                        c = {"len": 2, "a": 3, "b": 4}
+                ida, idb = _pid(toks[c["a"]]), _pid(toks[c["b"]])
+                if ida not in points or idb not in points:
+                    raise ValueError(
+                        f"mooring line row {line!r}: attachment ids "
+                        f"({toks[c['a']]}, {toks[c['b']]}) do not resolve "
+                        f"to declared point ids {sorted(points)}")
+                lines_rows.append((toks[1], ida, idb,
                                    float(toks[c["len"]])))
             elif section == "options" and len(toks) >= 2:
                 try:
@@ -332,16 +357,43 @@ def catenary_hv(xf, zf, L, w, EA, seabed=True, iters: int = 24, hv0=None):
         det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
         return (d * y1 - b * y2) / det, (a * y2 - c * y1) / det
 
+    def _newton_step(f, hv):
+        (r1, r2), (a, b, c, d) = _jac2(f, hv)
+        dh, dv = _apply_inv(a, b, c, d, r1, r2)
+        # damped step, H kept positive (asinh(V/H) needs H > 0)
+        Hn = jnp.maximum(hv[0] - dh, 0.1 * hv[0])
+        Vn = hv[1] - dv
+        Vn = jnp.where(seabed, jnp.maximum(Vn, Hmin), Vn)
+        return (jnp.maximum(Hn, Hmin), Vn)
+
+    # residual tolerance: 1e-6 of the line length resolves tensions far
+    # below any physically meaningful scale
+    _rscale = jnp.maximum(jnp.broadcast_to(L, shape), 1e-3)
+
     def solve(f, hv0):
         hv = hv0
         for _ in range(iters):
-            (r1, r2), (a, b, c, d) = _jac2(f, hv)
-            dh, dv = _apply_inv(a, b, c, d, r1, r2)
-            # damped step, H kept positive (asinh(V/H) needs H > 0)
-            Hn = jnp.maximum(hv[0] - dh, 0.1 * hv[0])
-            Vn = hv[1] - dv
-            Vn = jnp.where(seabed, jnp.maximum(Vn, Hmin), Vn)
-            hv = (jnp.maximum(Hn, Hmin), Vn)
+            hv = _newton_step(f, hv)
+
+        # Convergence polish (ADVICE r2, medium): the fixed-iteration loop
+        # can leave slack-to-taut transitions unconverged (the fused
+        # production path warm-starts with iters=6). Keep iterating while
+        # any element's relative residual exceeds tol, up to 64 extra
+        # Newton steps. custom_root never differentiates through solve, so
+        # the while_loop is jit/vmap/scan/grad-safe.
+        def _err(hv):
+            r1, r2 = f(hv)
+            return jnp.max(jnp.maximum(jnp.abs(r1), jnp.abs(r2)) / _rscale)
+
+        def cond(carry):
+            hv, k = carry
+            return jnp.logical_and(_err(hv) > 1e-6, k < 64)
+
+        def body(carry):
+            hv, k = carry
+            return _newton_step(f, hv), k + 1
+
+        hv, _ = jax.lax.while_loop(cond, body, (hv, jnp.int32(0)))
         return hv
 
     def tangent_solve(g, y):

@@ -135,11 +135,22 @@ def _build_moorings(moordyn: dict, hydro_file: str, name_to_idx: dict,
             "(the reference tree ships no MoorDyn input either)")
         return None
     body_names = moordyn.get("bodies") or []
-    for nm in body_names:
-        if nm not in name_to_idx:
-            raise KeyError(f"moordyn body '{nm}' not found among model bodies")
+    missing = [nm for nm in body_names if nm not in name_to_idx]
+    if missing:
+        # the reference ignores the moordyn block entirely, so a stale body
+        # name in a reference-tree YAML must not abort the run (ADVICE r2)
+        warnings.append(
+            f"moordyn bodies {missing} not found among model bodies; "
+            "mooring skipped")
+        return None
     rho = float(hd.rho) if hd is not None else 1025.0
-    spec = moor.parse_moordyn_file(path, body_names, rho=rho, g=g)
+    try:
+        spec = moor.parse_moordyn_file(path, body_names, rho=rho, g=g)
+    except (ValueError, KeyError, OSError) as exc:
+        warnings.append(
+            f"moordyn input file {input_file} could not be parsed "
+            f"({exc}); mooring skipped")
+        return None
     # remap fairlead indices: parser indexes into body_names
     import dataclasses as _dc
 
@@ -246,6 +257,17 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
         h5_file = hydro_spec.bodies[0].h5_file  # first body's file used for all
         # (setup_hydro_from_yaml.cpp:92-95)
         hd = load_bemio_h5(h5_file, num_bodies=len(hydro_spec.bodies))
+        inc_exc = [hb.include_excitation for hb in hydro_spec.bodies]
+        inc_rad = [hb.include_radiation for hb in hydro_spec.bodies]
+        if not (all(inc_exc) and all(inc_rad)):
+            # strictly-better parity: the reference parses these flags but
+            # never applies them (hydro_yaml_parser.cpp:377-380)
+            from hydrochrono_tpu.io.bemio import mask_hydro_bodies
+
+            hd = mask_hydro_bodies(hd, inc_exc, inc_rad)
+            warnings.append(
+                "per-body include_excitation/include_radiation flags are "
+                "APPLIED here (the reference parses them but ignores them)")
         body_indices = []
         for hb in hydro_spec.bodies:
             if hb.name not in name_to_idx:
@@ -257,16 +279,25 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
         hydro_att = HydroAttachment(hydro=hd, body_indices=body_indices)
 
         ws = hydro_spec.waves
+        if getattr(ws, "direction", 0.0) and ws.kind in ("regular", "irregular"):
+            warnings.append(
+                f"wave direction {ws.direction} deg is APPLIED here (the "
+                "reference parses `direction:` but hard-codes +x "
+                "propagation, wave_types.cpp:20,34)")
         if ws.kind == "regular":
             periods = np.atleast_1d(np.asarray(ws.periods, dtype=np.float64))
             omegas = 2.0 * np.pi / periods
             amp = ws.height / 2.0
             if periods.size > 1:
                 # sweep: batch over the period axis
-                wave = wv.RegularWave(amplitude=amp, omega=omegas)
+                wave = wv.RegularWave(amplitude=amp, omega=omegas,
+                                      direction=ws.direction,
+                                      axisymmetric=ws.axisymmetric)
             else:
                 wave = wv.RegularWave(amplitude=amp, omega=float(omegas[0]),
-                                      phase=ws.phase)
+                                      phase=ws.phase,
+                                      direction=ws.direction,
+                                      axisymmetric=ws.axisymmetric)
         elif ws.kind == "irregular":
             period = float(np.atleast_1d(ws.periods)[0]) if ws.periods is not None else 0.0
             # reference behavior: PM spectrum (gamma=1, unnormalized), ramp 0
@@ -287,6 +318,8 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
                 frequency_max=ws.frequency_max,
                 wave_stretching=ws.wave_stretching,
                 eta_file_path=ws.eta_file,
+                direction=ws.direction,
+                axisymmetric=ws.axisymmetric,
             )
         if hydro_spec.moordyn:
             moorings = _build_moorings(

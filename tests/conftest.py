@@ -24,6 +24,39 @@ import pytest  # noqa: E402
 
 REFERENCE = "/root/reference"
 
+# Quick-tier marking: `pytest -m 'not slow'` runs the suite in ~3-5 min
+# (vs ~30 min full). Regenerate this list from `pytest --durations=40`;
+# everything >= ~20 s lands here (interpret-mode fused-kernel equivalence
+# tests, subprocess harnesses, long goldens).
+SLOW_TESTS = {
+    "test_fused_hht_subblock_regular",
+    "test_fused_subblock_kernel_matches",
+    "test_fused_hht_irregular",
+    "test_fused_hht_batched_sweep",
+    "test_fused_hht_resume",
+    "test_fused_tsda_curves",
+    "test_fused_rm3ish_irregular",
+    "test_fused_batched_coefficients_and_wave_params",
+    "test_fused_batched_eta",
+    "test_fused_revolute_fixed_rsda_regular",
+    "test_sphere_irreg_waves_matches_reference",
+    "test_moored_body_simulation_and_grad",
+    "test_slider_crank_yaml_case",
+    "test_case_library_end_to_end",
+    "test_fused_runner_sharded_matches_unsharded",
+    "test_gradient_through_simulation",
+    "test_f3of_dt1_locked_flaps",
+    "test_f3of_dt3_flap_decay",
+    "test_batched_seeds_irregular",
+    "test_run_tests_harness",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if getattr(item, "originalname", item.name) in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def sphere_h5():

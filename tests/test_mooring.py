@@ -370,3 +370,66 @@ def test_mooring_fused_path_matches_xla(tmp_path):
     # ...and the blocked XLA path still runs the moored HHT system
     final, traj = jax.jit(lambda: sim_hht.run(16))()
     assert np.isfinite(np.asarray(traj["pos"])).all()
+
+
+def test_parser_headerless_integer_unstrlen(tmp_path):
+    """ADVICE r2: a headerless v1 row with an INTEGER UnstrLen ('850') must
+    still be detected as v1 (attach ids resolve against declared points,
+    not decimal formatting), and unresolvable attach ids raise a
+    descriptive error naming the row."""
+    p = tmp_path / "v1int.txt"
+    p.write_text(textwrap.dedent("""\
+        ----------------------- LINE DICTIONARY ---------------------
+        main      0.09   77.7      3.84E8
+        ---------------------- CONNECTION PROPERTIES ----------------
+        7     Fix     800.0  0.0  -320.0  0  0  0  0  0
+        9     Vessel  2.0    0.0  -1.0    0  0  0  0  0
+        ---------------------- LINE PROPERTIES ----------------------
+        1     main      850      7         9
+        ---------------------- SOLVER OPTIONS -----------------------
+        ---------------------- need this line -----------------------
+    """))
+    spec = moor.parse_moordyn_file(str(p), ["body1"])
+    assert len(spec.lines) == 1
+    assert spec.lines[0].length == 850.0
+    assert tuple(spec.lines[0].anchor) == (800.0, 0.0, -320.0)
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text(textwrap.dedent("""\
+        ----------------------- LINE DICTIONARY ---------------------
+        main      0.09   77.7      3.84E8
+        ---------------------- CONNECTION PROPERTIES ----------------
+        1     Fix     80.0   0.0  -40.0   0  0  0  0  0
+        2     Vessel  2.0    0.0  -1.0    0  0  0  0  0
+        ---------------------- LINE PROPERTIES ----------------------
+        Line  LineType  UnstrLen  NodeAnch  NodeFair  Flags
+        1     main      95.5      1         5         -
+        ---------------------- SOLVER OPTIONS -----------------------
+        ---------------------- need this line -----------------------
+    """))
+    with pytest.raises(ValueError, match="do not resolve"):
+        moor.parse_moordyn_file(str(bad), ["body1"])
+
+
+def test_parser_type_named_like_header_word(tmp_path):
+    """ADVICE r2: a line type literally named 'Node' in a non-first data
+    row must not be silently dropped as a header."""
+    p = tmp_path / "hdr.txt"
+    p.write_text(textwrap.dedent("""\
+        ----------------------- LINE DICTIONARY ---------------------
+        LineType  Diam   MassDen   EA
+        main      0.09   77.7      3.84E8
+        Node      0.12   120.0     5.0E8
+        ---------------------- CONNECTION PROPERTIES ----------------
+        Node  Type    X      Y    Z      M  V  FX FY FZ
+        1     Fix     80.0   0.0  -40.0  0  0  0  0  0
+        2     Vessel  2.0    0.0  -1.0   0  0  0  0  0
+        ---------------------- LINE PROPERTIES ----------------------
+        Line  LineType  UnstrLen  NodeAnch  NodeFair  Flags
+        1     Node      95.5      1         2         -
+        ---------------------- SOLVER OPTIONS -----------------------
+        ---------------------- need this line -----------------------
+    """))
+    spec = moor.parse_moordyn_file(str(p), ["body1"])
+    assert len(spec.lines) == 1
+    assert spec.lines[0].ea == 5.0e8
