@@ -69,7 +69,22 @@ class HydroData:
 
     # irregular-wave excitation IRF (rho*g-scaled)
     exc_irf_time: np.ndarray  # [Te]
-    exc_irf: np.ndarray  # [N, 6, Te]
+    exc_irf: np.ndarray  # [N, 6, Te] (at wave_directions[0])
+
+    # tabulated wave headings (degrees) and the full direction-resolved
+    # excitation IRF. The reference SQUEEZES this axis away and hard-codes
+    # +x propagation (h5fileinfo.cpp:262-298 SqueezeMid,
+    # wave_types.cpp:20,34); keeping it lets waves.resolve_wave_direction
+    # honor the YAML `direction:` key (beyond-reference).
+    wave_directions: np.ndarray | None = None  # [D] degrees
+    exc_irf_dir: np.ndarray | None = None  # [N, 6, D, Te]
+
+    # per-body force gating (hydro-YAML include_radiation flags; the
+    # reference parses them but never applies them,
+    # hydro_yaml_parser.cpp:377-380). None = all included. Kept on the
+    # data so the state-space loader (which reads the h5 separately) can
+    # honor the same mask.
+    radiation_mask: np.ndarray | None = None  # [N] bool, False = excluded
 
     @property
     def total_dofs(self) -> int:
@@ -100,6 +115,12 @@ def load_bemio_h5(path: str, num_bodies: int) -> HydroData:
         g = _read_scalar(f, "simulation_parameters/g")
         water_depth = _read_scalar(f, "simulation_parameters/water_depth")
         freq_list = np.asarray(f["simulation_parameters/w"], dtype=np.float64).reshape(-1)
+        if "wave_dir" in f["simulation_parameters"]:
+            wave_directions = np.asarray(
+                f["simulation_parameters/wave_dir"], dtype=np.float64
+            ).reshape(-1)
+        else:
+            wave_directions = np.zeros(1)
 
         cg = np.zeros((num_bodies, 3))
         cb = np.zeros((num_bodies, 3))
@@ -112,6 +133,7 @@ def load_bemio_h5(path: str, num_bodies: int) -> HydroData:
         exc_mag = []
         exc_phase = []
         exc_irf = []
+        exc_irf_dir = []
         exc_irf_time = None
 
         for b in range(num_bodies):
@@ -148,8 +170,10 @@ def load_bemio_h5(path: str, num_bodies: int) -> HydroData:
             irf = np.asarray(
                 body["hydro_coeffs/excitation/impulse_response_fun/f"], dtype=np.float64
             )
-            # squeeze the wave-direction axis (dim 1), matching SqueezeMid (h5fileinfo.cpp:183-195)
+            # default slice = direction 0, matching SqueezeMid
+            # (h5fileinfo.cpp:183-195); the full axis is kept in exc_irf_dir
             exc_irf.append(irf[:, 0, :] * (rho * g))
+            exc_irf_dir.append(irf * (rho * g))
             te = np.asarray(
                 body["hydro_coeffs/excitation/impulse_response_fun/t"], dtype=np.float64
             ).reshape(-1)
@@ -184,6 +208,8 @@ def load_bemio_h5(path: str, num_bodies: int) -> HydroData:
             exc_phase=np.stack(exc_phase),
             exc_irf_time=exc_irf_time,
             exc_irf=np.stack(exc_irf),
+            wave_directions=wave_directions,
+            exc_irf_dir=np.stack(exc_irf_dir),
         )
 
 
@@ -200,3 +226,43 @@ def trapezoid_widths(t: np.ndarray) -> np.ndarray:
         w[:-1] += 0.5 * d
         w[1:] += 0.5 * d
     return w
+
+
+def mask_hydro_bodies(hd: HydroData, include_excitation, include_radiation) -> HydroData:
+    """Apply per-body include_excitation / include_radiation flags by
+    zeroing the corresponding coefficient slices (TPU-first: masked data
+    makes every execution path — XLA scan, blocked, fused Pallas kernel —
+    honor the flags at zero runtime cost).
+
+    The reference parses these hydro-YAML flags but never applies them
+    (hydro_yaml_parser.cpp:377-380, no consumer in src/); implementing them
+    is strictly-better parity. Excluding radiation zeroes the body's rows
+    of the RIRF force kernel (the A_inf added-mass load stays, matching the
+    reference's separation of the added-mass machinery from the convolution
+    force, chloadaddedmass.cpp vs hydro_forces.cpp:537-691); excluding
+    excitation zeroes the body's regular-wave coefficients and excitation
+    IRF.
+    """
+    exc = np.asarray(include_excitation, dtype=bool)
+    rad = np.asarray(include_radiation, dtype=bool)
+    if exc.shape != (hd.num_bodies,) or rad.shape != (hd.num_bodies,):
+        raise ValueError(
+            f"include flags must have shape [{hd.num_bodies}]; got "
+            f"{exc.shape} / {rad.shape}")
+    if exc.all() and rad.all():
+        return hd
+    rirf = hd.rirf
+    if not rad.all():
+        rirf = rirf.copy()
+        for b in np.nonzero(~rad)[0]:
+            rirf[DOF * b : DOF * (b + 1), :, :] = 0.0
+    exc_mag, exc_irf = hd.exc_mag, hd.exc_irf
+    if not exc.all():
+        exc_mag = exc_mag.copy()
+        exc_irf = exc_irf.copy()
+        for b in np.nonzero(~exc)[0]:
+            exc_mag[b] = 0.0
+            exc_irf[b] = 0.0
+    return dataclasses.replace(
+        hd, rirf=rirf, exc_mag=exc_mag, exc_irf=exc_irf,
+        radiation_mask=rad if not rad.all() else None)

@@ -275,3 +275,57 @@ def test_cli_seed_sweep(tmp_path):
     with h5py.File(tmp_path / "out1" / "results.irregular.h5") as f:
         z1 = np.asarray(f["results/model/bodies/body1/position"][:, 2])
     assert np.abs(z1 - zs[1]).max() < 1e-12
+
+
+def test_include_flags_applied(case_copy, tmp_path):
+    """Per-body include_excitation/include_radiation are APPLIED (the
+    reference only parses them, hydro_yaml_parser.cpp:377-380): with
+    include_radiation false a decay keeps far more energy (no radiation
+    damping), and mask_hydro_bodies zeroes exactly the flagged slices."""
+    import jax
+
+    from hydrochrono_tpu.io.bemio import load_bemio_h5, mask_hydro_bodies
+    from hydrochrono_tpu.stepper import Simulation
+
+    hydro_yaml = os.path.join(case_copy, "iea_sphere_decay.hydro.yaml")
+    with open(hydro_yaml) as f:
+        txt = f.read()
+    # inject the flag on body1 (the localized case yaml omits it)
+    needle = "- name: body1"
+    assert needle in txt
+    txt = txt.replace(needle, needle + "\n      include_radiation: false")
+    with open(hydro_yaml, "w") as f:
+        f.write(txt)
+
+    case = build_case(case_copy)
+    assert np.all(case.system.hydro.hydro.rirf == 0.0)
+    assert case.system.hydro.hydro.radiation_mask is not None
+
+    # direct-API check on the sphere data: no-radiation decay rings on
+    h5 = "/root/reference/demos/sphere/hydroData/sphere.h5"
+    if os.path.exists(h5):
+        from hydrochrono_tpu.physics.system import Body, HydroAttachment, SystemSpec
+
+        hd = load_bemio_h5(h5, 1)
+        hd_norad = mask_hydro_bodies(hd, [True], [False])
+        assert np.all(hd_norad.rirf == 0.0)
+        assert np.all(hd_norad.exc_irf == hd.exc_irf)
+        hd_noexc = mask_hydro_bodies(hd, [False], [True])
+        assert np.all(hd_noexc.exc_mag == 0.0)
+        assert np.all(hd_noexc.exc_irf == 0.0)
+        assert np.all(hd_noexc.rirf == hd.rirf)
+
+        def late_amplitude(h):
+            spec = SystemSpec(
+                bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.0))],
+                hydro=HydroAttachment(hydro=h, body_indices=[0]),
+                gravity=(0.0, 0.0, -9.81),
+            )
+            sim = Simulation(spec, dt=0.015, outputs=("pos",))
+            _, traj = jax.jit(lambda p: sim.run(2000, params=p))(sim.params)
+            z = np.asarray(traj["pos"][:, 0, 2])
+            return np.abs(z[1000:] - np.mean(z[1000:])).max()
+
+        a_damped = late_amplitude(hd)
+        a_undamped = late_amplitude(hd_norad)
+        assert a_undamped > 3.0 * a_damped
