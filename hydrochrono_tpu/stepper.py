@@ -70,10 +70,17 @@ class State:
     ang_vel: jnp.ndarray  # [Nm, 3] world
     vhist: jnp.ndarray  # [H, 6*Nh] radiation ring buffer (zeros if no hydro)
     ss: jnp.ndarray  # [6Nh, 6Nh, order] state-space radiation states (or [0])
+    # HHT-alpha integrator carry (a_prev, f_prev), [2, nv] — or [0] for
+    # other integrators. Living in State (round 3) makes checkpoints /
+    # chunked guarded runs / the blocked runner resume the HHT integrator
+    # bit-exactly (previously the carry was re-initialized per chunk).
+    hht: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0,)))
 
 
 jax.tree_util.register_dataclass(
-    State, data_fields=["pos", "quat", "lin_vel", "ang_vel", "vhist", "ss"],
+    State,
+    data_fields=["pos", "quat", "lin_vel", "ang_vel", "vhist", "ss", "hht"],
     meta_fields=[],
 )
 
@@ -126,11 +133,26 @@ class Simulation:
                  refined_solver: Optional[bool] = None,
                  integrator: str = "euler_implicit_linearized",
                  hht_alpha: float = -0.2, hht_iterations: int = 3,
-                 radiation: str = "convolution"):
+                 radiation: str = "convolution",
+                 const_mass: Optional[bool] = None):
         """block_size: enable the blocked far-field convolution (see
         physics/radiation.py) — the history buffer is then read once per
         `block_size` steps instead of every step. far_dtype optionally lowers
-        the far-field Hankel kernel precision (e.g. bfloat16)."""
+        the far-field Hankel kernel precision (e.g. bfloat16).
+
+        const_mass: farm-scale fast path (round 3). When every moving body
+        has an ISOTROPIC inertia tensor (spheres / point absorbers) and
+        there are no joints, M^ = blockdiag(m I3, I) + A_inf is constant in
+        time (R I R^T = I), so the per-step solve collapses to one
+        precomputed [nv, nv] inverse-apply — an MXU matmul instead of an
+        unrolled O(nv^3) Cholesky graph whose op count (and compile time)
+        blows up for wave farms (nv >= 24; cf. the reference's single
+        6N-system assembly, chloadaddedmass.cpp:27-53, which Chrono then
+        factorizes every step). None = auto-enable for eligible systems
+        with nv >= 24; True = require (raises if ineligible); False = off.
+        The inverse is computed in float64 on the host. Per-instance mass
+        sweeps are not supported with const_mass (the inverse is built from
+        the spec masses)."""
         self.spec = spec
         self.dt = float(dt)
         self.dtype = dtype if dtype is not None else jnp.zeros(0).dtype
@@ -242,18 +264,47 @@ class Simulation:
                         hb1 * 6 : hb1 * 6 + 6, hb2 * 6 : hb2 * 6 + 6
                     ]
             const["ainf"] = jnp.asarray(ainf_sys, self.dtype)
+            self._ainf_np = ainf_sys
             self.n_hydro = nh
         else:
             self.hist_len = 1
             self.n_hydro = 0
             self.hydro_slots = []
             const["ainf"] = jnp.zeros((self.nv, self.nv), self.dtype)
+            self._ainf_np = np.zeros((self.nv, self.nv))
 
         # ----- wave force arrays -----
         self._build_wave_arrays(params)
 
         # ----- constraints -----
         self._build_constraints(const)
+
+        # ----- constant-mass fast path (farm-scale; see docstring) -----
+        iso = all(
+            np.allclose(
+                bodies[i].inertia_matrix(),
+                bodies[i].inertia_matrix()[0, 0] * np.eye(3),
+                rtol=1e-12, atol=1e-9 * abs(bodies[i].inertia_matrix()[0, 0]),
+            )
+            for i in self.moving
+        )
+        eligible = iso and self.n_constraints == 0
+        if const_mass is None:
+            const_mass = eligible and self.nv >= 24
+        elif const_mass and not eligible:
+            raise ValueError(
+                "const_mass requires isotropic body inertias and no "
+                "constraints (M^ must be time-invariant)")
+        self.const_mass = bool(const_mass)
+        if self.const_mass:
+            mhat = np.asarray(self._ainf_np, dtype=np.float64).copy()
+            for s, i in enumerate(self.moving):
+                mhat[s * 6:s * 6 + 3, s * 6:s * 6 + 3] += (
+                    bodies[i].mass * np.eye(3))
+                mhat[s * 6 + 3:s * 6 + 6, s * 6 + 3:s * 6 + 6] += (
+                    bodies[i].inertia_matrix())
+            const["mhat"] = jnp.asarray(mhat, self.dtype)
+            const["minv"] = jnp.asarray(np.linalg.inv(mhat), self.dtype)
 
         # ----- TSDA / RSDA -----
         self._build_force_elements(params, const)
@@ -273,6 +324,13 @@ class Simulation:
             self.wave_kind = "NoWave"
             return
         hd = self.hydro.hydro
+        dirn = float(getattr(wave, "direction", 0.0) or 0.0)
+        d0 = float(hd.wave_directions[0]) if hd.wave_directions is not None else 0.0
+        if dirn != d0:
+            # beyond-reference: honor the wave heading (the reference parses
+            # `direction:` and ignores it, wave_types.cpp:20,34)
+            hd = wv.resolve_wave_direction(
+                hd, dirn, axisymmetric=getattr(wave, "axisymmetric", False))
         if isinstance(wave, wv.RegularWave):
             data = wv.build_regular_wave(hd, wave)
             params["reg_mag"] = jnp.asarray(data.force_mag, self.dtype)
@@ -651,7 +709,7 @@ class Simulation:
         return F
 
     # ------------------------------------------------------------------
-    def init_state(self) -> State:
+    def init_state(self, params=None) -> State:
         bodies = self.spec.bodies
         pos = jnp.asarray(np.stack([bodies[i].pos0 for i in self.moving]), self.dtype)
         quat = jnp.asarray(np.stack([bodies[i].quat0 for i in self.moving]), self.dtype)
@@ -663,8 +721,12 @@ class Simulation:
         else:
             vhist = jnp.zeros((self.hist_len, 6 * max(self.n_hydro, 1)), self.dtype)
             ss = jnp.zeros((0,), self.dtype)
-        return State(pos=pos, quat=quat, lin_vel=zeros3, ang_vel=zeros3,
-                     vhist=vhist, ss=ss)
+        st = State(pos=pos, quat=quat, lin_vel=zeros3, ang_vel=zeros3,
+                   vhist=vhist, ss=ss, hht=jnp.zeros((0,), self.dtype))
+        if self.integrator == "hht":
+            st = dataclasses.replace(
+                st, hht=self._hht_carry0(params or self.params, st))
+        return st
 
     def _hydro_velocity(self, state: State):
         # static-index stack (no gather with a device index array)
@@ -803,9 +865,38 @@ class Simulation:
 
         F, I_w = self._forces(params, state, n, f_rad=f_rad, f_wave=f_wave)
 
-        Mhat = self._assemble_mass(params, I_w)
-
         v = jnp.concatenate([state.lin_vel, state.ang_vel], axis=-1).reshape(self.nv)
+
+        if self.const_mass:
+            # farm fast path: M^ is time-invariant (isotropic inertias, no
+            # joints) — the solve is one precomputed inverse-apply (MXU
+            # matmul under vmap) instead of an unrolled O(nv^3) Cholesky
+            rhs = (const["mhat"] * v[None, :]).sum(-1) + h * F
+            v_new = (const["minv"] * rhs[None, :]).sum(-1)
+            lam = jnp.zeros((0,), self.dtype)
+            vr = v_new.reshape(nm, 6)
+            lin_new, ang_new = vr[:, :3], vr[:, 3:]
+            pos_new = state.pos + h * lin_new
+            quat_new = quat_integrate(state.quat, ang_new, h)
+            new_state = dataclasses.replace(
+                state, pos=pos_new, quat=quat_new,
+                lin_vel=lin_new, ang_vel=ang_new,
+            )
+            full_out = {
+                "pos": pos_new, "quat": quat_new,
+                "lin_vel": lin_new, "ang_vel": ang_new,
+                "acc": ((v_new - v) / h).reshape(nm, 6),
+                "lambda": lam,
+            }
+            if "tsda" in self.outputs and self.spec.tsdas:
+                full_out["tsda"] = self._tsda_outputs(
+                    params, const, pos_new, quat_new, lin_new, ang_new
+                )
+            out = {k: val for k, val in full_out.items()
+                   if k in self.outputs or k in ("pos",)}
+            return new_state, out
+
+        Mhat = self._assemble_mass(params, I_w)
         rhs = (Mhat * v[None, :]).sum(-1) + h * F
 
         if self.has_constraints:
@@ -867,7 +958,7 @@ class Simulation:
     # HHT-alpha integrator (the reference YAML `integrator: type: HHT`,
     # run_hydrochrono_from_yaml.cpp:185-214 via Chrono's ChTimestepperHHT)
     # ------------------------------------------------------------------
-    def _step_hht(self, params, carry, n, f_rad=None, f_wave=None):
+    def _step_hht(self, params, state, n, f_rad=None, f_wave=None):
         """One HHT-alpha step with modified-Newton iterations.
 
         gamma = 1/2 - alpha, beta = (1-alpha)^2/4. Unknowns are the new
@@ -882,8 +973,13 @@ class Simulation:
         loop — reproducing the reference's per-timestep force memoization
         (hydro_forces.cpp:742-744): under Chrono's HHT the hydro callbacks
         evaluate once per step at t+h and return cached values afterwards.
+
+        The carry (a_prev, f_prev) rides in `state.hht` [2, nv] so that
+        checkpoints, chunked guarded runs and the blocked runner all resume
+        bit-exactly (round 3 — previously the carry was a separate scan
+        tuple, re-initialized at every resume boundary).
         """
-        state, a_prev, f_prev = carry
+        a_prev, f_prev = state.hht[0], state.hht[1]
         h = self.dt
         alpha = self.hht_alpha
         gamma = 0.5 - alpha
@@ -961,7 +1057,8 @@ class Simulation:
         for _ in range(self.hht_iterations):
             F, I_w, pos_i, quat_i = force_at(a)
             f_new = F
-            Mhat = self._assemble_mass(params, I_w)
+            Mhat = (const["mhat"] if self.const_mass
+                    else self._assemble_mass(params, I_w))
             r_a = (
                 (Mhat * a[None, :]).sum(-1)
                 - (1 + alpha) * F
@@ -989,6 +1086,9 @@ class Simulation:
                 da, dneg_lam = solve_kkt(Mhat, J, -r_a, -r_c)
                 a = a + da
                 lam = lam - dneg_lam
+            elif self.const_mass:
+                da = (const["minv"] * (-r_a)[None, :]).sum(-1)
+                a = a + da
             else:
                 da = solve_spd(Mhat, -r_a)
                 a = a + da
@@ -996,6 +1096,7 @@ class Simulation:
         pos_new, quat_new, lin_new, ang_new = kinematics(a)
         new_state = dataclasses.replace(
             state, pos=pos_new, quat=quat_new, lin_vel=lin_new, ang_vel=ang_new,
+            hht=jnp.stack([a, f_new]),
         )
         full_out = {
             "pos": pos_new,
@@ -1014,12 +1115,13 @@ class Simulation:
                 params, const, pos_new, quat_new, lin_new, ang_new
             )
         out = {k: v for k, v in full_out.items() if k in self.outputs or k == "pos"}
-        return (new_state, a, f_new), out
+        return new_state, out
 
-    def _hht_initial_carry(self, params, state: State):
-        """Initial HHT carry: zero acceleration (matching Chrono, whose first
-        HHT step advances by h^2*beta*a_new exactly — verified against the
-        reference expected trajectory) and the initial-state force."""
+    def _hht_carry0(self, params, state: State):
+        """Initial HHT carry [2, nv]: zero acceleration (matching Chrono,
+        whose first HHT step advances by h^2*beta*a_new exactly — verified
+        against the reference expected trajectory) and the initial-state
+        force."""
         # radiation is identically zero at t=0 (empty history); passing it
         # explicitly also keeps this independent of the ring-buffer layout
         # (the blocked path pads the ring beyond the kernel length)
@@ -1027,10 +1129,21 @@ class Simulation:
                   if self.hydro is not None else None)
         F, _ = self._forces(params, state, jnp.int32(0), f_rad=f_rad0)
         a0 = jnp.zeros((self.nv,), self.dtype)
-        return (state, a0, F)
+        return jnp.stack([a0, F.astype(self.dtype)])
 
     def step_fn(self, state: State, n=0):
         return self._step(self.params, state, jnp.asarray(n, jnp.int32))
+
+    def _ensure_hht_carry(self, params, state: State, start_step: int) -> State:
+        """Fill state.hht for the HHT integrator when absent or when
+        starting from t=0 (where the carry is fully determined by the
+        state); a resume state (start_step > 0) keeps its saved carry —
+        that is what makes HHT resume bit-exact."""
+        if self.integrator != "hht":
+            return state
+        if state.hht.size != 0 and start_step != 0:
+            return state
+        return dataclasses.replace(state, hht=self._hht_carry0(params, state))
 
     def run(self, num_steps: int, state: Optional[State] = None, params=None,
             start_step: int = 0):
@@ -1043,20 +1156,18 @@ class Simulation:
         if params is None:
             params = self.params
         if state is None:
-            state = self.init_state()
+            state = self.init_state(params=params)
+        state = self._ensure_hht_carry(params, state, start_step)
 
         if self.block_size and self.hydro is not None:
             return self._run_blocked(num_steps, state, params, start_step)
 
         if self.integrator == "hht":
-            carry0 = self._hht_initial_carry(params, state)
-
-            def hht_step(c, n):
-                return self._step_hht(params, c, n)
+            def hht_step(s, n):
+                return self._step_hht(params, s, n)
 
             steps = start_step + jnp.arange(num_steps, dtype=jnp.int32)
-            (final, _, _), traj = jax.lax.scan(hht_step, carry0, steps)
-            return final, traj
+            return jax.lax.scan(hht_step, state, steps)
 
         def step(s, n):
             return self._step(params, s, n)
@@ -1081,11 +1192,6 @@ class Simulation:
                 f"blocked mode resumes at block boundaries only "
                 f"(start_step={start_step} is not a multiple of {tb})"
             )
-        if start_step != 0 and self.integrator == "hht":
-            raise NotImplementedError(
-                "blocked HHT resume: the HHT carry (a_prev, f_prev) is not "
-                "part of State; use the Euler path or checkpoint per-step"
-            )
         start_block = start_step // tb
         nblocks = -(-num_steps // tb)
         H2 = self.hist_len
@@ -1096,8 +1202,7 @@ class Simulation:
         irregular = self.wave_kind == "IrregularWaveParams"
         hht = self.integrator == "hht"
 
-        def block(carry, b):
-            st = carry[0] if hht else carry
+        def block(st, b):
             n0 = b * tb
             cache = (self._solver_cache(params, st)
                      if (self.refined_solver and not hht) else None)
@@ -1120,8 +1225,7 @@ class Simulation:
                 ).astype(self.dtype)  # [tb, K]
 
             def inner(ic, d):
-                ic_state, vblock = ic
-                st = ic_state[0] if hht else ic_state
+                st, vblock = ic
                 n = n0 + d
                 v6 = self._hydro_velocity(st)
                 vblock = jax.lax.dynamic_update_slice_in_dim(
@@ -1134,35 +1238,26 @@ class Simulation:
                 if hht:
                     f_wave = (f_exc[d] if irregular
                               else self._wave_force(params, n + 1))
-                    ic2, out = self._step_hht(params, ic_state, n, f_rad=f_rad,
+                    st2, out = self._step_hht(params, st, n, f_rad=f_rad,
                                               f_wave=f_wave)
                 else:
                     f_wave = f_exc[d] if irregular else self._wave_force(params, n)
                     st2, out = self._step_core(params, st, n, f_rad=f_rad,
                                                f_wave=f_wave, solver_cache=cache)
-                    ic2 = st2
-                return (ic2, vblock), out
+                return (st2, vblock), out
 
-            ic0 = carry if hht else st
-            (ic_final, vblock), outs = jax.lax.scan(
-                inner, (ic0, jnp.zeros((tb, K), self.dtype)),
+            (st2, vblock), outs = jax.lax.scan(
+                inner, (st, jnp.zeros((tb, K), self.dtype)),
                 jnp.arange(tb, dtype=jnp.int32),
             )
-            st2 = ic_final[0] if hht else ic_final
             vhist = jax.lax.dynamic_update_slice_in_dim(st2.vhist, vblock, p0, axis=0)
             st2 = dataclasses.replace(st2, vhist=vhist)
-            if hht:
-                carry2 = (st2,) + tuple(ic_final[1:])
-            else:
-                carry2 = st2
-            return carry2, outs
+            return st2, outs
 
-        carry0 = self._hht_initial_carry(params, state) if hht else state
-        final_carry, traj = jax.lax.scan(
-            block, carry0,
+        final, traj = jax.lax.scan(
+            block, state,
             start_block + jnp.arange(nblocks, dtype=jnp.int32),
         )
-        final = final_carry[0] if hht else final_carry
         # [nblocks, tb, ...] -> [nblocks*tb, ...] -> trim padding
         traj = jax.tree.map(
             lambda x: x.reshape((nblocks * tb,) + x.shape[2:])[:num_steps], traj
@@ -1223,11 +1318,6 @@ class Simulation:
                 f"(start_step={start_step} is not a multiple of {tb})"
             )
         hht = self.integrator == "hht"
-        if hht and start_step != 0:
-            raise NotImplementedError(
-                "blocked HHT resume: the HHT carry (a_prev, f_prev) is not "
-                "part of State; use the Euler path or checkpoint per-step"
-            )
         start_block = start_step // tb
         nblocks = -(-num_steps // tb)
         H2 = self.hist_len
@@ -1248,28 +1338,34 @@ class Simulation:
 
         hc0 = None
         if hht:
-            # initial HHT carry per instance: a0 = 0, f0 = F(initial state)
-            # with zero radiation (stepper._hht_initial_carry), vmapped over
-            # the batch (and over any per-instance params leaves). Batched
-            # leaves are detected against the leaf's canonical UNBATCHED rank
-            # — sim.params itself may already carry sweep batches (the
-            # builder stores period-sweep reg_* params batched), so comparing
-            # against self.params would miss them.
-            f_rad0 = jnp.zeros((K,), self.dtype)
-            base_ndim = {"mass": 1, "tsda_k": 1, "tsda_c": 1, "rsda_k": 1,
-                         "rsda_c": 1, "motor_speed": 1, "reg_mag": 1,
-                         "reg_phase": 1, "reg_amp": 0, "reg_omega": 0,
-                         "irr_eta": 1}
-            axes = {}
-            for k2, v2 in params.items():
-                axes[k2] = (0 if (k2 in base_ndim and hasattr(v2, "ndim")
-                                  and v2.ndim > base_ndim[k2]) else None)
-            f0 = jax.vmap(
-                lambda st, p: self._forces(p, st, jnp.int32(0), f_rad=f_rad0)[0],
-                in_axes=(0, axes),
-            )(states, params)  # [B, nv]
-            hc_flat = jnp.concatenate(
-                [jnp.zeros_like(f0), f0.astype(self.dtype)], axis=1)  # [B, 2nv]
+            if start_step != 0 and states.hht.size != 0:
+                # resume: the saved per-instance carry rides in State.hht
+                # [B, 2, nv] — blocked-HHT resume is bit-exact (round 3)
+                hc_flat = states.hht.reshape(B, 2 * nv).astype(self.dtype)
+            else:
+                # initial HHT carry per instance: a0 = 0, f0 = F(initial
+                # state) with zero radiation (stepper._hht_carry0), vmapped
+                # over the batch (and over any per-instance params leaves).
+                # Batched leaves are detected against the leaf's canonical
+                # UNBATCHED rank — sim.params itself may already carry sweep
+                # batches (the builder stores period-sweep reg_* params
+                # batched), so comparing against self.params would miss them.
+                f_rad0 = jnp.zeros((K,), self.dtype)
+                base_ndim = {"mass": 1, "tsda_k": 1, "tsda_c": 1, "rsda_k": 1,
+                             "rsda_c": 1, "motor_speed": 1, "reg_mag": 1,
+                             "reg_phase": 1, "reg_amp": 0, "reg_omega": 0,
+                             "irr_eta": 1}
+                axes = {}
+                for k2, v2 in params.items():
+                    axes[k2] = (0 if (k2 in base_ndim and hasattr(v2, "ndim")
+                                      and v2.ndim > base_ndim[k2]) else None)
+                f0 = jax.vmap(
+                    lambda st, p: self._forces(p, st, jnp.int32(0),
+                                               f_rad=f_rad0)[0],
+                    in_axes=(0, axes),
+                )(states, params)  # [B, nv]
+                hc_flat = jnp.concatenate(
+                    [jnp.zeros_like(f0), f0.astype(self.dtype)], axis=1)
             Bp = RB * 128
             sel0 = jnp.minimum(jnp.arange(Bp), B - 1)
             hc0 = hc_flat[sel0].T.reshape(2 * nv, RB, 128)
@@ -1532,9 +1628,16 @@ class Simulation:
             block, carry0,
             start_block + jnp.arange(nblocks, dtype=jnp.int32),
         )
-        sc_f, _, _, vhist_f = final_carry
+        sc_f, hc_f, _, vhist_f = final_carry
 
         final = b.unpack_state(sc_f, vhist_f, B, states.ss)
+        if hht:
+            # write the final HHT carry back into State.hht [B, 2, nv]
+            hht_f = hc_f.reshape(2 * nv, RB * 128).T[:B].reshape(B, 2, nv)
+            final = dataclasses.replace(final, hht=hht_f)
+        else:
+            final = dataclasses.replace(
+                final, hht=jnp.zeros((B, 0), self.dtype))
 
         def unpack_traj(x, tail):
             T = nblocks * tb

@@ -46,6 +46,12 @@ def load_checkpoint(path: str, dtype=None):
     step = int(data["_step"])
     kwargs = {}
     for f in dataclasses.fields(State):
+        if f.name not in data:
+            # field added after the checkpoint was written (e.g. `hht`,
+            # round 3): fall back to the empty default — run() re-derives
+            # the HHT carry when it is absent
+            kwargs[f.name] = jnp.zeros((0,), dtype)
+            continue
         arr = data[f.name]
         kwargs[f.name] = jnp.asarray(arr, dtype) if dtype else jnp.asarray(arr)
     return State(**kwargs), step

@@ -169,3 +169,47 @@ def test_blocked_resume_rejects_misaligned(sphere_h5):
     sim = Simulation(spec, dt=0.015, block_size=32)
     with pytest.raises(ValueError, match="block boundaries"):
         sim.run(32, state=sim.init_state(), start_step=17)
+
+
+def test_blocked_hht_resume_bit_exact(sphere_h5):
+    """Blocked-HHT resume is bit-exact now that the HHT carry (a_prev,
+    f_prev) lives in State.hht (round 3; previously raised
+    NotImplementedError). Also checks the checkpoint file round-trip
+    preserves the carry."""
+    sim = Simulation(sphere_spec(sphere_h5), dt=0.015, block_size=32,
+                     integrator="hht")
+    n, mid = 4 * 32, 2 * 32
+
+    _, traj_full = sim.run(n)
+    st_mid, traj_a = sim.run(mid)
+    assert st_mid.hht.shape == (2, sim.nv)
+    _, traj_b = sim.run(n - mid, state=st_mid, start_step=mid)
+
+    za = np.asarray(traj_a["pos"][:, 0, 2])
+    zb = np.asarray(traj_b["pos"][:, 0, 2])
+    zf = np.asarray(traj_full["pos"][:, 0, 2])
+    np.testing.assert_array_equal(np.concatenate([za, zb]), zf)
+
+    from hydrochrono_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    p = save_checkpoint("/tmp/hc_tpu_hht_ck", st_mid, mid)
+    st_loaded, step = load_checkpoint(p)
+    _, traj_c = sim.run(n - step, state=st_loaded, start_step=step)
+    np.testing.assert_array_equal(np.asarray(traj_c["pos"][:, 0, 2]), zb)
+
+
+def test_hht_guarded_chunks_match_unchunked(sphere_h5):
+    """run_guarded chunks an HHT run through start_step continuation; with
+    the carry in State the chunked trajectory equals the single-shot one
+    bit-for-bit (previously each chunk re-initialized a_prev = 0)."""
+    from hydrochrono_tpu.utils.guards import run_guarded
+
+    sim = Simulation(sphere_spec(sphere_h5), dt=0.015, block_size=32,
+                     integrator="hht")
+    n = 4 * 32
+    _, traj_full = sim.run(n)
+    _, traj_g, report = run_guarded(sim, n, chunk=32)
+    assert not report.diverged
+    np.testing.assert_array_equal(
+        np.asarray(traj_g["pos"][:, 0, 2]),
+        np.asarray(traj_full["pos"][:, 0, 2]))

@@ -408,3 +408,25 @@ def test_fused_batched_coefficients_and_wave_params(small_h5_1body):
     assert np.abs(np.asarray(tr_u["pos"]) - np.asarray(tr_f["pos"])).max() < 1e-9
     sc = max(1.0, float(np.abs(np.asarray(tr_u["tsda"])).max()))
     assert np.abs(np.asarray(tr_u["tsda"]) - np.asarray(tr_f["tsda"])).max() / sc < 1e-9
+
+
+def test_fused_hht_resume(small_h5):
+    """run_blocked_fused resumes the HHT integrator from a saved State
+    bit-exactly (round 3: the carry rides State.hht through the kernel's
+    hc rows; previously raised NotImplementedError)."""
+    wave = IrregularWaveParams(height=2.0, period=8.0, nfrequencies=30,
+                               ramp_duration=2.0)
+    sim = Simulation(_spec_rm3ish(small_h5), dt=0.01, wave=wave, duration=5.0,
+                     block_size=8, integrator="hht",
+                     outputs=("pos", "quat", "lin_vel", "ang_vel"))
+    B, n, mid = 2, 32, 16
+    states = make_batched_states(sim, B)
+    _, traj_full = jax.jit(lambda s: sim.run_blocked_fused(n, s))(states)
+    st_mid, traj_a = jax.jit(lambda s: sim.run_blocked_fused(mid, s))(states)
+    assert st_mid.hht.shape == (B, 2, sim.nv)
+    _, traj_b = jax.jit(
+        lambda s: sim.run_blocked_fused(n - mid, s, start_step=mid))(st_mid)
+    za = np.asarray(traj_a["pos"])
+    zb = np.asarray(traj_b["pos"])
+    zf = np.asarray(traj_full["pos"])
+    np.testing.assert_array_equal(np.concatenate([za, zb], axis=1), zf)
