@@ -23,15 +23,28 @@ def write_bemio_h5(path: str, num_bodies: int, *, seed: int = 0,
                    water_depth: float = float("inf"),
                    cg_list=None, cb_list=None, disp_vol=None,
                    rirf_tmax: float = 15.0, rirf_steps: int = 501,
-                   n_freq: int = 120, coupling: float = 0.15) -> str:
+                   n_freq: int = 120, coupling: float = 0.15,
+                   state_space: bool = False) -> str:
     """Write a BEMIO file for `num_bodies` bodies; returns `path`.
 
     Coefficients are stored *unscaled* exactly as BEM post-processors write
     them (the loader applies rho / rho*g, matching h5fileinfo.cpp:61,73-75,90).
-    """
+
+    With `state_space=True` the file additionally carries
+    radiation_damping/state_space/{A,B,C,D} fits (BEMIO layout,
+    physics/statespace.py). The synthetic RIRF entries are damped cosines
+    amp*cos(w0 t)*exp(-zeta t), which an order-2 modal system represents
+    EXACTLY (A = [[-zeta, w0], [-w0, -zeta]], B = [1, 0]^T, C = [amp, 0]),
+    so the convolution and state-space paths integrate the same physics up
+    to time-discretization error — the property the farm equivalence test
+    checks (tests/test_farm.py)."""
     rng = np.random.RandomState(seed)
     nb = num_bodies
     total = 6 * nb
+    ss_A = np.zeros((total, total, 2, 2))
+    ss_B = np.zeros((total, total, 2, 1))
+    ss_C = np.zeros((total, total, 1, 2))
+    ss_D = np.zeros((total, total))
 
     if cg_list is None:
         cg_list = [np.array([0.0, 0.0, -2.0 - b]) for b in range(nb)]
@@ -84,12 +97,18 @@ def write_bemio_h5(path: str, num_bodies: int, *, seed: int = 0,
             rd = hc.require_group("radiation_damping")
             irf = rd.require_group("impulse_response_fun")
             K = np.zeros((6, total, rirf_steps))
+            zeta = 0.5
             for i in range(6):
                 for j in range(total):
                     scale = 1.0 if (j == b * 6 + i) else coupling * rng.rand()
                     w0 = 0.8 + 2.0 * rng.rand()
                     amp = 20.0 * scale
-                    K[i, j] = amp * np.cos(w0 * rirf_t) * np.exp(-0.5 * rirf_t)
+                    K[i, j] = amp * np.cos(w0 * rirf_t) * np.exp(-zeta * rirf_t)
+                    # the exact modal realization of this damped cosine
+                    r = b * 6 + i
+                    ss_A[r, j] = [[-zeta, w0], [-w0, -zeta]]
+                    ss_B[r, j] = [[1.0], [0.0]]
+                    ss_C[r, j] = [[amp, 0.0]]
             irf.create_dataset("K", data=K)
             irf.create_dataset("t", data=rirf_t[:, None])
             irf.create_dataset("w", data=np.linspace(0, 5, rirf_steps)[:, None])
@@ -119,5 +138,13 @@ def write_bemio_h5(path: str, num_bodies: int, *, seed: int = 0,
             exirf.create_dataset("f", data=fmat)
             exirf.create_dataset("t", data=exc_t[:, None])
             exirf.create_dataset("w", data=np.linspace(0, 5, rirf_steps)[:, None])
+
+            if state_space:
+                ssg = rd.require_group("state_space")
+                sl = slice(b * 6, b * 6 + 6)
+                ssg.create_dataset("A/all", data=ss_A[sl])
+                ssg.create_dataset("B/all", data=ss_B[sl])
+                ssg.create_dataset("C/all", data=ss_C[sl])
+                ssg.create_dataset("D/all", data=ss_D[sl])
 
     return path

@@ -165,3 +165,52 @@ def deepcwind_decay(h5_path: str, pitch_deg: float = -3.95,
         hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
         gravity=(0.0, 0.0, -9.81),
     )
+
+
+def sphere_farm(h5_path: str, *, nx: int = 2, ny: int = 2,
+                spacing: float = 40.0, z0: float = -2.0,
+                mass: float = 261.8e3, inertia_scalar: float = 2.1e6,
+                pto_damping: float = 5.0e4) -> SystemSpec:
+    """An nx*ny wave farm of identical floating spheres (point absorbers)
+    with linear heave PTO dampers to seabed anchors.
+
+    Beyond-reference scale-out (SURVEY.md §2.5 TP row): the reference tops
+    out at 3 coupled bodies (F3OF); here the hydrodynamically coupled 6N
+    system (the generalization of chloadaddedmass.cpp:27-53's single-system
+    assembly) runs at arbitrary N through the constant-mass fast path
+    (stepper.py const_mass: isotropic inertia + no joints => one
+    precomputed [6N, 6N] inverse-apply per step) and, with a state-space
+    radiation file, with no history convolution at all.
+
+    `h5_path` must carry nx*ny coupled bodies (io/synth.py
+    write_bemio_h5(num_bodies=nx*ny, state_space=True) for synthetic
+    farms). Each device gets a TSDA heave damper to a fixed anchor
+    directly below it — the farm PTO — with no joints, so the system
+    stays constraint-free.
+    """
+    n = nx * ny
+    hydro = load_bemio_h5(h5_path, num_bodies=n)
+    x0 = -0.5 * (nx - 1) * spacing
+    y0 = -0.5 * (ny - 1) * spacing
+    bodies, tsdas = [], []
+    anchor_z = z0 - 30.0
+    for b in range(n):
+        ix, iy = b % nx, b // nx
+        px, py = x0 + ix * spacing, y0 + iy * spacing
+        bodies.append(Body(
+            name=f"body{b + 1}", mass=mass, pos0=(px, py, z0),
+            inertia=inertia_scalar * np.eye(3)))
+    ground = len(bodies)
+    bodies.append(Body(name="ground", mass=1.0,
+                       pos0=(0.0, 0.0, anchor_z), fixed=True))
+    for b in range(n):
+        px, py, _ = bodies[b].pos0
+        tsdas.append(TSDA(
+            b, ground, (px, py, z0), (px, py, anchor_z),
+            spring_coeff=0.0, damping_coeff=pto_damping))
+    return SystemSpec(
+        bodies=bodies,
+        tsdas=tsdas,
+        hydro=HydroAttachment(hydro=hydro, body_indices=list(range(n))),
+        gravity=(0.0, 0.0, -9.81),
+    )

@@ -207,6 +207,14 @@ class FusedStepBuilder:
                     f"fused step: integrator {sim.integrator}")
             if sim.radiation != "convolution":
                 raise NotImplementedError("fused step: convolution radiation only")
+            if getattr(sim, "const_mass", False):
+                # farm-scale const-mass systems take the batched XLA path
+                # (stepper._step_core fast branch): with no factorization in
+                # the graph it is already dense matmul work, and the
+                # unrolled in-kernel Cholesky this builder emits would both
+                # blow up Mosaic compile time at nv >= 24 and diverge
+                # numerically from the inverse-apply design
+                raise NotImplementedError("fused step: const_mass uses XLA path")
             if spec.motors:
                 raise NotImplementedError("fused step: motors unsupported")
             if spec.moorings is not None:

@@ -1,0 +1,122 @@
+"""Farm-scale N-body support (SURVEY.md §2.5 TP row): the constant-mass
+fast path and state-space radiation at 6N DOFs.
+
+The reference tops out at 3 coupled bodies (F3OF); its 6N added-mass
+system assembly (chloadaddedmass.cpp:27-53) is generalized here to
+arbitrary N, with the per-step factorization replaced by a precomputed
+inverse-apply when M^ is time-invariant (stepper.py const_mass).
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from hydrochrono_tpu.io.bemio import load_bemio_h5
+from hydrochrono_tpu.io.synth import write_bemio_h5
+from hydrochrono_tpu.models.builders import sphere_farm
+from hydrochrono_tpu.physics.waves import IrregularWaveParams
+from hydrochrono_tpu.stepper import Simulation
+
+
+@pytest.fixture(scope="module")
+def farm4_h5(tmp_path_factory):
+    """4 coupled bodies with identical device properties + exact order-2
+    state-space radiation fits (the synthetic RIRF is a damped cosine,
+    which the modal fit represents exactly — io/synth.py)."""
+    path = str(tmp_path_factory.mktemp("farm") / "farm4.h5")
+    n = 4
+    write_bemio_h5(
+        path, n, seed=7, state_space=True,
+        cg_list=[np.array([0.0, 0.0, -2.0])] * n,
+        cb_list=[np.array([0.0, 0.0, -1.7])] * n,
+        disp_vol=[261.8] * n,  # neutral buoyancy at rho=1000, m=261.8e3
+        rirf_tmax=10.0, rirf_steps=201, n_freq=40,
+    )
+    return path
+
+
+def _farm_sim(h5, *, radiation="convolution", const_mass=None, dt=0.02,
+              wave=None, **kw):
+    spec = sphere_farm(h5, nx=2, ny=2, spacing=40.0)
+    dur = 20.0 if wave is not None else None
+    return Simulation(spec, dt=dt, wave=wave, duration=dur,
+                      radiation=radiation, const_mass=const_mass, **kw)
+
+
+def test_const_mass_auto_enables_and_matches_general(farm4_h5):
+    """const_mass auto-enables at nv >= 24 for eligible (isotropic, no
+    joints) systems, and its trajectory matches the general per-step
+    Cholesky path to float64 reassociation noise."""
+    wave = IrregularWaveParams(height=2.0, period=8.0, nfrequencies=20,
+                               ramp_duration=4.0)
+    sim_fast = _farm_sim(farm4_h5, wave=wave)
+    assert sim_fast.const_mass  # auto (nv = 24)
+    sim_gen = _farm_sim(farm4_h5, wave=wave, const_mass=False)
+    assert not sim_gen.const_mass
+
+    n = 200
+    _, tf = jax.jit(lambda: sim_fast.run(n))()
+    _, tg = jax.jit(lambda: sim_gen.run(n))()
+    zf = np.asarray(tf["pos"])
+    zg = np.asarray(tg["pos"])
+    assert np.isfinite(zf).all()
+    assert np.abs(zf - zg).max() < 1e-8
+
+
+def test_const_mass_hht_matches_general(farm4_h5):
+    sim_fast = _farm_sim(farm4_h5, integrator="hht", const_mass=True)
+    sim_gen = _farm_sim(farm4_h5, integrator="hht", const_mass=False)
+    n = 100
+    _, tf = jax.jit(lambda: sim_fast.run(n))()
+    _, tg = jax.jit(lambda: sim_gen.run(n))()
+    assert np.abs(np.asarray(tf["pos"]) - np.asarray(tg["pos"])).max() < 1e-8
+
+
+def test_const_mass_rejects_ineligible(farm4_h5):
+    from hydrochrono_tpu.models.builders import sphere_heave_constrained
+
+    # joints make M^ solves KKT-coupled -> ineligible
+    sphere = "/root/reference/demos/sphere/hydroData/sphere.h5"
+    if not os.path.exists(sphere):
+        pytest.skip("sphere.h5 unavailable")
+    spec = sphere_heave_constrained(sphere)
+    with pytest.raises(ValueError, match="const_mass"):
+        Simulation(spec, dt=0.02, const_mass=True)
+
+
+def test_farm_state_space_matches_convolution(farm4_h5):
+    """With the exact modal fits the state-space path integrates the same
+    radiation physics as the convolution; trajectories agree to time-
+    discretization error (ZOH vs resampled-kernel quadrature)."""
+    wave = IrregularWaveParams(height=2.0, period=8.0, nfrequencies=20,
+                               ramp_duration=4.0)
+    sim_ss = _farm_sim(farm4_h5, radiation="state_space", wave=wave, dt=0.01)
+    sim_cv = _farm_sim(farm4_h5, radiation="convolution", wave=wave, dt=0.01)
+    n = 400
+    _, ts = jax.jit(lambda: sim_ss.run(n))()
+    _, tc = jax.jit(lambda: sim_cv.run(n))()
+    zs = np.asarray(ts["pos"][:, :, 2])
+    zc = np.asarray(tc["pos"][:, :, 2])
+    scale = max(np.abs(zc - zc[0]).max(), 1e-9)
+    assert np.abs(zs - zc).max() / scale < 0.05
+
+
+def test_farm_batched_vmap_runs(farm4_h5):
+    """Batched farm instances (sea-state realizations) vmap over the
+    const-mass path — the farm production shape."""
+    wave = IrregularWaveParams(height=2.0, period=8.0, nfrequencies=20,
+                               ramp_duration=4.0)
+    sim = _farm_sim(farm4_h5, radiation="state_space", wave=wave)
+    assert sim.const_mass
+    from hydrochrono_tpu.parallel.sharding import make_batched_states
+
+    B, n = 4, 100
+    states = make_batched_states(sim, B)
+    _, traj = jax.jit(jax.vmap(lambda s: sim.run(n, state=s)))(states)
+    z = np.asarray(traj["pos"])
+    assert z.shape[:2] == (B, n)
+    assert np.isfinite(z).all()
+    # PTO damper extracts energy: late heave motion is bounded
+    assert np.abs(z[:, :, :, 2] + 2.0).max() < 5.0
