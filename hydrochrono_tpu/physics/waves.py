@@ -153,11 +153,18 @@ class NoWave:
 @dataclasses.dataclass(frozen=True)
 class RegularWave:
     """Monochromatic wave. amplitude/omega may be scalars or [B] arrays for
-    batched sweeps (reference: wave_types.cpp:266-352)."""
+    batched sweeps (reference: wave_types.cpp:266-352).
+
+    direction: wave heading in degrees from +x toward +y. The reference
+    parses the YAML key but hard-codes +x propagation (wave_types.cpp:20,34);
+    here it selects/interpolates the BEMIO direction axis, or rotates the
+    excitation for axisymmetric bodies (resolve_wave_direction)."""
 
     amplitude: object  # scalar or array [B]
     omega: object  # scalar or array [B]
     phase: float = 0.0
+    direction: float = 0.0  # degrees
+    axisymmetric: bool = False  # allow D=1 files via excitation rotation
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,6 +182,97 @@ class IrregularWaveParams:
     ramp_duration: float = 0.0
     eta_file_path: Optional[str] = None
     wave_stretching: bool = False
+    direction: float = 0.0  # degrees (see RegularWave.direction)
+    axisymmetric: bool = False
+
+
+def _heading_transform(direction_deg: float) -> np.ndarray:
+    """T(theta) = blockdiag(Rz, Rz) [6, 6]: how a 6-DOF wave-excitation
+    wrench on an AXISYMMETRIC body transforms when the wave heading rotates
+    by theta about +z (forces and moments rotate as vectors)."""
+    th = np.deg2rad(direction_deg)
+    c, s = np.cos(th), np.sin(th)
+    rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    T = np.zeros((6, 6))
+    T[:3, :3] = rz
+    T[3:, 3:] = rz
+    return T
+
+
+def resolve_wave_direction(hydro: HydroData, direction_deg: float,
+                           axisymmetric: bool = False) -> HydroData:
+    """Return a HydroData with the excitation resolved at `direction_deg`.
+
+    The reference parses the YAML `direction:` key but squeezes the BEMIO
+    wave-direction axis away and hard-codes +x propagation
+    (h5fileinfo.cpp:262-298 SqueezeMid; wave_types.cpp:20,34) — direction
+    is silently ignored there. Here (beyond-reference):
+
+      * if the file tabulates the requested heading, that slice is used;
+      * between tabulated headings, mag/phase (and the excitation IRF) are
+        linearly interpolated along the direction axis — the same
+        treatment the reference applies along the frequency axis;
+      * for single-heading files, `axisymmetric=True` rotates the
+        excitation exactly: for an axisymmetric body the 6-DOF excitation
+        at heading theta is T(theta) = blockdiag(Rz, Rz) applied to the
+        heading-0 complex response (validated by the rotated-frame
+        symmetry test, tests/test_direction.py).
+    """
+    import dataclasses as _dc
+
+    dirs = hydro.wave_directions
+    if dirs is None:
+        dirs = np.zeros(1)
+    d = float(direction_deg)
+    # exact tabulated heading?
+    hit = np.nonzero(np.abs(dirs - d) < 1e-9)[0]
+    if hit.size:
+        i = int(hit[0])
+        irf_dir = (hydro.exc_irf_dir[:, :, i, :]
+                   if hydro.exc_irf_dir is not None else hydro.exc_irf)
+        return _dc.replace(
+            hydro,
+            exc_mag=hydro.exc_mag[:, :, i : i + 1, :],
+            exc_phase=hydro.exc_phase[:, :, i : i + 1, :],
+            exc_irf=irf_dir,
+        )
+    if dirs.size >= 2 and dirs.min() - 1e-9 <= d <= dirs.max() + 1e-9:
+        j = int(np.searchsorted(dirs, d))
+        i = j - 1
+        w = (d - dirs[i]) / (dirs[j] - dirs[i])
+        # interpolate the complex response (re/im), not mag/phase — phase
+        # wraps; re/im interpolation is what linear interpolation of the
+        # underlying transfer function means
+        c0 = hydro.exc_mag[:, :, i] * np.exp(1j * hydro.exc_phase[:, :, i])
+        c1 = hydro.exc_mag[:, :, j] * np.exp(1j * hydro.exc_phase[:, :, j])
+        c = (1.0 - w) * c0 + w * c1
+        irf = hydro.exc_irf
+        if hydro.exc_irf_dir is not None:
+            irf = ((1.0 - w) * hydro.exc_irf_dir[:, :, i]
+                   + w * hydro.exc_irf_dir[:, :, j])
+        return _dc.replace(
+            hydro,
+            exc_mag=np.abs(c)[:, :, None, :],
+            exc_phase=np.angle(c)[:, :, None, :],
+            exc_irf=irf,
+        )
+    if axisymmetric:
+        T = _heading_transform(d - float(dirs[0]))
+        c = hydro.exc_mag[:, :, 0] * np.exp(1j * hydro.exc_phase[:, :, 0])
+        c_rot = np.einsum("ij,njf->nif", T, c)
+        irf_rot = np.einsum("ij,njt->nit", T, hydro.exc_irf)
+        return _dc.replace(
+            hydro,
+            exc_mag=np.abs(c_rot)[:, :, None, :],
+            exc_phase=np.angle(c_rot)[:, :, None, :],
+            exc_irf=irf_rot,
+        )
+    raise ValueError(
+        f"wave direction {d} deg is not tabulated in the BEMIO file "
+        f"(available: {np.array2string(dirs, precision=1)}); for an "
+        "axisymmetric body set `axisymmetric: true` to rotate the "
+        "excitation exactly"
+    )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -306,7 +306,9 @@ class WaveSettings:
     kind: str  # 'still' | 'regular' | 'irregular'
     height: float = 0.0
     periods: Optional[np.ndarray] = None  # scalar stored as shape-() array
-    direction: float = 0.0
+    direction: float = 0.0  # degrees; APPLIED here (the reference parses
+    # the key and hard-codes +x propagation, wave_types.cpp:20,34)
+    axisymmetric: bool = False  # allow direction on single-heading files
     phase: float = 0.0
     spectrum: str = "pierson_moskowitz"
     # extensions beyond the reference surface (which parses `spectrum` but
@@ -432,6 +434,7 @@ def parse_hydro_file(path: str) -> HydroSpec:
         height=height,
         periods=periods,
         direction=float(wave.get("direction", 0.0)),
+        axisymmetric=bool(wave.get("axisymmetric", False)),
         phase=float(wave.get("phase", 0.0)),
         spectrum=str(wave.get("spectrum", "pierson_moskowitz")).lower(),
         gamma=float(wave.get("gamma", 3.3)),

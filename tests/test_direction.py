@@ -1,0 +1,167 @@
+"""Direction-resolved wave excitation (beyond-reference).
+
+The reference squeezes the BEMIO wave-direction axis away and hard-codes
++x propagation (h5fileinfo.cpp:262-298, wave_types.cpp:20,34); the YAML
+`direction:` key is parsed and silently ignored there. Here it selects /
+interpolates the tabulated headings, or rotates the excitation exactly
+for axisymmetric bodies — validated by a rotated-frame symmetry oracle.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from hydrochrono_tpu.io.bemio import load_bemio_h5
+from hydrochrono_tpu.physics.system import Body, HydroAttachment, SystemSpec
+from hydrochrono_tpu.physics.waves import (
+    IrregularWaveParams,
+    RegularWave,
+    _heading_transform,
+    resolve_wave_direction,
+)
+from hydrochrono_tpu.stepper import Simulation
+
+
+def _c4_symmetrize(hd):
+    """Project the system matrices onto C4 (90-degree) rotational symmetry
+    so the dynamics is exactly equivariant under Rz(90): A -> mean_k
+    T(90k) A T(90k)^T. The sphere's BEM data satisfies this only to solver
+    tolerance; the projection makes the rotation oracle exact."""
+    Ts = [_heading_transform(90.0 * k) for k in range(4)]
+
+    def sym(mat):
+        return sum(T @ mat @ T.T for T in Ts) / 4.0
+
+    ainf = sym(hd.inf_added_mass)
+    rirf = np.stack([sym(hd.rirf[:, :, t]) for t in range(hd.rirf.shape[2])],
+                    axis=2)
+    klin = np.stack([sym(hd.lin_stiffness[b]) for b in range(hd.num_bodies)])
+    return dataclasses.replace(hd, inf_added_mass=ainf, rirf=rirf,
+                               lin_stiffness=klin)
+
+
+@pytest.fixture(scope="module")
+def sym_hydro(sphere_h5):
+    return _c4_symmetrize(load_bemio_h5(sphere_h5, num_bodies=1))
+
+
+def _spec(hd, inertia_zsym=True):
+    inertia = np.diag([2.1e6, 2.1e6, 1.9e6])  # Rz-equivariant (Ixx = Iyy)
+    return SystemSpec(
+        bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.0),
+                     inertia=inertia)],
+        hydro=HydroAttachment(hydro=hd, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+
+
+def test_rotated_frame_symmetry_regular(sym_hydro):
+    """Simulating heading theta equals rotating the heading-0 solution by
+    Rz(theta), for an exactly Rz-equivariant system — the defining
+    property of correct direction handling."""
+    theta = 90.0
+    w0 = RegularWave(amplitude=1.0, omega=0.8)
+    wt = RegularWave(amplitude=1.0, omega=0.8, direction=theta,
+                     axisymmetric=True)
+    n = 400
+    sim0 = Simulation(_spec(sym_hydro), dt=0.02, wave=w0,
+                      outputs=("pos", "lin_vel", "ang_vel"))
+    simt = Simulation(_spec(sym_hydro), dt=0.02, wave=wt,
+                      outputs=("pos", "lin_vel", "ang_vel"))
+    _, t0 = jax.jit(lambda: sim0.run(n))()
+    _, tt = jax.jit(lambda: simt.run(n))()
+
+    T = _heading_transform(theta)[:3, :3]
+    for key in ("pos", "lin_vel", "ang_vel"):
+        a = np.asarray(t0[key])[:, 0, :]  # [n, 3]
+        b = np.asarray(tt[key])[:, 0, :]
+        rotated = a @ T.T
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(b - rotated).max() / scale < 1e-8, key
+
+
+def test_rotated_frame_symmetry_irregular(sym_hydro):
+    theta = 90.0
+    w0 = IrregularWaveParams(height=2.0, period=8.0, nfrequencies=25,
+                             ramp_duration=2.0)
+    wt = dataclasses.replace(w0, direction=theta, axisymmetric=True)
+    n = 300
+    sim0 = Simulation(_spec(sym_hydro), dt=0.02, wave=w0, duration=10.0)
+    simt = Simulation(_spec(sym_hydro), dt=0.02, wave=wt, duration=10.0)
+    _, t0 = jax.jit(lambda: sim0.run(n))()
+    _, tt = jax.jit(lambda: simt.run(n))()
+    T = _heading_transform(theta)[:3, :3]
+    a = np.asarray(t0["pos"])[:, 0, :]
+    b = np.asarray(tt["pos"])[:, 0, :]
+    assert np.abs(b - a @ T.T).max() / max(1.0, np.abs(a).max()) < 1e-8
+
+
+def test_direction_30deg_force_ratio(sphere_h5):
+    """At heading theta the surge/sway excitation split follows
+    (cos, sin) theta for an axisymmetric body."""
+    hd = load_bemio_h5(sphere_h5, num_bodies=1)
+    hd30 = resolve_wave_direction(hd, 30.0, axisymmetric=True)
+    c0 = hd.exc_mag[0, :, 0] * np.exp(1j * hd.exc_phase[0, :, 0])  # [6, F]
+    c30 = hd30.exc_mag[0, :, 0] * np.exp(1j * hd30.exc_phase[0, :, 0])
+    th = np.deg2rad(30.0)
+    np.testing.assert_allclose(c30[0], np.cos(th) * c0[0] - np.sin(th) * c0[1],
+                               rtol=0, atol=1e-9 * np.abs(c0[0]).max())
+    np.testing.assert_allclose(c30[1], np.sin(th) * c0[0] + np.cos(th) * c0[1],
+                               rtol=0, atol=1e-9 * np.abs(c0[0]).max())
+    np.testing.assert_allclose(c30[2], c0[2], rtol=1e-12)
+
+
+def test_direction_interpolation_between_tabulated(sphere_h5):
+    """A file tabulating headings {0, 60} resolves 30 deg by complex
+    interpolation; endpoints reproduce the tabulated slices exactly."""
+    hd = load_bemio_h5(sphere_h5, num_bodies=1)
+    rot = _heading_transform(60.0)
+    c0 = hd.exc_mag[:, :, 0] * np.exp(1j * hd.exc_phase[:, :, 0])
+    c60 = np.einsum("ij,njf->nif", rot, c0)
+    mag2 = np.concatenate([hd.exc_mag, np.abs(c60)[:, :, None, :]], axis=2)
+    ph2 = np.concatenate([hd.exc_phase, np.angle(c60)[:, :, None, :]], axis=2)
+    irf2 = np.concatenate(
+        [hd.exc_irf_dir,
+         np.einsum("ij,njt->nit", rot, hd.exc_irf)[:, :, None, :]], axis=2)
+    hd2 = dataclasses.replace(hd, exc_mag=mag2, exc_phase=ph2,
+                              exc_irf_dir=irf2,
+                              wave_directions=np.array([0.0, 60.0]))
+
+    r60 = resolve_wave_direction(hd2, 60.0)
+    np.testing.assert_allclose(
+        r60.exc_mag[:, :, 0], np.abs(c60), rtol=0, atol=1e-12)
+    r30 = resolve_wave_direction(hd2, 30.0)
+    cmid = 0.5 * c0 + 0.5 * c60
+    np.testing.assert_allclose(
+        r30.exc_mag[:, :, 0], np.abs(cmid), rtol=1e-9, atol=1e-9)
+
+    with pytest.raises(ValueError, match="not tabulated"):
+        resolve_wave_direction(hd2, 120.0)
+
+
+def test_yaml_direction_plumbs_through(tmp_path, sphere_h5):
+    """The YAML `direction:` key reaches the wave model (the reference
+    ignores it) and the builder records the divergence warning."""
+    import os
+    import shutil
+
+    from hydrochrono_tpu.scene.builder import build_case
+
+    src = "/root/reference/tests/regression/run_hydrochrono/iea_sphere/decay/inputs"
+    if not os.path.isdir(src):
+        pytest.skip("reference case unavailable")
+    d = tmp_path / "case"
+    shutil.copytree(src, d)
+    hy = next(p for p in d.iterdir() if p.name.endswith("hydro.yaml"))
+    txt = hy.read_text()
+    txt = txt.replace("../../assets/hydroData/iea_sphere.h5", sphere_h5)
+    txt = txt.replace(
+        "type: still",
+        "type: regular\n    height: 1.0\n    period: 8.0\n"
+        "    direction: 25.0\n    axisymmetric: true")
+    hy.write_text(txt)
+    case = build_case(str(d))
+    assert float(case.wave.direction) == 25.0
+    assert any("direction" in w for w in case.warnings)
