@@ -398,6 +398,11 @@ def run_case(args, log) -> int:
             zstd = z.std(axis=-1)
             log.info(f"heave std across seeds: mean {zstd.mean():.4f} m, "
                      f"spread {zstd.std():.4f} m (n={int(finite.sum())})")
+            from hydrochrono_tpu.io.results import write_seed_statistics
+
+            spath = write_seed_statistics(out_dir, case, traj, times,
+                                          seed_sweep, finite)
+            log.success(f"cross-seed statistics written to {spath}")
     else:
         path = export_results(case, traj, times, out_dir,
                               wall_time_s=t_run, run_metadata=meta,

@@ -608,3 +608,62 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
             rung.attrs[k] = v
 
     return fname
+
+
+def write_seed_statistics(out_dir: str, case, traj, times, seeds,
+                          finite) -> str:
+    """Cross-realization statistics for a batched seed sweep (--seeds N).
+
+    One statistics.h5 next to the per-seed result directories, holding
+    per-seed AND cross-seed response statistics per body, plus PTO power
+    per TSDA — the wave-farm / fatigue quantities a seed sweep exists to
+    estimate. Beyond-reference: the reference runs one seed per process
+    and aggregates nothing.
+
+    Layout:
+      /seeds [S], /finite [S] (divergence mask; stats use finite seeds)
+      /bodies/body{k}/position_std      [S_ok, 3]  std over time per axis
+      /bodies/body{k}/significant_range [S_ok, 3]  4*std (the Hs = 4 sigma
+                                                  significant-value analog)
+      /bodies/body{k}/position_mean     [S_ok, 3]
+      /tsda/tsda{k}/mean_pto_power      [S_ok]  mean of c*Ldot^2 = -f_damp*Ldot
+      /tsda/tsda{k}/max_force           [S_ok]  max |f_spring + f_damp|
+      /aggregate/... cross-seed mean/std of each per-seed statistic
+    """
+    import h5py
+
+    finite = np.asarray(finite, dtype=bool)
+    pos = np.asarray(traj["pos"])[finite]  # [S_ok, T, nm, 3]
+    path = os.path.join(out_dir, "statistics.h5")
+    os.makedirs(out_dir, exist_ok=True)
+    sim = case._sim
+    with h5py.File(path, "w") as f:
+        f.create_dataset("seeds", data=np.asarray(seeds, dtype=np.int64))
+        f.create_dataset("finite", data=finite)
+        f.create_dataset("time/start", data=float(times[0]))
+        f.create_dataset("time/end", data=float(times[-1]))
+        agg = {}
+
+        def put(group, name, arr):
+            arr = np.asarray(arr)
+            f.create_dataset(f"{group}/{name}", data=arr)
+            agg[f"{group}/{name}"] = arr
+
+        for s in range(pos.shape[2]):
+            grp = f"bodies/body{s + 1}"
+            p = pos[:, :, s, :]  # [S_ok, T, 3]
+            put(grp, "position_mean", p.mean(axis=1))
+            put(grp, "position_std", p.std(axis=1))
+            put(grp, "significant_range", 4.0 * p.std(axis=1))
+        if "tsda" in traj:
+            ts = np.asarray(traj["tsda"])[finite]  # [S_ok, T, n_tsda, 4]
+            for k in range(ts.shape[2]):
+                grp = f"tsda/tsda{k + 1}"
+                ldot, f_total = ts[:, :, k, 1], ts[:, :, k, 2] + ts[:, :, k, 3]
+                f_damp = ts[:, :, k, 3]
+                put(grp, "mean_pto_power", (-f_damp * ldot).mean(axis=1))
+                put(grp, "max_force", np.abs(f_total).max(axis=1))
+        for key, arr in agg.items():
+            f.create_dataset(f"aggregate/{key}/mean", data=arr.mean(axis=0))
+            f.create_dataset(f"aggregate/{key}/std", data=arr.std(axis=0))
+    return path

@@ -329,3 +329,76 @@ def test_include_flags_applied(case_copy, tmp_path):
         a_damped = late_amplitude(hd)
         a_undamped = late_amplitude(hd_norad)
         assert a_undamped > 3.0 * a_damped
+
+
+def test_seed_statistics_h5(tmp_path):
+    """--seeds writes cross-realization statistics.h5 (per-seed + aggregate
+    response std / significant range / PTO power)."""
+    import textwrap
+
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+
+    d = tmp_path / "inputs"
+    d.mkdir()
+    h5 = str(tmp_path / "one.h5")
+    write_bemio_h5(h5, 1, seed=3, cg_list=[np.array([0.0, 0.0, -0.7])],
+                   rirf_tmax=1.0, rirf_steps=51)
+    (d / "c.setup.yaml").write_text(textwrap.dedent("""
+        model_file: c.model.yaml
+        simulation_file: c.simulation.yaml
+        hydro_file: c.hydro.yaml
+        output_directory: ../outputs
+    """))
+    (d / "c.model.yaml").write_text(textwrap.dedent("""
+        model:
+          name: seed_stats_case
+          bodies:
+            - name: body1
+              location: [0, 0, -0.7]
+              mass: 2.5e5
+              inertia: {moments: [1e6, 1e6, 1e6], products: [0, 0, 0]}
+            - name: ground
+              location: [0, 0, -30.0]
+              mass: 1.0
+              fixed: true
+          tsdas:
+            - name: pto
+              type: TSDA
+              body1: body1
+              body2: ground
+              point1: [0, 0, -0.7]
+              point2: [0, 0, -30.0]
+              spring_coefficient: 0.0
+              damping_coefficient: 1.0e4
+    """))
+    (d / "c.simulation.yaml").write_text(textwrap.dedent("""
+        simulation:
+          time_step: 0.02
+          end_time: 5.0
+          gravity: [0, 0, -9.81]
+    """))
+    (d / "c.hydro.yaml").write_text(textwrap.dedent(f"""
+        hydrodynamics:
+          bodies:
+            - {{name: body1, h5_file: {h5}}}
+          waves:
+            type: irregular
+            height: 1.5
+            period: 7.0
+            seed: 10
+    """))
+    rc = cli.main([str(d), "--quiet", "--seeds", "3",
+                   "--output-h5", str(tmp_path / "out")])
+    assert rc == 0
+    with h5py.File(tmp_path / "out" / "statistics.h5") as f:
+        assert list(np.asarray(f["seeds"])) == [10, 11, 12]
+        std = np.asarray(f["bodies/body1/position_std"])
+        assert std.shape == (3, 3)
+        assert (std[:, 2] > 0).all()  # heave responds to the sea
+        np.testing.assert_allclose(
+            np.asarray(f["bodies/body1/significant_range"]), 4.0 * std)
+        power = np.asarray(f["tsda/tsda1/mean_pto_power"])
+        assert power.shape == (3,)
+        assert (power > 0).all()  # a linear damper only absorbs
+        agg = np.asarray(f["aggregate/bodies/body1/position_std/mean"])
+        np.testing.assert_allclose(agg, std.mean(axis=0))

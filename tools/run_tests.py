@@ -90,8 +90,18 @@ def main(argv=None) -> int:
     p.add_argument("--update-baseline", action="store_true")
     p.add_argument("--report", help="markdown report path")
     p.add_argument("--plots", help="directory for PNG comparison plots")
+    p.add_argument("--full-report", metavar="DIR",
+                   help="one-flag report bundle: writes report.md + PNG "
+                        "panels (+ report.pdf when pandoc is available) "
+                        "under DIR — the role of the reference's "
+                        "generate_report.py (tests/regression/utilities/"
+                        "generate_report.py:226-555)")
     p.add_argument("--fail-fast", action="store_true")
     args = p.parse_args(argv)
+    if args.full_report:
+        os.makedirs(args.full_report, exist_ok=True)
+        args.report = args.report or os.path.join(args.full_report, "report.md")
+        args.plots = args.plots or os.path.join(args.full_report, "panels")
 
     cases = discover_cases(args.root)
     if args.case:
@@ -148,37 +158,106 @@ def main(argv=None) -> int:
         print(f"{name:<{width}} {status:<12} {l2s:<12} {ls:<12} {note or ''}")
 
     if args.report:
-        # aggregated rollup with embedded per-case panels (the reference
-        # renders the same structure via pandoc, generate_report.py:226-555)
-        import platform
-        import socket
-
-        n_pass = sum(1 for r in rows if r[1] == "PASS")
-        n_fail = sum(1 for r in rows if r[1] in ("FAIL", "ERROR"))
-        with open(args.report, "w") as fh:
-            fh.write("# Regression report\n\n")
-            fh.write(f"Generated: {time.strftime('%Y-%m-%d %H:%M:%S')} on "
-                     f"{socket.gethostname()} "
-                     f"({platform.platform(terse=True)})\n\n")
-            fh.write(f"**{n_pass} passed, {n_fail} failed, "
-                     f"{len(rows) - n_pass - n_fail} other** "
-                     f"(thresholds: L2 <= {args.l2:g}, Linf <= {args.linf:g})\n\n")
-            fh.write("| case | status | L2 | Linf |\n|---|---|---|---|\n")
-            for name, status, l2, linf, _ in rows:
-                fh.write(f"| {name} | {status} | "
-                         f"{l2 if l2 is not None else '-'} | "
-                         f"{linf if linf is not None else '-'} |\n")
-            if args.plots:
-                fh.write("\n## Per-case panels\n\n")
-                for name, status, _, _, _ in rows:
-                    png = os.path.join(
-                        os.path.relpath(args.plots,
-                                        os.path.dirname(os.path.abspath(args.report))),
-                        name.replace(os.sep, "_") + ".png",
-                    )
-                    fh.write(f"### {name} — {status}\n\n![{name}]({png})\n\n")
+        write_report(args, rows)
 
     return 1 if any_fail else 0
+
+
+def write_report(args, rows):
+    """Aggregated markdown (+ optional PDF) regression report: summary
+    rollup, system/run info, per-case sections with gate margins and the
+    comparison panels — the role of the reference's
+    tests/regression/utilities/generate_report.py:226-555 (which renders
+    the same structure through pandoc)."""
+    import platform
+    import socket
+
+    n_pass = sum(1 for r in rows if r[1] == "PASS")
+    n_fail = sum(1 for r in rows if r[1] in ("FAIL", "ERROR"))
+    with open(args.report, "w") as fh:
+        fh.write("# HydroChrono-TPU regression report\n\n")
+        fh.write(f"**{n_pass} passed, {n_fail} failed, "
+                 f"{len(rows) - n_pass - n_fail} other** "
+                 f"(gates: L2 <= {args.l2:g}, Linf <= {args.linf:g})\n\n")
+
+        fh.write("## Run environment\n\n")
+        try:
+            import jax
+
+            dev = ", ".join(str(d) for d in jax.devices())
+            jaxv = jax.__version__
+        except Exception:
+            dev, jaxv = "unavailable", "unavailable"
+        cpu = platform.processor() or platform.machine()
+        try:
+            with open("/proc/cpuinfo") as ci:
+                for line in ci:
+                    if line.startswith("model name"):
+                        cpu = line.split(":", 1)[1].strip()
+                        break
+        except OSError:
+            pass
+        try:
+            from hydrochrono_tpu import __version__ as hv
+        except Exception:
+            hv = "unknown"
+        for k, v in [
+            ("Generated", time.strftime("%Y-%m-%d %H:%M:%S")),
+            ("Host", f"{socket.gethostname()} ({platform.platform(terse=True)})"),
+            ("CPU", cpu),
+            ("Python / JAX", f"{platform.python_version()} / {jaxv}"),
+            ("JAX devices", dev),
+            ("hydrochrono_tpu", hv),
+            ("Cases root", os.path.abspath(args.root)),
+        ]:
+            fh.write(f"- **{k}**: {v}\n")
+
+        fh.write("\n## Summary\n\n")
+        fh.write("| case | status | L2 | Linf | margin | note |\n"
+                 "|---|---|---|---|---|---|\n")
+        for name, status, l2, linf, note in rows:
+            if l2 is not None:
+                # how far inside (or outside) the gates the worst metric sits
+                margin = max(l2 / args.l2, linf / args.linf)
+                ms = f"{margin:.2e}x"
+                l2s, ls = f"{l2:.3e}", f"{linf:.3e}"
+            else:
+                ms = l2s = ls = "-"
+            fh.write(f"| {name} | {status} | {l2s} | {ls} | {ms} | {note or ''} |\n")
+
+        if args.plots:
+            fh.write("\n## Per-case panels\n\n")
+            for name, status, l2, linf, note in rows:
+                png = os.path.join(
+                    os.path.relpath(args.plots,
+                                    os.path.dirname(os.path.abspath(args.report))),
+                    name.replace(os.sep, "_") + ".png",
+                )
+                fh.write(f"### {name} — {status}\n\n")
+                if l2 is not None:
+                    fh.write(f"L2 = {l2:.3e} (gate {args.l2:g}), "
+                             f"Linf = {linf:.3e} (gate {args.linf:g}), "
+                             f"runtime {note}\n\n")
+                if os.path.exists(os.path.join(
+                        os.path.dirname(os.path.abspath(args.report)), png)):
+                    fh.write(f"![{name}]({png})\n\n")
+
+    # optional PDF, matching generate_report.py's pandoc step; best-effort
+    pdf = os.path.splitext(args.report)[0] + ".pdf"
+    import shutil as _sh
+    import subprocess
+
+    if _sh.which("pandoc"):
+        try:
+            subprocess.run(
+                ["pandoc", args.report, "-o", pdf,
+                 "--resource-path", os.path.dirname(os.path.abspath(args.report))],
+                check=True, capture_output=True, timeout=120,
+            )
+            print(f"PDF report: {pdf}")
+        except Exception as exc:  # noqa: BLE001
+            print(f"pandoc PDF generation skipped ({exc})")
+    print(f"report: {args.report}")
 
 
 if __name__ == "__main__":
