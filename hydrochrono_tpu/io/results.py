@@ -380,9 +380,13 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
         ge.attrs["units"] = "m/s^2"
         gw = f.require_group("inputs/simulation/waves")
         gw.attrs["type"] = wave_type_name(case)
+        sim = getattr(case, "_sim", None)
+        _depth = (float(sim.hydro.hydro.water_depth)
+                  if sim is not None and sim.hydro is not None else np.inf)
+        _dirn = float(getattr(case.hydro_spec.waves, "direction", 0.0)
+                      if case.hydro_spec is not None else 0.0)
         if case.hydro_spec is not None and case.hydro_spec.waves.kind == "irregular":
             # spectrum + free-surface inputs (simulation_exporter.cpp:365-393)
-            sim = getattr(case, "_sim", None)
             irr = getattr(sim, "irr", None) if sim is not None else None
             if irr is not None:
                 gi = gw.require_group("irregular")
@@ -391,11 +395,42 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
                                   data=np.asarray(irr.spectral_densities))
                 gi.create_dataset("free_surface_time", data=np.asarray(irr.eta_time))
                 eta = np.asarray(irr.eta)
+                phases = np.asarray(irr.phases)
                 if eta.ndim > 1:
                     # batched seed realizations: each per-seed file carries
                     # ITS OWN 1-D series (shape parity with single-seed runs)
                     eta = eta[eta_index if eta_index is not None else 0]
+                    phases = phases[eta_index if eta_index is not None else 0]
                 gi.create_dataset("free_surface_eta", data=eta)
+                # full field reconstruction inputs (beyond-reference): lets
+                # tools/animate.py / physics/wavefield.py rebuild the
+                # spatial wave field (elevation + particle kinematics) from
+                # the results file alone
+                gi.create_dataset("spectral_widths",
+                                  data=np.asarray(irr.spectral_widths))
+                gi.create_dataset("phases", data=phases)
+                gi.create_dataset("wavenumbers", data=np.asarray(irr.wavenumbers))
+                gi.create_dataset("water_depth", data=_depth)
+                gi.create_dataset("direction_deg", data=_dirn)
+        elif (case.hydro_spec is not None
+              and case.hydro_spec.waves.kind == "regular"
+              and sim is not None and sim.hydro is not None):
+            from hydrochrono_tpu.physics.waves import compute_wavenumber
+
+            wv_spec = case.wave
+            om = np.atleast_1d(np.asarray(wv_spec.omega, dtype=np.float64))
+            gr = gw.require_group("regular")
+            gr.create_dataset("omega", data=om)
+            gr.create_dataset(
+                "amplitude",
+                data=np.atleast_1d(np.asarray(wv_spec.amplitude,
+                                              dtype=np.float64)))
+            gr.create_dataset("phase", data=float(wv_spec.phase))
+            gr.create_dataset(
+                "wavenumber",
+                data=compute_wavenumber(om, _depth, sim.hydro.hydro.g))
+            gr.create_dataset("water_depth", data=_depth)
+            gr.create_dataset("direction_deg", data=_dirn)
 
         # ---------------- results ----------------
         # groups created up front regardless of content, matching the

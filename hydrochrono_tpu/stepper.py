@@ -1671,3 +1671,12 @@ class Simulation:
 
     def times(self, num_steps: int) -> np.ndarray:
         return (np.arange(1, num_steps + 1)) * self.dt
+
+    def wave_field(self, seed_index: int = 0):
+        """Queryable wave field (elevation / particle velocity /
+        acceleration at arbitrary points) for this simulation's sea state —
+        the reference's public GetEta/GetWaterVelocity/GetWaterAcceleration
+        surface (wave_types.h:64-76). See physics/wavefield.WaveField."""
+        from hydrochrono_tpu.physics.wavefield import WaveField
+
+        return WaveField.from_simulation(self, seed_index=seed_index)

@@ -40,6 +40,12 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
 
     path = path or DEFAULT_DIR
     try:
+        if jax.default_backend() != "tpu":
+            # CPU compiles are cheap, and XLA:CPU AOT artifacts are keyed
+            # to exact host CPU features — reloading one on a different
+            # host risks SIGILL (observed 'prefer-no-scatter' feature
+            # mismatch warnings). Cache only the expensive TPU programs.
+            return None
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything that took >=1 s to compile, regardless of size —

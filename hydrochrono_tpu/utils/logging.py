@@ -25,19 +25,50 @@ class LoggingConfig:
     file_level: str = "debug"
     log_file: Optional[str] = None
     use_color: bool = True
+    # size-based rotation (reference: logger_backend.h:39-160 FileBackend
+    # max_file_size/max_files): when the log file exceeds max_bytes it is
+    # rotated to .1 .. .backup_count before opening a fresh file. 0 = off.
+    max_bytes: int = 5 * 1024 * 1024
+    backup_count: int = 3
 
 
 class Logger:
     def __init__(self, config: Optional[LoggingConfig] = None, stream: TextIO = None):
         self.config = config or LoggingConfig()
         self.stream = stream or sys.stdout
-        self._file = open(self.config.log_file, "a") if self.config.log_file else None
+        self._file = self._open_file() if self.config.log_file else None
         self.warnings: list[str] = []
+        self.counts: dict[str, int] = {}  # per-level emit statistics
         self._t0 = time.time()
+
+    def _open_file(self):
+        self._maybe_rotate()
+        return open(self.config.log_file, "a")
+
+    def _maybe_rotate(self):
+        """Size-based rotation: file -> file.1 -> ... -> file.N (dropped).
+        Mirrors the reference FileBackend's max_file_size/max_files
+        (logger_backend.h:39-160)."""
+        import os
+
+        cfg = self.config
+        if not cfg.max_bytes or cfg.backup_count <= 0:
+            return
+        try:
+            if os.path.getsize(cfg.log_file) < cfg.max_bytes:
+                return
+        except OSError:
+            return
+        for i in range(cfg.backup_count - 1, 0, -1):
+            src, dst = f"{cfg.log_file}.{i}", f"{cfg.log_file}.{i + 1}"
+            if os.path.exists(src):
+                os.replace(src, dst)
+        os.replace(cfg.log_file, f"{cfg.log_file}.1")
 
     # ----- core -----
     def _emit(self, level: str, msg: str, prefix: str = ""):
         lv = LEVELS[level]
+        self.counts[level] = self.counts.get(level, 0) + 1
         line = f"{prefix}{msg}"
         if lv >= LEVELS[self.config.console_level]:
             print(line, file=self.stream)
@@ -45,6 +76,10 @@ class Logger:
             ts = time.strftime("%Y-%m-%dT%H:%M:%S")
             self._file.write(f"{ts} [{level.upper():7s}] {msg}\n")
             self._file.flush()
+            if (self.config.max_bytes
+                    and self._file.tell() >= self.config.max_bytes):
+                self._file.close()
+                self._file = self._open_file()
 
     def trace(self, msg):
         self._emit("trace", msg, "  · ")
@@ -103,8 +138,18 @@ class Logger:
         for w in self.warnings:
             self.info(f"  ⚠ {w}")
 
+    def stats(self) -> dict:
+        """Per-level message counts + uptime (logger_backend.h stats role)."""
+        return {"uptime_s": time.time() - self._t0, "counts": dict(self.counts)}
+
     def close(self):
         if self._file:
+            if self.counts:
+                parts = ", ".join(f"{k}={v}" for k, v in sorted(self.counts.items()))
+                ts = time.strftime("%Y-%m-%dT%H:%M:%S")
+                self._file.write(
+                    f"{ts} [STATS  ] uptime {time.time() - self._t0:.1f}s; "
+                    f"{parts}\n")
             self._file.close()
             self._file = None
 

@@ -75,3 +75,29 @@ def test_component_breakdown(sphere_sim):
     bd = component_breakdown(sphere_sim, reps=3)
     assert {"hydrostatics", "radiation", "full_step"} <= set(bd)
     assert all(v > 0 for v in bd.values())
+
+
+def test_log_rotation_and_stats(tmp_path):
+    """Size-based log rotation + per-level stats (reference FileBackend's
+    max_file_size/max_files + stats, logger_backend.h:39-160)."""
+    import os
+
+    from hydrochrono_tpu.utils.logging import Logger, LoggingConfig
+
+    logf = str(tmp_path / "run.log")
+    log = Logger(LoggingConfig(log_file=logf, max_bytes=600, backup_count=2),
+                 stream=open(os.devnull, "w"))
+    for i in range(60):
+        log.info(f"message number {i:04d} with some padding text")
+    log.warning("one warning")
+    st = log.stats()
+    assert st["counts"]["info"] == 60 and st["counts"]["warning"] == 1
+    log.close()
+    import glob
+
+    files = sorted(glob.glob(logf + "*"))
+    assert logf in files and len(files) >= 2  # rotated at least once
+    for f in files:
+        assert os.path.getsize(f) <= 600 + 200  # one line of slack
+    # stats footer lands in the final file
+    assert "STATS" in open(logf).read()

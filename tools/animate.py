@@ -21,6 +21,17 @@ import argparse
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# offline rendering is a CPU job: force CPU even though the axon site hook
+# pre-selects the TPU platform (env var alone loses — DEVNOTES.md)
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover
+    pass
+
 import numpy as np
 
 import matplotlib
@@ -58,7 +69,12 @@ def _setup_axes(data, names):
     return (x0, x1), (z0, z1)
 
 
-def make_animation(data, names, stride=5, fps=20, trail=200):
+def make_animation(data, names, stride=5, fps=20, trail=200, field=None,
+                   particles=False):
+    """field: a physics.wavefield.WaveField — draws the actual SPATIAL
+    free-surface profile eta(x, t) (instead of the flat at-origin value)
+    and, with particles=True, a quiver of water particle velocities
+    (reference kinematics: wave_types.cpp:61-160)."""
     t = data["time"]
     idx = np.arange(0, len(t), stride)
     (x0, x1), (z0, z1) = _setup_axes(data, names)
@@ -74,6 +90,29 @@ def make_animation(data, names, stride=5, fps=20, trail=200):
     wave_line, = ax.plot(wave_x, np.zeros_like(wave_x), color="tab:cyan",
                          lw=1.2, label="free surface")
     artists = {"wave": wave_line}
+    quiv = None
+    if field is not None and particles and field.kind != "still":
+        qx, qz = np.meshgrid(np.linspace(x0, x1, 14),
+                             np.linspace(z0, min(z1, 0.0), 8))
+        qpts = np.stack([qx.ravel(), np.zeros(qx.size), qz.ravel()], axis=-1)
+        quiv = ax.quiver(qx.ravel(), qz.ravel(), np.zeros(qx.size),
+                         np.zeros(qx.size), color="tab:blue", alpha=0.4,
+                         scale=None, width=0.0025)
+    # precompute every frame's field in ONE jitted batched call — per-frame
+    # eager evaluation pays a device dispatch per op (35 ms over the axon
+    # tunnel, DEVNOTES.md), which made the overlay minutes-slow
+    field_eta = field_vel = None
+    if field is not None and field.kind != "still":
+        import jax
+
+        wave_pts = np.stack([wave_x, np.zeros_like(wave_x),
+                             np.zeros_like(wave_x)], axis=-1)
+        ts = np.asarray(t)[idx]
+        field_eta = np.asarray(jax.jit(jax.vmap(
+            lambda ti: field.eta(wave_pts, ti)))(ts))
+        if quiv is not None:
+            field_vel = np.asarray(jax.jit(jax.vmap(
+                lambda ti: field.velocity(qpts, ti)))(ts))
     colors = plt.rcParams["axes.prop_cycle"].by_key()["color"]
     for i, n in enumerate(names):
         c = colors[i % len(colors)]
@@ -89,7 +128,11 @@ def make_animation(data, names, stride=5, fps=20, trail=200):
 
     def frame(k):
         i = idx[k]
-        if eta is not None:
+        if field_eta is not None:
+            wave_line.set_ydata(field_eta[k])
+            if field_vel is not None:
+                quiv.set_UVC(field_vel[k][:, 0], field_vel[k][:, 2])
+        elif eta is not None:
             e = np.interp(t[i], eta[0], eta[1])
             wave_line.set_ydata(np.full_like(wave_x, e))
         for n in names:
@@ -144,6 +187,12 @@ def main(argv=None) -> int:
     p.add_argument("--fps", type=int, default=20)
     p.add_argument("--bodies", default=None,
                    help="comma-separated subset of body names")
+    p.add_argument("--particles", action="store_true",
+                   help="overlay water-particle velocity arrows (Airy "
+                        "kinematics via physics/wavefield.py)")
+    p.add_argument("--no-field", action="store_true",
+                   help="disable the spatial free-surface reconstruction "
+                        "(fall back to the flat at-origin eta line)")
     args = p.parse_args(argv)
 
     data = load_results(args.results)
@@ -162,8 +211,20 @@ def main(argv=None) -> int:
         print(f"panel: {write_panel(data, names, args.panel)}")
 
     if args.out or args.frames:
+        field = None
+        if not args.no_field:
+            try:
+                from hydrochrono_tpu.physics.wavefield import WaveField
+
+                field = WaveField.from_results_h5(args.results)
+                if field.kind == "still":
+                    field = None
+            except Exception as exc:  # noqa: BLE001 - overlay is best-effort
+                print(f"wave-field overlay unavailable ({exc})",
+                      file=sys.stderr)
         fig, anim, idx = make_animation(data, names, stride=args.stride,
-                                        fps=args.fps)
+                                        fps=args.fps, field=field,
+                                        particles=args.particles)
         if args.out:
             html = anim.to_jshtml(fps=args.fps, embed_frames=True)
             with open(args.out, "w") as fh:
