@@ -131,6 +131,48 @@ def main():
         sph_sims_s = B / wall_sph * (n2 / 2667.0)
         sph_rt = n2 * 0.015 / wall_sph
 
+    # ---------------- 8-device wave farm (farm-scale N, round 3) ----------
+    # nv = 48 coupled DOFs (the reference caps at 3 bodies): const-mass
+    # inverse-apply solve + state-space radiation (no history buffer), the
+    # batched XLA path. SURVEY §2.5 TP-row capability measurement.
+    farm_h5 = "/tmp/hydrochrono_tpu_bench_farm8.h5"
+    ok_farm = True
+    farm_us_step = farm_rt = 0.0
+    try:
+        from hydrochrono_tpu.models.builders import sphere_farm
+
+        if not os.path.exists(farm_h5):
+            write_bemio_h5(
+                farm_h5, 8, seed=17, state_space=True,
+                cg_list=[np.array([0.0, 0.0, -2.0])] * 8,
+                cb_list=[np.array([0.0, 0.0, -1.7])] * 8,
+                disp_vol=[261.8] * 8,
+                rirf_tmax=15.0, rirf_steps=1501,
+            )
+        Bf = max(B // 4, 1)
+        wave_f = IrregularWaveParams(height=2.0, period=8.0,
+                                     nfrequencies=300, ramp_duration=20.0)
+        dtf = 0.02
+        nf = 2048
+        sim_f = Simulation(sphere_farm(farm_h5, nx=4, ny=2), dt=dtf,
+                           wave=wave_f, duration=1.5 * nf * dtf,
+                           dtype=jnp.float32, radiation="state_space",
+                           outputs=("pos",))
+        assert sim_f.const_mass and sim_f.nv == 48
+        st_f = make_batched_states(sim_f, Bf)
+        if n_dev > 1:
+            from hydrochrono_tpu.parallel.sharding import batch_mesh, shard_batch
+
+            st_f = shard_batch(st_f, batch_mesh())
+        run_f = jax.jit(jax.vmap(lambda s: sim_f.run(nf, state=s)[0].pos))
+        wall_farm, out_f = _timed(run_f, st_f)
+        ok_farm = bool(np.isfinite(out_f).all())
+        farm_us_step = wall_farm / nf * 1e6
+        farm_rt = nf * dtf / wall_farm
+    except Exception as exc:  # noqa: BLE001 - farm bench must not kill the primary
+        ok_farm = False
+        print(f"# farm bench failed: {exc}", file=sys.stderr)
+
     result = {
         "metric": "rm3_irregular_steps_per_sec",
         "value": round(rm3_steps_s, 0),
@@ -146,7 +188,9 @@ def main():
         "rm3_mfu_vs_bf16_peak": round(mfu, 4),
         "sphere_decay_sims_per_sec": round(sph_sims_s, 1),
         "sphere_per_instance_realtime_factor": round(sph_rt, 1),
-        "finite": ok_rm3 and ok_sph,
+        "farm8_us_per_step": round(farm_us_step, 2),
+        "farm8_per_instance_realtime_factor": round(farm_rt, 1),
+        "finite": ok_rm3 and ok_sph and ok_farm,
     }
     print(json.dumps(result))
     return 0 if (ok_rm3 and ok_sph) else 1

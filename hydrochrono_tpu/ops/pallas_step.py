@@ -217,23 +217,14 @@ class FusedStepBuilder:
                 raise NotImplementedError("fused step: const_mass uses XLA path")
             if spec.motors:
                 raise NotImplementedError("fused step: motors unsupported")
-            if spec.moorings is not None:
-                # Euler: the catenary evaluates OUTSIDE the kernel at the
-                # step-start state (exactly the XLA path's semantics) and is
-                # folded into the fx operand — requires every fairlead body
-                # to carry hydro rows. HHT re-evaluates mooring inside each
-                # Newton iteration, which the frozen fx cannot express.
-                if sim.integrator != "euler_implicit_linearized":
-                    raise NotImplementedError(
-                        "fused step: moorings supported with the Euler "
-                        "integrator only")
-                hydro_bodies = (set(sim.hydro.body_indices)
-                                if sim.hydro is not None else set())
-                for ml in spec.moorings.lines:
-                    if ml.body not in hydro_bodies:
-                        raise NotImplementedError(
-                            "fused step: mooring fairlead on a non-hydro "
-                            "body runs on the XLA path")
+            # moorings run IN-KERNEL for both integrators (round 3): the
+            # catenary Newton (mooring.catenary_newton_core — analytic 2x2
+            # Jacobians, log-form asinh, every op Mosaic-lowerable) runs
+            # warm-started from carried (H, V) rows, so moored systems keep
+            # the sub-block dispatch amortization. Euler evaluates it once
+            # at the step-start state; HHT inside each modified-Newton
+            # iteration at the iterate state — both exactly the XLA path's
+            # placement (stepper._forces_mech / _step_hht).
             for t in spec.tsdas:
                 for curve in (t.spring_curve, t.damping_curve):
                     if curve is not None and np.any(np.diff(curve[:, 0]) <= 0):
@@ -267,6 +258,12 @@ class FusedStepBuilder:
         # extra-output component indices: acc [nv], lambda [m], tsda [4*nt]
         self.n_tsda = len(spec.tsdas)
         self.CE = self.nv + self.m + 4 * self.n_tsda
+        # mooring lines: carried warm-start rows (H, V) per line
+        self.n_moor = (len(spec.moorings.lines)
+                       if spec.moorings is not None else 0)
+        self.moor_seabed = ([bool(ml.seabed) for ml in spec.moorings.lines]
+                            if spec.moorings is not None else [])
+        self.CM = 2 * self.n_moor
 
         self._build_cvec_layout()
 
@@ -369,6 +366,18 @@ class FusedStepBuilder:
                 p["rsda_c"].shape[:-1] + (1,)), batch_key="rsda_c")
             reg(f"r{r}_rest", 1,
                 lambda p, idx=r: jnp.asarray([rs.rest_angle], self.dtype))
+
+        for i in range(self.n_moor):
+            reg(f"m{i}_local", 3,
+                lambda p, idx=i: p["_const"]["moor"]["local"][idx])
+            reg(f"m{i}_anchor", 3,
+                lambda p, idx=i: p["_const"]["moor"]["anchor"][idx])
+            reg(f"m{i}_L0", 1,
+                lambda p, idx=i: p["_const"]["moor"]["L0"][idx].reshape(1))
+            reg(f"m{i}_w", 1,
+                lambda p, idx=i: p["_const"]["moor"]["w"][idx].reshape(1))
+            reg(f"m{i}_ea", 1,
+                lambda p, idx=i: p["_const"]["moor"]["ea"][idx].reshape(1))
 
         # fixed bodies referenced by joints / elements
         fixed_refs = set()
@@ -600,6 +609,39 @@ class FusedStepBuilder:
             rows.extend([L, Ldot, fs, fd])
         return rows
 
+    def _mooring_wrench(self, C, pos, quat, mhv):
+        """In-kernel quasi-static catenary (stepper._mooring_forces):
+        warm-started analytic-Jacobian Newton per line
+        (mooring.catenary_newton_core — Mosaic-lowerable).
+
+        mhv: list[2*nl] carry rows (H_i, V_i). Returns (wrenches, mhv_new)
+        with wrenches = [(slot, f3, tau3), ...]."""
+        from hydrochrono_tpu.physics.mooring import catenary_newton_core
+
+        sim = self.sim
+        o = self._off
+
+        def c1(name, i=0):
+            return C(o[name] + i)
+
+        out, mhv_new = [], []
+        for i in range(self.n_moor):
+            s = sim.moor_slots[i]
+            rloc = _quat_rotate(quat[s], [c1(f"m{i}_local", k)
+                                          for k in range(3)])
+            d = [pos[s][k] + rloc[k] - c1(f"m{i}_anchor", k)
+                 for k in range(3)]
+            dx = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + 1e-30)
+            H, V = catenary_newton_core(
+                dx, d[2], c1(f"m{i}_L0"), c1(f"m{i}_w"), c1(f"m{i}_ea"),
+                self.moor_seabed[i], (mhv[2 * i], mhv[2 * i + 1]), iters=6)
+            inv = 1.0 / jnp.maximum(dx, 1e-9)
+            f = [-H * d[0] * inv, -H * d[1] * inv, -V]
+            tau = _cross3(rloc, f)
+            out.append((s, f, tau))
+            mhv_new.extend([H, V])
+        return out, mhv_new
+
     def _forces_rows(self, C, pos, quat, lin, ang):
         """Mechanical generalized forces (gravity, gyroscopic, TSDA, RSDA)
         and world inertia. Returns (F list[nv] w/ None zeros, IW, R)."""
@@ -718,12 +760,14 @@ class FusedStepBuilder:
         return M
 
     # -- the Euler step math ------------------------------------------------
-    def step_rows(self, C, sc, fx):
+    def step_rows(self, C, sc, fx, mhv=None):
         """One step on component rows.
 
         C: scalar accessor (idx -> 0-d value); sc: [CS, ...] state rows;
-        fx: [K, ...] (f_wave - f_rad) rows or None.
-        Returns (new_sc_rows list[CS], extra_rows list[CE]).
+        fx: [K, ...] (f_wave - f_rad) rows or None; mhv: [2*nl] mooring
+        warm-start rows or None.
+        Returns (new_sc_rows list[CS], extra_rows list[CE]) — plus mhv_new
+        appended when mhv is given.
         """
         sim, spec = self.sim, self.spec
         nm, nv, m = self.nm, self.nv, self.m
@@ -741,6 +785,15 @@ class FusedStepBuilder:
         # ----- hydrostatics + external hydro forcing -----
         if sim.hydro is not None and fx is not None:
             F = self._add_hydro_rows(C, F, pos, R, fx)
+
+        # ----- mooring (step-start state, matching _forces_mech) -----
+        mhv_new = None
+        if mhv is not None and self.n_moor:
+            wrenches, mhv_new = self._mooring_wrench(C, pos, quat, mhv)
+            for s, fm, taum in wrenches:
+                for k in range(3):
+                    F[s * 6 + k] = _sadd(F[s * 6 + k], fm[k])
+                    F[s * 6 + 3 + k] = _sadd(F[s * 6 + 3 + k], taum[k])
 
         M = self._mass_rows(C, IW)
 
@@ -809,13 +862,18 @@ class FusedStepBuilder:
             extra.extend(self._tsda_extras(c1, c3, new_pos, new_quat,
                                            new_lin, new_ang))
 
+        if mhv is not None and self.n_moor:
+            return sc_new, extra, mhv_new
         return sc_new, extra
 
     # -- the HHT-alpha step math (stepper._step_hht on component rows) ------
-    def step_rows_hht(self, C, sc, hc, fx):
+    def step_rows_hht(self, C, sc, hc, fx, mhv=None):
         """One HHT-alpha step with `sim.hht_iterations` modified-Newton
         iterations (mirrors stepper._step_hht: plain predictor, hydro frozen
         at the predicted state, Chrono-matching on the reference YAML cases).
+        Mooring (when mhv is given) is re-evaluated at each iterate state —
+        exactly stepper._forces_mech's placement — with the warm start
+        chained through the iterations.
 
         hc: list[2*nv] HHT carry rows — a_prev[nv] then f_prev[nv].
         Returns (new_sc_rows, new_hc_rows, extra_rows).
@@ -880,6 +938,13 @@ class FusedStepBuilder:
             F, IW, _ = self._forces_rows(C, pos_i, quat_i, lin_i, ang_i)
             if f_hydro is not None:
                 F = [_sadd(F[i], f_hydro[i]) for i in range(nv)]
+            if mhv is not None and self.n_moor:
+                wrenches, mhv = self._mooring_wrench(C, pos_i, quat_i, mhv)
+                for s_m, fm, taum in wrenches:
+                    for k in range(3):
+                        F[s_m * 6 + k] = _sadd(F[s_m * 6 + k], fm[k])
+                        F[s_m * 6 + 3 + k] = _sadd(F[s_m * 6 + 3 + k],
+                                                   taum[k])
             f_new = F
             M = self._mass_rows(C, IW)
             r_a = []
@@ -947,6 +1012,8 @@ class FusedStepBuilder:
             extra.extend(self._tsda_extras(c1, c3, pos_n, quat_n,
                                            lin_n, ang_n))
 
+        if mhv is not None and self.n_moor:
+            return sc_new, hc_new, extra, mhv
         return sc_new, hc_new, extra
 
     @staticmethod
@@ -1110,7 +1177,9 @@ class FusedStepBuilder:
         has_fx = self.sim.hydro is not None
         has_bv = bool(idx_map)
         hht = self.hht
+        moored = self.n_moor > 0
         CH = 2 * self.nv
+        CM = self.CM
         idx_map = idx_map or {}
         NB = max(len(set(idx_map.values())), 1)
 
@@ -1119,9 +1188,11 @@ class FusedStepBuilder:
             bv = rest.pop(0)[...] if has_bv else None
             fx = rest.pop(0)[...] if has_fx else None
             hcref = rest.pop(0) if hht else None
+            mvref = rest.pop(0) if moored else None
             scref = rest.pop(0)
             scoref = rest.pop(0)
             hcoref = rest.pop(0) if hht else None
+            mvoref = rest.pop(0) if moored else None
             exref = rest.pop(0)
 
             def C(i):
@@ -1129,16 +1200,29 @@ class FusedStepBuilder:
                 return cref[i] if j is None else bv[j]
 
             sc = scref[...]
+            mhv = None
+            if moored:
+                mv = mvref[...]
+                mhv = [mv[i] for i in range(CM)]
 
             def bstack(rows):
                 return _bstack(rows, sc.shape[1:], self.dtype)
 
             if hht:
                 hc = hcref[...]
-                sc_new, hc_new, extra = self.step_rows_hht(C, sc, hc, fx)
+                if moored:
+                    sc_new, hc_new, extra, mhv_new = self.step_rows_hht(
+                        C, sc, hc, fx, mhv)
+                    mvoref[...] = bstack(mhv_new)
+                else:
+                    sc_new, hc_new, extra = self.step_rows_hht(C, sc, hc, fx)
                 hcoref[...] = bstack(hc_new)
             else:
-                sc_new, extra = self.step_rows(C, sc, fx)
+                if moored:
+                    sc_new, extra, mhv_new = self.step_rows(C, sc, fx, mhv)
+                    mvoref[...] = bstack(mhv_new)
+                else:
+                    sc_new, extra = self.step_rows(C, sc, fx)
             scoref[...] = bstack(sc_new)
             exref[...] = bstack(extra)
 
@@ -1153,12 +1237,17 @@ class FusedStepBuilder:
             in_specs.append(vspec(K))
         if hht:
             in_specs.append(vspec(CH))
+        if moored:
+            in_specs.append(vspec(CM))
         in_specs.append(vspec(CS))
         out_specs = [vspec(CS)]
         out_shape = [jax.ShapeDtypeStruct((CS, RB, LANE), self.dtype)]
         if hht:
             out_specs.append(vspec(CH))
             out_shape.append(jax.ShapeDtypeStruct((CH, RB, LANE), self.dtype))
+        if moored:
+            out_specs.append(vspec(CM))
+            out_shape.append(jax.ShapeDtypeStruct((CM, RB, LANE), self.dtype))
         out_specs.append(vspec(CE))
         out_shape.append(jax.ShapeDtypeStruct((CE, RB, LANE), self.dtype))
         call = pl.pallas_call(
@@ -1170,7 +1259,7 @@ class FusedStepBuilder:
             interpret=interpret,
         )
 
-        def fn(cvec, sc, fx=None, bvec=None, hc=None):
+        def fn(cvec, sc, fx=None, bvec=None, hc=None, mhv=None):
             args = [cvec]
             if has_bv:
                 args.append(bvec)
@@ -1178,6 +1267,8 @@ class FusedStepBuilder:
                 args.append(fx)
             if hht:
                 args.append(hc)
+            if moored:
+                args.append(mhv)
             args.append(sc)
             return call(*args)
 
@@ -1208,7 +1299,9 @@ class FusedStepBuilder:
         grid = (RB // RT,)
         has_bv = bool(idx_map)
         hht = self.hht
+        moored = self.n_moor > 0
         CH = 2 * self.nv
+        CM = self.CM
         idx_map = idx_map or {}
         NB = max(len(set(idx_map.values())), 1)
         woff = self._off["wsub"]
@@ -1231,9 +1324,14 @@ class FusedStepBuilder:
             if hht:
                 hc = rest.pop(0)[...]
                 hc_rows = [hc[i] for i in range(CH)]
+            mhv_rows = None
+            if moored:
+                mv = rest.pop(0)[...]
+                mhv_rows = [mv[i] for i in range(CM)]
             sc = rest.pop(0)[...]
             scoref = rest.pop(0)
             hcoref = rest.pop(0) if hht else None
+            mvoref = rest.pop(0) if moored else None
             voutref, trajref, exref = rest[0], rest[1], rest[2]
 
             sc_rows = [sc[i] for i in range(CS)]
@@ -1251,10 +1349,18 @@ class FusedStepBuilder:
                             acc = acc - C(base + k) * hist[j][k]
                     fx.append(acc)
                 if hht:
-                    sc_rows, hc_rows, extra = self.step_rows_hht(
-                        C, sc_rows, hc_rows, fx)
+                    if moored:
+                        sc_rows, hc_rows, extra, mhv_rows = self.step_rows_hht(
+                            C, sc_rows, hc_rows, fx, mhv_rows)
+                    else:
+                        sc_rows, hc_rows, extra = self.step_rows_hht(
+                            C, sc_rows, hc_rows, fx)
                 else:
-                    sc_rows, extra = self.step_rows(C, sc_rows, fx)
+                    if moored:
+                        sc_rows, extra, mhv_rows = self.step_rows(
+                            C, sc_rows, fx, mhv_rows)
+                    else:
+                        sc_rows, extra = self.step_rows(C, sc_rows, fx)
                 v_steps.append(v6)
                 traj_steps.append(sc_rows)
                 ex_steps.append(extra)
@@ -1265,6 +1371,8 @@ class FusedStepBuilder:
             scoref[...] = bstack(sc_rows)
             if hht:
                 hcoref[...] = bstack(hc_rows)
+            if moored:
+                mvoref[...] = bstack(mhv_rows)
             voutref[...] = jnp.stack([bstack(v) for v in v_steps])
             trajref[...] = jnp.stack([bstack(r) for r in traj_steps])
             exref[...] = jnp.stack([bstack(r) for r in ex_steps])
@@ -1283,12 +1391,17 @@ class FusedStepBuilder:
         in_specs.append(vspec(sub, K))
         if hht:
             in_specs.append(vspec(CH))
+        if moored:
+            in_specs.append(vspec(CM))
         in_specs.append(vspec(CS))
         out_specs = [vspec(CS)]
         out_shape = [jax.ShapeDtypeStruct((CS, RB, LANE), self.dtype)]
         if hht:
             out_specs.append(vspec(CH))
             out_shape.append(jax.ShapeDtypeStruct((CH, RB, LANE), self.dtype))
+        if moored:
+            out_specs.append(vspec(CM))
+            out_shape.append(jax.ShapeDtypeStruct((CM, RB, LANE), self.dtype))
         out_specs += [vspec(sub, K), vspec(sub, CS), vspec(sub, CE)]
         out_shape += [
             jax.ShapeDtypeStruct((sub, K, RB, LANE), self.dtype),
@@ -1304,13 +1417,15 @@ class FusedStepBuilder:
             interpret=interpret,
         )
 
-        def fn(cvec, sc, fpre, bvec=None, hc=None):
+        def fn(cvec, sc, fpre, bvec=None, hc=None, mhv=None):
             args = [cvec]
             if has_bv:
                 args.append(bvec)
             args.append(fpre)
             if hht:
                 args.append(hc)
+            if moored:
+                args.append(mhv)
             args.append(sc)
             return call(*args)
 

@@ -287,6 +287,70 @@ def _profile(H, V, L, w, EA, seabed):
     return (jnp.where(use_susp, x_s, x_t), jnp.where(use_susp, z_s, z_t))
 
 
+def _asinh_log(x):
+    """asinh via its log closed form, sign-folded for stability: Mosaic has
+    no asinh lowering, and log(x + sqrt(x^2+1)) cancels badly for x << 0."""
+    ax = jnp.abs(x)
+    return jnp.sign(x) * jnp.log(ax + jnp.sqrt(ax * ax + 1.0))
+
+
+def catenary_newton_core(xf, zf, L, w, EA, seabed, hv0, iters: int = 6):
+    """Warm-started fixed-iteration damped Newton for the quasi-static
+    catenary, with ANALYTIC 2x2 Jacobians and log-form asinh — every op
+    lowers in Mosaic, so this exact routine runs INSIDE the fused Pallas
+    step kernel (ops/pallas_step.py), restoring sub-block dispatch
+    amortization for moored systems (round 3). Elementwise over any
+    broadcastable shapes; converged results match catenary_hv (which adds
+    cold-start heuristics, a residual-polish loop and custom_root implicit
+    differentiation on the XLA side).
+    """
+    Hmin = 1e-6 * w * L
+    xf_safe = jnp.maximum(xf, 1e-6 * L)
+    H = jnp.maximum(hv0[0], Hmin)
+    V = hv0[1]
+    inv_w = 1.0 / w
+    LEA = L / EA
+    for _ in range(iters):
+        t = V / H
+        ta = (V - w * L) / H
+        sq = jnp.sqrt(1.0 + t * t)
+        sqa = jnp.sqrt(1.0 + ta * ta)
+        ash_t = _asinh_log(t)
+        ash_ta = _asinh_log(ta)
+        # residuals (profile - target), suspended / touchdown branches
+        x_s = H * inv_w * (ash_t - ash_ta) + H * LEA
+        z_s = H * inv_w * (sq - sqa) + (V * L - 0.5 * w * L * L) / EA
+        x_t = (L - V * inv_w) + H * inv_w * ash_t + H * LEA
+        z_t = H * inv_w * (sq - 1.0) + V * V / (2.0 * EA * w)
+        use_s = jnp.logical_or(V >= w * L, jnp.logical_not(seabed))
+        r1 = jnp.where(use_s, x_s, x_t) - xf_safe
+        r2 = jnp.where(use_s, z_s, z_t) - zf
+        # analytic Jacobian [dx/dH dx/dV; dz/dH dz/dV]
+        a_s = inv_w * (ash_t - ash_ta - t / sq + ta / sqa) + LEA
+        b_s = inv_w * (1.0 / sq - 1.0 / sqa)
+        c_s = inv_w * (sq - sqa - t * t / sq + ta * ta / sqa)
+        d_s = inv_w * (t / sq - ta / sqa) + LEA
+        a_t = inv_w * (ash_t - t / sq) + LEA
+        b_t = inv_w * (1.0 / sq - 1.0)
+        c_t = inv_w * (sq - 1.0 - t * t / sq)
+        d_t = inv_w * (t / sq) + V / (EA * w)
+        a = jnp.where(use_s, a_s, a_t)
+        b = jnp.where(use_s, b_s, b_t)
+        c = jnp.where(use_s, c_s, c_t)
+        d = jnp.where(use_s, d_s, d_t)
+        det = a * d - b * c
+        det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        dh = (d * r1 - b * r2) / det
+        dv = (a * r2 - c * r1) / det
+        # damped step, H kept positive (matching catenary_hv._newton_step)
+        Hn = jnp.maximum(H - dh, 0.1 * H)
+        Vn = V - dv
+        Vn = jnp.where(seabed, jnp.maximum(Vn, Hmin), Vn)
+        H = jnp.maximum(Hn, Hmin)
+        V = Vn
+    return H, V
+
+
 import functools
 
 

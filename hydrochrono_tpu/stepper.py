@@ -251,6 +251,26 @@ class Simulation:
                 const["W_far"] = jnp.asarray(
                     rad.build_hankel_far_kernel(W, tb), self.far_dtype
                 )
+                # mid-field weights for the fused sub-block runner, flattened
+                # per sub-block position into [nsub, sub*K, tb*K] so the
+                # in-block contraction is ONE clean MXU matmul against the
+                # flat velocity buffer (streamed as scan xs) — replaces a
+                # per-iteration [tb,K,K] gather + 4-D einsum (round 3;
+                # reference hot loop being replaced: hydro_forces.cpp:537-691)
+                sub = 8 if tb % 8 == 0 else 0
+                if sub:
+                    K6 = 6 * nh
+                    Wrev = wsmall[::-1]  # [tb, K6, K6]
+                    nsub = tb // sub
+                    Wm = np.zeros((nsub, sub * K6, tb * K6))
+                    marange = np.arange(tb)
+                    for c in range(nsub):
+                        for e in range(sub):
+                            ge = Wrev[(marange - c * sub - e - 1) % tb]
+                            Wm[c, e * K6:(e + 1) * K6] = (
+                                ge.transpose(1, 0, 2).reshape(K6, tb * K6))
+                    const["W_mid2d"] = jnp.asarray(Wm, self.dtype)
+                    self._mid_sub = sub
             else:
                 self.hist_len = H
             const["W_rev"] = jnp.asarray(W[::-1].copy(), self.dtype)
@@ -1377,11 +1397,9 @@ class Simulation:
             subblock = (8 if (not interpret and b.max_substep >= 8
                               and tb % 8 == 0) else 1)
         moored = self.spec.moorings is not None
-        if moored:
-            # the catenary is evaluated in XLA from the step-start state
-            # between kernel dispatches and folded into fx, so each dispatch
-            # must be one integration step
-            subblock = 1
+        # moored runs keep full sub-blocking (round 3): the catenary Newton
+        # runs IN-KERNEL (catenary_newton_core) warm-started from carried
+        # (H, V) rows
         if subblock > 1 and tb % subblock != 0:
             raise ValueError(f"subblock {subblock} must divide block_size {tb}")
         if subblock > 1:
@@ -1401,33 +1419,23 @@ class Simulation:
         ]).astype(np.int32)
 
         if moored:
-            from hydrochrono_tpu.ops.pallas_step import _cross3, _quat_rotate
+            from hydrochrono_tpu.ops.pallas_step import _quat_rotate
             from hydrochrono_tpu.physics import mooring as moorphys
 
-            hydro_index_of_body = {
-                int(bi): hb for hb, bi in enumerate(self.hydro.body_indices)
-            }
-            moor_map = [
-                (self.moor_slots[i], 6 * hydro_index_of_body[ml.body])
-                for i, ml in enumerate(self.spec.moorings.lines)
-            ]
             mc = const["moor"]
-            nl = len(moor_map)
+            nl = len(self.moor_slots)
 
             def _bc(x):  # [nl] line constant -> broadcast vs [nl, RB, 128]
                 return x[:, None, None]
 
-            def mooring_fx(sc, hv):
-                """Catenary fairlead wrenches on the step-start state, as a
-                [K, RB, 128] contribution to the kernel's fx operand (the
-                same state the kernel reads, so the fused Euler step equals
-                the XLA path's _forces_mech exactly). All lines solve in one
-                broadcast-batched Newton; `hv` warm-starts it from the
-                previous step's solution (None = cold Jonkman init).
-                Returns (fx_contribution, (H, V) carry [nl, RB, 128])."""
-                posc = [jnp.stack([sc[b.ip(s, k)] for s, _ in moor_map])
+            def mooring_hv0(sc):
+                """Cold catenary solve at the initial state -> the kernel's
+                warm-start carry rows [2*nl, RB, 128] (H_i, V_i interleaved).
+                Subsequent steps re-solve IN-KERNEL warm-started
+                (pallas_step._mooring_wrench / catenary_newton_core)."""
+                posc = [jnp.stack([sc[b.ip(s, k)] for s in self.moor_slots])
                         for k in range(3)]   # 3 x [nl, RB, 128]
-                quatc = [jnp.stack([sc[b.iq(s, k)] for s, _ in moor_map])
+                quatc = [jnp.stack([sc[b.iq(s, k)] for s in self.moor_slots])
                          for k in range(4)]  # 4 x [nl, RB, 128]
                 loc = [_bc(mc["local"][:, k]) for k in range(3)]
                 rloc = _quat_rotate(quatc, loc)
@@ -1435,20 +1443,13 @@ class Simulation:
                 d1 = posc[1] + rloc[1] - _bc(mc["anchor"][:, 1])
                 d2 = posc[2] + rloc[2] - _bc(mc["anchor"][:, 2])
                 dx = jnp.sqrt(d0 * d0 + d1 * d1 + 1e-30)
-                iters = 6 if hv is not None else 24
                 H, V = moorphys.catenary_hv(
                     dx, d2, _bc(mc["L0"]), _bc(mc["w"]), _bc(mc["ea"]),
-                    _bc(mc["seabed"]), iters=iters, hv0=hv,
+                    _bc(mc["seabed"]), iters=24,
                 )
-                inv = 1.0 / jnp.maximum(dx, 1e-9)
-                f = [-H * d0 * inv, -H * d1 * inv, -V]
-                tau = _cross3(rloc, f)
-                out = jnp.zeros((K,) + sc.shape[1:], self.dtype)
-                for i, (_, base) in enumerate(moor_map):
-                    for k in range(3):
-                        out = out.at[base + k].add(f[k][i])
-                        out = out.at[base + 3 + k].add(tau[k][i])
-                return out, (H, V)
+                # interleave rows: [H_0, V_0, H_1, V_1, ...]
+                hv = jnp.stack([H, V], axis=1)  # [nl, 2, RB, 128]
+                return hv.reshape(2 * nl, RB, 128).astype(self.dtype)
 
         irregular = self.wave_kind == "IrregularWaveParams"
         regular = self.wave_kind == "RegularWave"
@@ -1521,6 +1522,8 @@ class Simulation:
             ).astype(self.dtype)
 
         Wsr = const["W_small_rev"]
+        mid2d = (subblock > 1 and "W_mid2d" in const
+                 and subblock == getattr(self, "_mid_sub", None))
 
         def block(carry, bi):
             sc, hc, mhv, vhist = carry
@@ -1545,14 +1548,12 @@ class Simulation:
                 if f_exc is not None:
                     fe = f_exc[d]
                     fxd = fxd + (fe[:, None, None] if fe.ndim == 1 else fe)
-                if moored:
-                    f_moor, mhv = mooring_fx(sc, mhv)
-                    fxd = fxd + f_moor
-                if hht:
-                    sc2, hc2, extra = fused_call(cvec, sc, fxd, bvec, hc)
-                else:
-                    sc2, extra = fused_call(cvec, sc, fxd, bvec)
-                    hc2 = hc
+                outs_k = fused_call(cvec, sc, fxd, bvec, hc, mhv)
+                outs_k = list(outs_k)
+                sc2 = outs_k.pop(0)
+                hc2 = outs_k.pop(0) if hht else hc
+                mhv2 = outs_k.pop(0) if moored else mhv
+                extra = outs_k.pop(0)
                 out = {}
                 for k in keys:
                     spec_k = row_slices[k]
@@ -1561,36 +1562,50 @@ class Simulation:
                         out[k] = extra[lo:hi]
                     else:
                         out[k] = sc2[spec_k[0]:spec_k[1]]
-                return (sc2, hc2, mhv, vblock), out
+                return (sc2, hc2, mhv2, vblock), out
 
-            def inner_sub(ic, c):
+            def inner_sub(ic, xs):
                 sc, hc, mhv, vblock = ic
-                base = c * subblock
                 # mid-field: this block's steps before the current sub-block
                 # (rows >= base are still zero in vblock, so the wrapped
                 # weights multiply zeros — same invariant as the per-step
                 # rolled-kernel intra formulation)
-                idxm = jnp.mod(
-                    jnp.arange(tb)[None, :] - base
-                    - jnp.arange(subblock)[:, None] - 1, tb)
-                Wg = Wsr[idxm]  # [sub, tb, K, K]
-                f_mid = jnp.einsum("emij,mjrl->eirl", Wg, vblock)
+                if mid2d:
+                    # flat-buffer form (round 3): vblock is [tb*K, RB*128]
+                    # and the contraction is ONE MXU matmul against the
+                    # streamed per-sub-block weight slab [sub*K, tb*K] —
+                    # replaces a per-iteration [sub,tb,K,K] gather + 4-D
+                    # einsum whose transposes dominated the step cost
+                    c, W2d = xs
+                    base = c * subblock
+                    f_mid = (W2d @ vblock).reshape(subblock, K, RB, 128)
+                else:
+                    c = xs
+                    base = c * subblock
+                    idxm = jnp.mod(
+                        jnp.arange(tb)[None, :] - base
+                        - jnp.arange(subblock)[:, None] - 1, tb)
+                    Wg = Wsr[idxm]  # [sub, tb, K, K]
+                    f_mid = jnp.einsum("emij,mjrl->eirl", Wg, vblock)
                 fpre = -jax.lax.dynamic_slice_in_dim(f_far, base, subblock,
                                                      axis=0) - f_mid
                 if f_exc is not None:
                     fe = jax.lax.dynamic_slice_in_dim(f_exc, base, subblock,
                                                       axis=0)
                     fpre = fpre + (fe[:, :, None, None] if fe.ndim == 2 else fe)
-                if hht:
-                    sc2, hc2, vout, traj_sc, exs = fused_sub_call(
-                        cvec, sc, fpre, bvec, hc)
+                outs_k = list(fused_sub_call(cvec, sc, fpre, bvec, hc, mhv))
+                sc2 = outs_k.pop(0)
+                hc2 = outs_k.pop(0) if hht else hc
+                mhv2 = outs_k.pop(0) if moored else mhv
+                vout, traj_sc, exs = outs_k
+                if mid2d:
+                    vblock = jax.lax.dynamic_update_slice(
+                        vblock, vout.reshape(subblock * K, RB * 128),
+                        (base * K, jnp.int32(0)))
                 else:
-                    sc2, vout, traj_sc, exs = fused_sub_call(
-                        cvec, sc, fpre, bvec)
-                    hc2 = hc
-                vblock = jax.lax.dynamic_update_slice_in_dim(
-                    vblock, vout, base, axis=0
-                )
+                    vblock = jax.lax.dynamic_update_slice_in_dim(
+                        vblock, vout, base, axis=0
+                    )
                 out = {}
                 for k in keys:
                     spec_k = row_slices[k]
@@ -1599,19 +1614,28 @@ class Simulation:
                         out[k] = exs[:, lo:hi]
                     else:
                         out[k] = traj_sc[:, spec_k[0]:spec_k[1]]
-                return (sc2, hc2, mhv, vblock), out
+                return (sc2, hc2, mhv2, vblock), out
 
-            vblock0 = jnp.zeros((tb, K, RB, 128), self.dtype)
             if subblock > 1:
+                nsub = tb // subblock
+                idxs = jnp.arange(nsub, dtype=jnp.int32)
+                if mid2d:
+                    vblock0 = jnp.zeros((tb * K, RB * 128), self.dtype)
+                    xs = (idxs, const["W_mid2d"])
+                else:
+                    vblock0 = jnp.zeros((tb, K, RB, 128), self.dtype)
+                    xs = idxs
                 (sc, hc, mhv, vblock), outs = jax.lax.scan(
-                    inner_sub, (sc, hc, mhv, vblock0),
-                    jnp.arange(tb // subblock, dtype=jnp.int32),
+                    inner_sub, (sc, hc, mhv, vblock0), xs,
                 )
+                if mid2d:
+                    vblock = vblock.reshape(tb, K, RB, 128)
                 # [nsub, sub, C, RB, 128] -> [tb, C, RB, 128]
                 outs = jax.tree.map(
                     lambda x: x.reshape((tb,) + x.shape[2:]), outs
                 )
             else:
+                vblock0 = jnp.zeros((tb, K, RB, 128), self.dtype)
                 (sc, hc, mhv, vblock), outs = jax.lax.scan(
                     inner, (sc, hc, mhv, vblock0),
                     jnp.arange(tb, dtype=jnp.int32),
@@ -1621,8 +1645,9 @@ class Simulation:
             )
             return (sc, hc, mhv, vhist), outs
 
-        # warm-start carry for the mooring Newton (cold-solved at the start)
-        mhv0 = mooring_fx(sc0, None)[1] if moored else None
+        # warm-start carry for the in-kernel mooring Newton (cold-solved
+        # once at the initial state)
+        mhv0 = mooring_hv0(sc0) if moored else None
         carry0 = (sc0, hc0, mhv0, vhist0)
         final_carry, traj = jax.lax.scan(
             block, carry0,

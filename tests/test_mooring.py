@@ -365,11 +365,19 @@ def test_mooring_fused_path_matches_xla(tmp_path):
                                - np.asarray(got_traj[k])).max())
             assert err < 1e-9, k
 
-    sim_hht = Simulation(spec, dt=0.015, block_size=8, integrator="hht")
-    assert not sim_hht.fused_supported()
-    # ...and the blocked XLA path still runs the moored HHT system
-    final, traj = jax.jit(lambda: sim_hht.run(16))()
-    assert np.isfinite(np.asarray(traj["pos"])).all()
+    # round 3: moored HHT is fused too (in-kernel warm-started catenary
+    # inside each modified-Newton iteration, mirroring _step_hht's
+    # _forces_mech placement)
+    sim_hht = Simulation(spec, dt=0.015, block_size=8, integrator="hht",
+                         outputs=("pos", "quat"))
+    assert sim_hht.fused_supported()
+    ref_f, ref_t = jax.jit(jax.vmap(lambda s: sim_hht.run(n, state=s)))(states)
+    got_f, got_t = jax.jit(lambda s: sim_hht.run_blocked_fused(n, s))(states)
+    for k in got_t:
+        if k in ref_t:
+            err = float(np.abs(np.asarray(ref_t[k])
+                               - np.asarray(got_t[k])).max())
+            assert err < 1e-8, k
 
 
 def test_parser_headerless_integer_unstrlen(tmp_path):
@@ -433,3 +441,50 @@ def test_parser_type_named_like_header_word(tmp_path):
     spec = moor.parse_moordyn_file(str(p), ["body1"])
     assert len(spec.lines) == 1
     assert spec.lines[0].ea == 5.0e8
+
+
+def test_catenary_newton_core_matches_reference_solver():
+    """The Mosaic-lowerable analytic-Jacobian core (kernel path) converges
+    to the same (H, V) as catenary_hv (jvp Jacobians + polish loop) across
+    slack / taut / touchdown regimes, warm-started from the other solver's
+    neighborhood (the production usage)."""
+    L, w, EA = 95.0, 80.0, 3.8e8
+    cases = [
+        (40.0, 30.0, True),    # slack suspended
+        (80.0, 45.0, True),    # taut-ish
+        (60.0, 10.0, True),    # touchdown regime
+        (90.0, 25.0, False),   # no-seabed suspended
+        (30.0, 5.0, True),     # deep slack
+    ]
+    for xf, zf, seabed in cases:
+        H_ref, V_ref = moor.catenary_hv(
+            jnp.float64(xf), jnp.float64(zf), jnp.float64(L),
+            jnp.float64(w), jnp.float64(EA), seabed)
+        hv0 = (H_ref * 1.15, V_ref * 0.9)  # warm-ish start
+        H, V = moor.catenary_newton_core(
+            jnp.float64(xf), jnp.float64(zf), jnp.float64(L),
+            jnp.float64(w), jnp.float64(EA), seabed,
+            (jnp.float64(hv0[0]), jnp.float64(hv0[1])), iters=8)
+        assert abs(float(H) - float(H_ref)) / float(H_ref) < 1e-9, (xf, zf)
+        assert abs(float(V) - float(V_ref)) / max(float(V_ref), 1.0) < 1e-9
+
+
+@pytest.mark.slow
+def test_mooring_subblock_kernel_matches(tmp_path):
+    """The mooring carry threads correctly through the MULTI-STEP sub-block
+    kernel (round 3: moored runs regain sub-block dispatch amortization —
+    previously forced to one dispatch per step)."""
+    from hydrochrono_tpu.parallel.sharding import make_batched_states
+
+    spec = _moored_hydro_spec(tmp_path)
+    sim = Simulation(spec, dt=0.015, block_size=8, outputs=("pos", "quat"))
+    B, n = 2, 16
+    states = make_batched_states(sim, B)
+    ref_final, ref_traj = jax.jit(
+        lambda s: sim.run_blocked_fused(n, s, subblock=1))(states)
+    got_final, got_traj = jax.jit(
+        lambda s: sim.run_blocked_fused(n, s, subblock=8))(states)
+    for k in got_traj:
+        err = float(np.abs(np.asarray(ref_traj[k])
+                           - np.asarray(got_traj[k])).max())
+        assert err < 1e-9, k
