@@ -119,3 +119,17 @@ if os.path.exists(os.path.join(moored_dir, 'expected', 'results.still.h5')):
         l2, li = np.linalg.norm(d) / m, np.abs(d).max()
         print(f"rm3 moored FUSED CLI:    L2={l2:.2e} Linf={li:.2e} "
               f"{'PASS' if (l2 <= 1e-4 and li <= 0.02) else 'FAIL'}")
+
+# 6) bf16 far-field margins (round 3, VERDICT item 2): quantify the golden
+# gate margin with the Hankel far kernel in bfloat16 — the only remaining
+# far-field lever (the f32 matmul sits at the f32 MXU roofline, PERF.md).
+sim_bf = Simulation(spec, dt=0.015, dtype=jnp.float32, block_size=128,
+                    far_dtype=jnp.bfloat16)
+_, traj_bf = jax.jit(lambda s, p: sim_bf.run_blocked_fused(2688, s, params=p))(
+    make_batched_states(sim_bf, 2), sim_bf.params)
+zb = np.asarray(traj_bf["pos"][0, :n, 0, 2], dtype=np.float64)
+d = zb - ref[:, 1]
+l2, li = np.linalg.norm(d)/n, np.abs(d).max()
+print(f"decay f32 FUSED bf16-far: L2={l2:.2e} Linf={li:.2e} "
+      f"(gate margin {1e-4/max(l2,1e-300):.0f}x / {0.02/max(li,1e-300):.0f}x) "
+      f"{'PASS' if (l2<=1e-4 and li<=0.02) else 'FAIL'}")
