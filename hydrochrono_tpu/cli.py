@@ -76,8 +76,72 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0, metavar="STEPS")
     p.add_argument("--guard-chunk", type=int, default=0, metavar="STEPS",
                    help="run in host-checked chunks with divergence detection")
+    p.add_argument("--live-view", nargs="?", const="__default__",
+                   metavar="PNG",
+                   help="during-run view: refresh a trajectory panel PNG "
+                        "after every guarded chunk (implies chunked "
+                        "execution; default file <output>/live.png). The "
+                        "headless answer to the reference GUI's live role "
+                        "(src/gui/guihelper.cpp:41-120)")
     p.add_argument("--salter", action="store_true", help=argparse.SUPPRESS)
     return p
+
+
+def _make_live_view(sim, case, png_path, log):
+    """Per-chunk renderer for --live-view: accumulates heave/pitch series
+    and atomically refreshes one PNG. Matplotlib loads lazily; failures
+    degrade to a warning (the view is observability, never correctness)."""
+    import numpy as _np
+
+    acc = {"t": [], "z": [], "pitch": []}
+
+    def on_chunk(done, traj):
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            pos = _np.asarray(traj["pos"])  # [chunk, nm, 3]
+            nsteps = pos.shape[0]
+            t0 = (done - nsteps) * sim.dt
+            acc["t"].append(t0 + sim.dt * _np.arange(1, nsteps + 1))
+            acc["z"].append(pos[:, :, 2])
+            if "quat" in traj:
+                from hydrochrono_tpu.physics.rotations import (
+                    cardan_xyz_from_quat)
+                import jax.numpy as _jnp
+
+                xyz = _np.asarray(cardan_xyz_from_quat(
+                    _jnp.asarray(traj["quat"])))
+                acc["pitch"].append(_np.rad2deg(xyz[:, :, 1]))
+            t = _np.concatenate(acc["t"])
+            z = _np.concatenate(acc["z"])
+            rows = 2 if acc["pitch"] else 1
+            fig, axes = plt.subplots(rows, 1, figsize=(9, 3.0 * rows),
+                                     sharex=True)
+            axes = _np.atleast_1d(axes)
+            for s in range(z.shape[1]):
+                axes[0].plot(t, z[:, s], lw=0.9, label=f"body{s + 1}")
+            axes[0].set_ylabel("heave (m)")
+            axes[0].legend(fontsize=7, loc="upper right")
+            axes[0].set_title(f"t = {t[-1]:.1f} s ({done} steps)")
+            if acc["pitch"]:
+                ptc = _np.concatenate(acc["pitch"])
+                for s in range(ptc.shape[1]):
+                    axes[1].plot(t, ptc[:, s], lw=0.9)
+                axes[1].set_ylabel("pitch (deg)")
+            axes[-1].set_xlabel("time (s)")
+            fig.tight_layout()
+            os.makedirs(os.path.dirname(os.path.abspath(png_path)) or ".",
+                        exist_ok=True)
+            tmp = png_path + ".tmp.png"
+            fig.savefig(tmp, dpi=100)
+            plt.close(fig)
+            os.replace(tmp, png_path)
+        except Exception as exc:  # noqa: BLE001
+            log.warning(f"live view update failed ({exc})")
+
+    return on_chunk
 
 
 def main(argv=None) -> int:
@@ -266,25 +330,38 @@ def run_case(args, log) -> int:
         sweep_batched = {k: sim.params[k] for k in
                          ("reg_mag", "reg_phase", "reg_amp", "reg_omega")}
 
-    if (args.guard_chunk or args.checkpoint) and sweep_batched is not None:
-        log.warning("--guard-chunk/--checkpoint are not supported with "
-                    "period sweeps; running unguarded")
+    chunked = args.guard_chunk or args.checkpoint or args.live_view
+    if chunked and sweep_batched is not None:
+        log.warning("--guard-chunk/--checkpoint/--live-view are not "
+                    "supported with period sweeps; running unguarded")
 
-    if (args.guard_chunk or args.checkpoint) and sweep_batched is None \
+    if chunked and sweep_batched is None \
             and seed_sweep is None:
         # host-checked chunks with divergence detection + body-state dumps
         # (reference: run_hydrochrono_from_yaml.cpp:746-764, 863-905).
         # --checkpoint alone implies chunked execution so checkpoints can
-        # actually be written during the run.
+        # actually be written during the run. --live-view refreshes a
+        # trajectory panel PNG after every chunk — the during-run
+        # observability role of the reference's Irrlicht GUI
+        # (src/gui/guihelper.cpp:41-120), redesigned for headless TPU runs.
         from hydrochrono_tpu.utils.guards import run_guarded
 
         chunk = args.guard_chunk or args.checkpoint_every or 1000
         ckpt_every = args.checkpoint_every or (chunk if args.checkpoint else 0)
+        on_chunk = None
+        if args.live_view:
+            out_base = case.output_directory or os.path.join(
+                os.path.dirname(case.setup.setup_path) if case.setup else ".",
+                "outputs")
+            live_png = (os.path.join(out_base, "live.png")
+                        if args.live_view == "__default__" else args.live_view)
+            on_chunk = _make_live_view(sim, case, live_png, log)
         _, traj, report = run_guarded(
             sim, n, chunk=chunk,
             checkpoint_path=args.checkpoint,
             checkpoint_every=ckpt_every,
             progress=lambda f: log.progress(f),
+            on_chunk=on_chunk,
         )
         t_run = time.time() - t_run0
         if report.diverged:

@@ -102,3 +102,29 @@ def advance_ss(Ad, Bd, x, v):
     import jax.numpy as jnp
 
     return jnp.einsum("rcop,...rcp->...rco", Ad, x) + Bd * v[..., None, :, None]
+
+
+def ss_step_fused(Ad, Bd, Cm, Dm, x, v):
+    """(F, x+) in ONE pass over the state tensor.
+
+    Algebraically identical to radiation_force_ss + advance_ss, but
+    phrased as order-unrolled elementwise multiply-adds + one reduction
+    instead of two tiny-contraction dot-generals, so XLA fuses the whole
+    thing into a single kernel that reads x once and writes x+ once. The
+    farm-scale step is HBM-bound on exactly this traffic (the [B, 6N, 6N,
+    o] state dwarfs everything else at 6N = 48): measured ~2x on the
+    8-sphere farm bench (PERF.md round 3).
+    """
+    import jax.numpy as jnp
+
+    o = x.shape[-1]
+    vb = v[..., None, :]  # [..., 1, C]
+    F = jnp.einsum("rc,...c->...r", Dm, v)
+    cols = []
+    for i in range(o):
+        xi = Bd[..., i] * vb
+        for p in range(o):
+            xi = xi + Ad[..., i, p] * x[..., p]
+        cols.append(xi)
+        F = F + (Cm[..., i] * x[..., i]).sum(-1)
+    return F, jnp.stack(cols, axis=-1)

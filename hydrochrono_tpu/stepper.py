@@ -841,8 +841,9 @@ class Simulation:
         if self.hydro is not None and self.radiation == "state_space":
             const = params["_const"]
             v6 = self._hydro_velocity(state)
-            f_rad = ssr.radiation_force_ss(const["ss_C"], const["ss_D"], state.ss, v6)
-            ss_new = ssr.advance_ss(const["ss_Ad"], const["ss_Bd"], state.ss, v6)
+            f_rad, ss_new = ssr.ss_step_fused(
+                const["ss_Ad"], const["ss_Bd"], const["ss_C"],
+                const["ss_D"], state.ss, v6)
             state = dataclasses.replace(state, ss=ss_new)
             return self._step_core(params, state, n, f_rad=f_rad)
         if self.hydro is not None:
@@ -1029,13 +1030,10 @@ class Simulation:
                     [jnp.concatenate([v_lin_p[s], v_ang_p[s]])
                      for s in self.hydro_slots]
                 ).reshape(-1)
-                f_rad = ssr.radiation_force_ss(const["ss_C"], const["ss_D"],
-                                               state.ss, v6)
-                state = dataclasses.replace(
-                    state,
-                    ss=ssr.advance_ss(const["ss_Ad"], const["ss_Bd"],
-                                      state.ss, v6),
-                )
+                f_rad, ss_new = ssr.ss_step_fused(
+                    const["ss_Ad"], const["ss_Bd"], const["ss_C"],
+                    const["ss_D"], state.ss, v6)
+                state = dataclasses.replace(state, ss=ss_new)
             elif f_rad is None:
                 v6 = jnp.concatenate(
                     [jnp.concatenate([v_lin_p[s], v_ang_p[s]])

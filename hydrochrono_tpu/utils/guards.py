@@ -45,7 +45,8 @@ def dump_body_states(sim, state) -> dict:
 def run_guarded(sim, num_steps: int, state=None, params=None, chunk: int = 500,
                 checkpoint_path: Optional[str] = None, checkpoint_every: int = 0,
                 progress: Optional[Callable[[float], None]] = None,
-                collect: bool = True):
+                collect: bool = True,
+                on_chunk: Optional[Callable] = None):
     """Run in host-checked chunks; stop early on non-finite states.
 
     Returns (final_state, trajectory-or-None, GuardReport). The trajectory is
@@ -86,6 +87,10 @@ def run_guarded(sim, num_steps: int, state=None, params=None, chunk: int = 500,
             chunks.append(traj)
         if checkpoint_path and checkpoint_every and done % checkpoint_every == 0:
             save_checkpoint(checkpoint_path, state, done)
+        if on_chunk is not None:
+            # during-run observability hook (CLI --live-view): receives the
+            # completed step count and this chunk's trajectory
+            on_chunk(done, traj)
         if progress:
             progress(done / num_steps)
 

@@ -99,3 +99,28 @@ def test_state_space_blocked_rejected(sphere_h5):
     )
     with pytest.raises(ValueError, match="no history buffer"):
         Simulation(spec, dt=0.015, radiation="state_space", block_size=64)
+
+
+def test_ss_step_fused_matches_separate_ops(sphere_h5):
+    """ss_step_fused (single-pass, elementwise-phrased) == the two einsum
+    ops it fuses, to float reassociation."""
+    import jax.numpy as jnp
+
+    from hydrochrono_tpu.io.bemio import load_bemio_h5
+    from hydrochrono_tpu.physics.statespace import (
+        advance_ss, radiation_force_ss, ss_step_fused)
+
+    hd = load_bemio_h5(sphere_h5, 1)
+    ss = load_state_space(sphere_h5, 1, hd.rho, 0.015)
+    rng = np.random.RandomState(0)
+    Ad, Bd = jnp.asarray(ss.Ad), jnp.asarray(ss.Bd)
+    Cm, Dm = jnp.asarray(ss.Cm), jnp.asarray(ss.Dm)
+    x = jnp.asarray(rng.normal(size=(3, 6, 6, ss.order)))  # batched
+    v = jnp.asarray(rng.normal(size=(3, 6)))
+    F_ref = radiation_force_ss(Cm, Dm, x, v)
+    x_ref = advance_ss(Ad, Bd, x, v)
+    F, x_new = ss_step_fused(Ad, Bd, Cm, Dm, x, v)
+    np.testing.assert_allclose(np.asarray(F), np.asarray(F_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(x_ref),
+                               rtol=1e-12, atol=1e-12)
