@@ -44,6 +44,17 @@ SPECS = {
                  np.array([12.5, 0.0, -6.0])],
         rirf_tmax=6.0, rirf_steps=301, coupling=0.2,
     ),
+    # 2x2 sphere wave farm (beyond-reference; SURVEY §2.5 TP row): 4
+    # identical coupled point absorbers with exact order-2 state-space
+    # radiation fits — drives const_mass + state_space through the full
+    # YAML surface (cases/farm)
+    "farm4.h5": dict(
+        num_bodies=4, seed=71, state_space=True,
+        cg_list=[np.array([0.0, 0.0, -2.0])] * 4,
+        cb_list=[np.array([0.0, 0.0, -1.7])] * 4,
+        disp_vol=[261.8] * 4,
+        rirf_tmax=6.0, rirf_steps=301,
+    ),
     # DeepCWind semisubmersible platform (demos/DeepCWind)
     "deepcwind.h5": dict(
         num_bodies=1, seed=41,
