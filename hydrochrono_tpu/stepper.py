@@ -1303,6 +1303,37 @@ class Simulation:
         except NotImplementedError:
             return False
 
+    def farm_fused_builder(self):
+        """Build (and cache) the fused farm kernel runner (const-mass +
+        state-space; ops/pallas_farm.py); raises NotImplementedError for
+        unsupported configurations."""
+        if getattr(self, "_farm_builder", None) is None:
+            from hydrochrono_tpu.ops.pallas_farm import FarmFusedRunner
+
+            self._farm_builder = FarmFusedRunner(self)
+        return self._farm_builder
+
+    def farm_fused_supported(self) -> bool:
+        if not self.const_mass or self.radiation != "state_space":
+            return False
+        try:
+            self.farm_fused_builder()
+            return True
+        except NotImplementedError:
+            return False
+
+    def run_farm_fused(self, num_steps: int, states: State, params=None,
+                       interpret: Optional[bool] = None,
+                       subblock: Optional[int] = None,
+                       start_step: int = 0):
+        """Batched farm run through the fused const-mass + state-space
+        Pallas kernel (ops/pallas_farm.py). Equivalent to vmap(run) for
+        the supported configuration; returns (final State [B, ...],
+        {"pos": [B, T, nm, 3]})."""
+        return self.farm_fused_builder().run(
+            num_steps, states, params=params, interpret=interpret,
+            subblock=subblock, start_step=start_step)
+
     def run_blocked_fused(self, num_steps: int, states: State, params=None,
                           interpret: Optional[bool] = None,
                           start_step: int = 0,

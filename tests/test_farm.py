@@ -120,3 +120,45 @@ def test_farm_batched_vmap_runs(farm4_h5):
     assert np.isfinite(z).all()
     # PTO damper extracts energy: late heave motion is bounded
     assert np.abs(z[:, :, :, 2] + 2.0).max() < 5.0
+
+
+def test_farm_fused_matches_xla(farm4_h5):
+    """The fused Pallas farm kernel (ops/pallas_farm.py) reproduces the
+    XLA const-mass + state-space path: same forces (hydrostatics via
+    Cardan angles, TSDA wrenches, ZOH state-space radiation, streamed
+    excitation), one dispatch per sub-block. Interpret mode; float32
+    both sides; batch of 3 exercises lane padding and the 42 = 5*8 + 2
+    split exercises the remainder kernel."""
+    import jax.numpy as jnp
+    from hydrochrono_tpu.parallel.sharding import make_batched_states
+
+    wave = IrregularWaveParams(height=1.5, period=7.0, nfrequencies=30,
+                               ramp_duration=5.0)
+    sim = _farm_sim(farm4_h5, radiation="state_space", wave=wave,
+                    dtype=jnp.float32, outputs=("pos",))
+    assert sim.farm_fused_supported()
+
+    B, n = 3, 42
+    off = np.zeros((B, sim.n_moving, 3))
+    off[:, :, 2] = 0.05 * np.arange(B)[:, None]
+    states = make_batched_states(sim, B, pos_offsets=off)
+
+    _, tx = jax.vmap(lambda s: sim.run(n, state=s))(states)
+    ff, tf = sim.run_farm_fused(n, states, interpret=True, subblock=8)
+
+    px, pf = np.asarray(tx["pos"]), np.asarray(tf["pos"])
+    assert pf.shape == px.shape == (B, n, sim.n_moving, 3)
+    assert np.abs(pf - px).max() < 1e-4
+    # final carried state (incl. the radiation state tensor) agrees too
+    fx, _ = jax.vmap(lambda s: sim.run(n, state=s))(states)
+    assert np.abs(np.asarray(ff.ss) - np.asarray(fx.ss)).max() < 1e-5
+    assert np.abs(np.asarray(ff.quat) - np.asarray(fx.quat)).max() < 1e-5
+
+
+def test_farm_fused_rejects_unsupported(farm4_h5):
+    """Configs outside the farm kernel's contract fall back cleanly."""
+    sim = _farm_sim(farm4_h5, radiation="convolution")
+    assert not sim.farm_fused_supported()
+    sim2 = _farm_sim(farm4_h5, radiation="state_space",
+                     integrator="hht")
+    assert not sim2.farm_fused_supported()
