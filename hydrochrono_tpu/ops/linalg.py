@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from hydrochrono_tpu.ops.mxu import with_full_matmul
+
 
 def cholesky_unrolled(A, n: int):
     """Lower-triangular Cholesky factor entries of A [..., n, n].
@@ -87,6 +89,7 @@ def solve_spd(A, b):
     return out[..., 0] if single else out
 
 
+@with_full_matmul
 def inv_spd(A):
     """Explicit inverse of SPD A [..., n, n] via the unrolled Cholesky."""
     n = A.shape[-1]
@@ -94,6 +97,7 @@ def inv_spd(A):
     return solve_spd(A, eye)
 
 
+@with_full_matmul
 def make_kkt_cache(M, J):
     """Precompute explicit KKT block inverses for the refined solver.
 
@@ -113,6 +117,7 @@ def make_kkt_cache(M, J):
     return (Minv, MinvJt, Sinv, J)
 
 
+@with_full_matmul
 def solve_kkt_refined(M, J, r, g, cache, iters: int = 2):
     """Solve the KKT system using cached block inverses + iterative refinement.
 
@@ -158,6 +163,7 @@ def solve_kkt_refined(M, J, r, g, cache, iters: int = 2):
     return v, lam
 
 
+@with_full_matmul
 def solve_kkt(M, J, r, g):
     """Solve the saddle system [[M, J^T], [J, 0]] [v, l] = [r, g].
 

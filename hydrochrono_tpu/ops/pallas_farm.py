@@ -49,6 +49,14 @@ from hydrochrono_tpu.ops.pallas_math import asin_tpu, atan2_tpu
 
 LANE = 128
 
+# TPU MXU default precision for f32 dots is ONE bf16 pass (~2.3e-3 rel,
+# measured on v5e; precision probe in DEVNOTES round 3). The physics
+# matmuls below feed the integrator directly — a 0.4%/step bias in the
+# hydrostatic stiffness — so they are pinned to HIGHEST (true f32,
+# ~1.4e-7 rel). At [48, 48] x [48, 128] the extra MXU passes are noise
+# next to the kernel's VPU work; measured step cost is unchanged.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def _np_const(x):
     return np.asarray(jax.device_get(x), dtype=np.float64)
@@ -90,11 +98,14 @@ class FarmFusedRunner:
         Ad = _np_const(c["ss_Ad"])  # [nv, nv, o, o]
         Bd = _np_const(c["ss_Bd"])  # [nv, nv, o]
         Cm = _np_const(c["ss_C"])   # [nv, nv, o]
-        self.adb = jnp.asarray(np.broadcast_to(
+        # NOTE: constants stay numpy (materialized per trace) — building
+        # jnp arrays here would leak tracers when the runner is first
+        # constructed inside a jit trace (the runner is cached on sim).
+        self.adb = np.ascontiguousarray(np.broadcast_to(
             Ad.transpose(2, 3, 0, 1)[..., None], (o, o, nv, nv, LANE)), f32)
-        self.bdb = jnp.asarray(np.broadcast_to(
+        self.bdb = np.ascontiguousarray(np.broadcast_to(
             Bd.transpose(2, 0, 1)[..., None], (o, nv, nv, LANE)), f32)
-        self.cmb = jnp.asarray(np.broadcast_to(
+        self.cmb = np.ascontiguousarray(np.broadcast_to(
             Cm.transpose(2, 0, 1)[..., None], (o, nv, nv, LANE)), f32)
 
         # --- matmul operands: Dm, mhat, minv, Kneg ---------------------
@@ -105,9 +116,9 @@ class FarmFusedRunner:
         for b in range(nm):
             Kneg[b * 6:(b + 1) * 6, b * 6:(b + 1) * 6] = (
                 -(sim.rho * g_mag) * k_lin[b])
-        self.mats = jnp.asarray(np.stack([
+        self.mats = np.stack([
             _np_const(c["ss_D"]), _np_const(c["mhat"]),
-            _np_const(c["minv"]), Kneg]), f32)
+            _np_const(c["minv"]), Kneg]).astype(f32)
 
         # --- static force rows: gravity + buoyancy ---------------------
         mass = _np_const(p["mass"])
@@ -123,9 +134,9 @@ class FarmFusedRunner:
         cg_eq = _np_const(c["cg_eq"])
         for b in range(nm):
             cgoff[b * 6:b * 6 + 3] = cg_eq[b]
-        self.fstat = jnp.asarray(
+        self.fstat = np.ascontiguousarray(
             np.broadcast_to(fstat[:, None], (nv, LANE)), f32)
-        self.cgoff = jnp.asarray(
+        self.cgoff = np.ascontiguousarray(
             np.broadcast_to(cgoff[:, None], (nv, LANE)), f32)
 
         # --- TSDA constants (embedded as python scalars) ---------------
@@ -269,55 +280,94 @@ class FarmFusedRunner:
         return adds
 
     # ------------------------------------------------------------------
-    def make_kernel(self, sub: int, RBt: int, interpret: bool):
-        """Build the pallas_call for `sub` steps/dispatch over RBt batch
-        tiles of 128 instances."""
+    def make_kernel(self, sub: int, RBt: int, nchunks: int, interpret: bool):
+        """Build the whole-run pallas_call: grid = (batch tile, time chunk),
+        `sub` integration steps per grid step.
+
+        The decisive design point (measured, DEVNOTES round 3): per-call
+        operand DMA dominates a per-chunk kernel — a NULL kernel with this
+        kernel's operand set costs ~116 us/invocation (~14 us/step at
+        sub=8) because the 9.6 MB of pre-broadcast constants and the
+        radiation state re-enter VMEM on every dispatch. Running the WHOLE
+        time loop as the inner grid dimension makes every constant and
+        state block a revisited VMEM-resident block (fetched once per
+        batch tile; constants once per call): only the compact wave
+        forcing streams in and the position trajectory streams out. The
+        state out-blocks double as the carry: they are initialized from
+        the state inputs at time-chunk 0 and flushed to HBM only when the
+        batch tile advances (the standard Pallas accumulator pattern)."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         nv, nm, o = self.nv, self.nm, self.o
         nm3, nm4 = nm * 3, nm * 4
         h = float(self.sim.dt)
+        ab = getattr(self, "ablate", ())  # perf-tuning ablation hooks
 
         def kernel(adb, bdb, cmb, mats, fstat, cgoff, fw,
                    p_in, q_in, v_in, x_in,
                    p_out, q_out, v_out, x_out, traj):
-            P = p_in[0]      # (nm3, L)
-            Qm = q_in[0]     # (nm4, L)
-            Vp = v_in[0]     # (nv, L)
-            X = [x_in[0, i] for i in range(o)]  # each (nv, nv, L)
+            tc = pl.program_id(1)
+
+            @pl.when(tc == 0)
+            def _init():  # new batch tile: load the carried state
+                p_out[0] = p_in[0]
+                q_out[0] = q_in[0]
+                v_out[0] = v_in[0]
+                x_out[0] = x_in[0]
+
+            P = p_out[0]     # (nm3, L)
+            Qm = q_out[0]    # (nm4, L)
+            Vp = v_out[0]    # (nv, L)
+            X = [x_out[0, i] for i in range(o)]  # each (nv, nv, L)
             dm, mhat, minv, kneg = (mats[k] for k in range(4))
             fstat = fstat[...]
             cgoff = cgoff[...]
 
-            for e in range(sub):
+            for e in range(0 if "empty" in ab else sub):
                 Prows = [P[k:k + 1] for k in range(nm3)]
                 Qrows = [Qm[k:k + 1] for k in range(nm4)]
                 Vrows = [Vp[k:k + 1] for k in range(nv)]
 
                 # -- radiation: F = D v + sum_i sum_c Cm_i x_i; ZOH advance
-                frad = jnp.dot(dm, Vp, preferred_element_type=jnp.float32)
-                for i in range(o):
-                    frad = frad + jnp.sum(cmb[i] * X[i], axis=1)
-                Xn = []
-                for i in range(o):
-                    xi = bdb[i] * Vp[None, :, :]
-                    for pp in range(o):
-                        xi = xi + adb[i, pp] * X[pp]
-                    Xn.append(xi)
+                if "mats" in ab:
+                    frad = 0.001 * Vp
+                else:
+                    frad = jnp.dot(dm, Vp, precision=_PREC,
+                                   preferred_element_type=jnp.float32)
+                if "reduce" not in ab:
+                    for i in range(o):
+                        frad = frad + jnp.sum(cmb[i] * X[i], axis=1)
+                if "adv" not in ab:
+                    Xn = []
+                    for i in range(o):
+                        xi = bdb[i] * Vp[None, :, :]
+                        for pp in range(o):
+                            xi = xi + adb[i, pp] * X[pp]
+                        Xn.append(xi)
+                else:
+                    Xn = X
 
                 # -- hydrostatics: Kneg @ disp6 (buoyancy sits in fstat)
-                disp_chunks = []
-                for b in range(nm):
-                    card = self._cardan_rows(
-                        [Qrows[4 * b + k] for k in range(4)])
-                    disp_chunks.append(P[3 * b:3 * b + 3])
-                    disp_chunks.append(jnp.concatenate(card, axis=0))
-                disp = jnp.concatenate(disp_chunks, axis=0) - cgoff
-                fhs = jnp.dot(kneg, disp, preferred_element_type=jnp.float32)
+                if "concat" in ab:
+                    disp = Vp * 0.5
+                else:
+                    disp_chunks = []
+                    for b in range(nm):
+                        card = self._cardan_rows(
+                            [Qrows[4 * b + k] for k in range(4)])
+                        disp_chunks.append(P[3 * b:3 * b + 3])
+                        disp_chunks.append(jnp.concatenate(card, axis=0))
+                    disp = jnp.concatenate(disp_chunks, axis=0) - cgoff
+                if "mats" in ab:
+                    fhs = -1000.0 * disp
+                else:
+                    fhs = jnp.dot(kneg, disp, precision=_PREC,
+                                  preferred_element_type=jnp.float32)
 
                 # -- mechanical elements (TSDA)
-                adds = self._tsda_rows(Prows, Qrows, Vrows)
+                adds = {} if "tsda" in ab else \
+                    self._tsda_rows(Prows, Qrows, Vrows)
                 if adds:
                     zero = jnp.zeros((1, LANE), jnp.float32)
                     fel = jnp.concatenate(
@@ -326,25 +376,53 @@ class FarmFusedRunner:
                 else:
                     fel = 0.0
 
-                ftot = fstat + fel + fhs - frad + fw[e]
-                rhs = jnp.dot(mhat, Vp, preferred_element_type=jnp.float32) \
-                    + h * ftot
-                Vn = jnp.dot(minv, rhs, preferred_element_type=jnp.float32)
+                fwe = jnp.broadcast_to(fw[0, e], (nv, LANE))
+                ftot = fstat + fel + fhs - frad + fwe
+                if "mats" in ab:
+                    rhs = Vp + h * ftot
+                    Vn = 0.999 * rhs * 1e-6
+                else:
+                    rhs = jnp.dot(mhat, Vp, precision=_PREC,
+                                  preferred_element_type=jnp.float32) + h * ftot
+                    Vn = jnp.dot(minv, rhs, precision=_PREC,
+                                 preferred_element_type=jnp.float32)
 
                 # -- semi-implicit update
-                p_chunks, q_chunks = [], []
-                for b in range(nm):
-                    p_chunks.append(
-                        P[3 * b:3 * b + 3] + h * Vn[6 * b:6 * b + 3])
-                    wrows = [Vn[6 * b + 3 + k:6 * b + 4 + k] for k in range(3)]
-                    qn = self._quat_integrate(
-                        [Qrows[4 * b + k] for k in range(4)], wrows, h)
-                    q_chunks.append(jnp.concatenate(qn, axis=0))
-                P = jnp.concatenate(p_chunks, axis=0)
-                Qm = jnp.concatenate(q_chunks, axis=0)
+                if "concat" in ab:
+                    P = P + h * Vn[:nm3]
+                else:
+                    p_chunks, q_chunks = [], []
+                    for b in range(nm):
+                        p_chunks.append(
+                            P[3 * b:3 * b + 3] + h * Vn[6 * b:6 * b + 3])
+                        wrows = [Vn[6 * b + 3 + k:6 * b + 4 + k]
+                                 for k in range(3)]
+                        qn = self._quat_integrate(
+                            [Qrows[4 * b + k] for k in range(4)], wrows, h)
+                        q_chunks.append(jnp.concatenate(qn, axis=0))
+                    P = jnp.concatenate(p_chunks, axis=0)
+                    Qm = jnp.concatenate(q_chunks, axis=0)
                 Vp = Vn
                 X = Xn
-                traj[0, e] = P
+                if "dumpf0" in ab:
+                    traj[0, 0, e] = ftot[:nm3]
+                elif "dumpf1" in ab:
+                    traj[0, 0, e] = ftot[nm3:2 * nm3]
+                elif "dumph0" in ab:
+                    traj[0, 0, e] = fhs[:nm3]
+                elif "dumprad0" in ab:
+                    traj[0, 0, e] = frad[:nm3]
+                elif "dumpw0" in ab:
+                    traj[0, 0, e] = fwe[:nm3]
+                elif "dumpd0" in ab:
+                    traj[0, 0, e] = disp[:nm3]
+                elif "dumpd1" in ab:
+                    traj[0, 0, e] = disp[nm3:2 * nm3]
+                elif "traj" not in ab:
+                    traj[0, 0, e] = P
+                elif e == sub - 1:
+                    for e2 in range(sub):
+                        traj[0, 0, e2] = P
 
             p_out[0] = P
             q_out[0] = Qm
@@ -352,25 +430,39 @@ class FarmFusedRunner:
             x_out[0] = jnp.stack(X)
 
         def cspec(*dims):
-            return pl.BlockSpec(dims, lambda g: (0,) * len(dims),
+            # constants: block index never changes -> DMA'd once per call
+            return pl.BlockSpec(dims, lambda bt, tc: (0,) * len(dims),
                                 memory_space=pltpu.VMEM)
 
-        def bspec(*dims):
+        def sspec(*dims):
+            # carried state: revisited across the whole time sweep of one
+            # batch tile (index ignores tc)
             nd = len(dims)
             return pl.BlockSpec((1,) + dims,
-                                lambda g, nd=nd: (g,) + (0,) * nd,
+                                lambda bt, tc, nd=nd: (bt,) + (0,) * nd,
                                 memory_space=pltpu.VMEM)
+
+        def tspec(*dims):
+            # streamed per time chunk
+            nd = len(dims)
+            return pl.BlockSpec((1, 1) + dims,
+                                lambda bt, tc, nd=nd: (bt, tc) + (0,) * nd,
+                                memory_space=pltpu.VMEM)
+
+        fw_spec = pl.BlockSpec(
+            (1, sub, nv, 1), lambda bt, tc: (tc, 0, 0, 0),
+            memory_space=pltpu.VMEM)
 
         in_specs = [
             cspec(o, o, nv, nv, LANE), cspec(o, nv, nv, LANE),
             cspec(o, nv, nv, LANE), cspec(4, nv, nv),
-            cspec(nv, LANE), cspec(nv, LANE), cspec(sub, nv, LANE),
-            bspec(nm3, LANE), bspec(nm4, LANE), bspec(nv, LANE),
-            bspec(o, nv, nv, LANE),
+            cspec(nv, LANE), cspec(nv, LANE), fw_spec,
+            sspec(nm3, LANE), sspec(nm4, LANE), sspec(nv, LANE),
+            sspec(o, nv, nv, LANE),
         ]
         out_specs = [
-            bspec(nm3, LANE), bspec(nm4, LANE), bspec(nv, LANE),
-            bspec(o, nv, nv, LANE), bspec(sub, nm3, LANE),
+            sspec(nm3, LANE), sspec(nm4, LANE), sspec(nv, LANE),
+            sspec(o, nv, nv, LANE), tspec(sub, nm3, LANE),
         ]
         f32 = jnp.float32
         out_shape = [
@@ -378,11 +470,11 @@ class FarmFusedRunner:
             jax.ShapeDtypeStruct((RBt, nm4, LANE), f32),
             jax.ShapeDtypeStruct((RBt, nv, LANE), f32),
             jax.ShapeDtypeStruct((RBt, o, nv, nv, LANE), f32),
-            jax.ShapeDtypeStruct((RBt, sub, nm3, LANE), f32),
+            jax.ShapeDtypeStruct((RBt, nchunks, sub, nm3, LANE), f32),
         ]
         return pl.pallas_call(
-            kernel, grid=(RBt,), in_specs=in_specs, out_specs=out_specs,
-            out_shape=out_shape, interpret=interpret,
+            kernel, grid=(RBt, nchunks), in_specs=in_specs,
+            out_specs=out_specs, out_shape=out_shape, interpret=interpret,
         )
 
     # ------------------------------------------------------------------
@@ -451,41 +543,35 @@ class FarmFusedRunner:
         fwave = fwave.astype(jnp.float32)
 
         P, Qm, V, X, RBt, B = self.pack(states)
-        call = self.make_kernel(sub, RBt, interpret)
         consts = (self.adb, self.bdb, self.cmb, self.mats,
                   self.fstat, self.cgoff)
 
         nfull = num_steps // sub
         rem = num_steps - nfull * sub
 
-        def chunk(carry, fw):
-            Pc, Qc, Vc, Xc = carry
-            fwb = jnp.broadcast_to(fw[:, :, None], (sub, self.nv, LANE))
-            Pn, Qn, Vn, Xn, tr = call(*consts, fwb, Pc, Qc, Vc, Xc)
-            return (Pn, Qn, Vn, Xn), tr
-
         trs = []
         carry = (P, Qm, V, X)
         if nfull:
-            carry, tr = jax.lax.scan(
-                chunk, carry, fwave[:nfull * sub].reshape(nfull, sub, self.nv))
-            trs.append(tr)  # [nfull, RBt, sub, nm3, L]
+            call = self.make_kernel(sub, RBt, nfull, interpret)
+            fwb = fwave[:nfull * sub].reshape(nfull, sub, self.nv, 1)
+            Pn, Qn, Vn, Xn, tr = call(*consts, fwb, *carry)
+            carry = (Pn, Qn, Vn, Xn)
+            trs.append(tr)  # [RBt, nfull, sub, nm3, L]
         if rem:
-            call_r = self.make_kernel(rem, RBt, interpret)
-            fwb = jnp.broadcast_to(
-                fwave[nfull * sub:, :, None], (rem, self.nv, LANE))
+            call_r = self.make_kernel(rem, RBt, 1, interpret)
+            fwb = fwave[nfull * sub:].reshape(1, rem, self.nv, 1)
             Pn, Qn, Vn, Xn, tr = call_r(*consts, fwb, *carry)
             carry = (Pn, Qn, Vn, Xn)
-            trs.append(tr[None])  # [1, RBt, rem, nm3, L]
+            trs.append(tr)  # [RBt, 1, rem, nm3, L]
 
         final = self.unpack(*carry, B, states)
 
-        # [chunks, RBt, sub, nm3, L] -> [B, T, nm, 3]
+        # [RBt, chunks, sub, nm3, L] -> [B, T, nm, 3]
         parts = []
         for tr in trs:
-            nc, _, s, nm3, _ = tr.shape
+            _, nc, s, nm3, _ = tr.shape
             parts.append(
-                tr.transpose(1, 4, 0, 2, 3).reshape(RBt * LANE, nc * s, nm3))
+                tr.transpose(0, 4, 1, 2, 3).reshape(RBt * LANE, nc * s, nm3))
         pos_traj = jnp.concatenate(parts, axis=1)[:B]
         T = pos_traj.shape[1]
         traj = {"pos": pos_traj.reshape(B, T, self.nm, 3).astype(

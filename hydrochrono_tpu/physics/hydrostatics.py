@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from hydrochrono_tpu.ops.mxu import FULL
 from hydrochrono_tpu.physics.rotations import cardan_xyz_from_quat
 
 
@@ -29,7 +30,10 @@ def hydrostatic_force(pos, quat, k_lin, cg_eq, cb_minus_cg, disp_vol, rho, gravi
     g_mag = jnp.linalg.norm(gravity_vec)
     rot_disp = cardan_xyz_from_quat(quat)  # [..., N, 3]
     disp6 = jnp.concatenate([pos - cg_eq, rot_disp], axis=-1)  # [..., N, 6]
-    restoring = -(rho * g_mag) * jnp.einsum("nij,...nj->...ni", k_lin, disp6)
+    # precision pinned: the TPU default (one bf16 pass) puts ~0.4% bias on
+    # the stiffest force in the system (ops/mxu.py)
+    restoring = -(rho * g_mag) * jnp.einsum(
+        "nij,...nj->...ni", k_lin, disp6, precision=FULL)
 
     f_buoy = rho * (-gravity_vec) * disp_vol[:, None]  # [N, 3]
     t_buoy = jnp.cross(cb_minus_cg, f_buoy)  # [N, 3]

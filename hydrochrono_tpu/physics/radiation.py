@@ -38,6 +38,8 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
+from hydrochrono_tpu.ops.mxu import FULL
+
 from hydrochrono_tpu.io.bemio import trapezoid_widths
 
 
@@ -150,7 +152,7 @@ def radiation_force(W_rev: jnp.ndarray, vhist: jnp.ndarray, step: jnp.ndarray) -
     H = W_rev.shape[0]
     # W2[slot] = W[(n - slot) mod H]
     W2 = jnp.roll(W_rev, step + 1, axis=0)
-    return jnp.einsum("mij,...mj->...i", W2, vhist)
+    return jnp.einsum("mij,...mj->...i", W2, vhist, precision=FULL)
 
 
 def radiation_force_linear(W: jnp.ndarray, vhist_recent: jnp.ndarray) -> jnp.ndarray:
@@ -158,7 +160,7 @@ def radiation_force_linear(W: jnp.ndarray, vhist_recent: jnp.ndarray) -> jnp.nda
 
     vhist_recent: [..., H, 6N] with index m = lag m*dt. Mainly for tests.
     """
-    return jnp.einsum("mij,...mj->...i", W, vhist_recent)
+    return jnp.einsum("mij,...mj->...i", W, vhist_recent, precision=FULL)
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +200,10 @@ def build_hankel_far_kernel(W: np.ndarray, block: int) -> np.ndarray:
 
 def far_field_block(Wfar: jnp.ndarray, vold: jnp.ndarray) -> jnp.ndarray:
     """F_far [..., T_b, K] from newest-first old history vold [..., Hj, K]."""
-    return jnp.einsum("djik,...jk->...di", Wfar, vold)
+    # FULL is free for bf16 operands (one exact pass) and restores true
+    # f32 for f32 operands — the TPU default would be one bf16 pass for
+    # BOTH (ops/mxu.py)
+    return jnp.einsum("djik,...jk->...di", Wfar, vold, precision=FULL)
 
 
 def build_hankel_excitation(E: np.ndarray, block: int) -> np.ndarray:
@@ -218,4 +223,4 @@ def build_hankel_excitation(E: np.ndarray, block: int) -> np.ndarray:
 
 def excitation_block(EH: jnp.ndarray, eta_window: jnp.ndarray) -> jnp.ndarray:
     """F_exc [..., T_b, K] for the block from eta window [..., M+T_b-1]."""
-    return jnp.einsum("djk,...j->...dk", EH, eta_window)
+    return jnp.einsum("djk,...j->...dk", EH, eta_window, precision=FULL)

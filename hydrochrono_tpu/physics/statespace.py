@@ -94,14 +94,20 @@ def radiation_force_ss(Cm, Dm, x, v):
     """
     import jax.numpy as jnp
 
-    return jnp.einsum("rco,...rco->...r", Cm, x) + jnp.einsum("rc,...c->...r", Dm, v)
+    from hydrochrono_tpu.ops.mxu import FULL
+
+    return (jnp.einsum("rco,...rco->...r", Cm, x, precision=FULL)
+            + jnp.einsum("rc,...c->...r", Dm, v, precision=FULL))
 
 
 def advance_ss(Ad, Bd, x, v):
     """x+_ij = Ad_ij x_ij + Bd_ij v_j (jit-safe)."""
     import jax.numpy as jnp
 
-    return jnp.einsum("rcop,...rcp->...rco", Ad, x) + Bd * v[..., None, :, None]
+    from hydrochrono_tpu.ops.mxu import FULL
+
+    return (jnp.einsum("rcop,...rcp->...rco", Ad, x, precision=FULL)
+            + Bd * v[..., None, :, None])
 
 
 def ss_step_fused(Ad, Bd, Cm, Dm, x, v):
@@ -117,9 +123,11 @@ def ss_step_fused(Ad, Bd, Cm, Dm, x, v):
     """
     import jax.numpy as jnp
 
+    from hydrochrono_tpu.ops.mxu import FULL
+
     o = x.shape[-1]
     vb = v[..., None, :]  # [..., 1, C]
-    F = jnp.einsum("rc,...c->...r", Dm, v)
+    F = jnp.einsum("rc,...c->...r", Dm, v, precision=FULL)
     cols = []
     for i in range(o):
         xi = Bd[..., i] * vb

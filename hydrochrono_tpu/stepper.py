@@ -45,6 +45,7 @@ import jax.numpy as jnp
 
 from hydrochrono_tpu.io.bemio import HydroData
 from hydrochrono_tpu.ops.linalg import make_kkt_cache, solve_kkt, solve_kkt_refined, solve_spd
+from hydrochrono_tpu.ops.mxu import with_full_matmul
 from hydrochrono_tpu.physics import radiation as rad
 from hydrochrono_tpu.physics import statespace as ssr
 from hydrochrono_tpu.physics import waves as wv
@@ -832,6 +833,7 @@ class Simulation:
 
         return F, I_w
 
+    @with_full_matmul
     def _step(self, params, state: State, n):
         """One integration step. `n` is the *unbatched* step counter — keeping
         it out of the (vmapped) State means the kernel roll and ring-buffer
@@ -877,6 +879,7 @@ class Simulation:
              if self.has_constraints else None)
         return make_kkt_cache(Mhat, J)
 
+    @with_full_matmul
     def _step_core(self, params, state: State, n, f_rad=None, f_wave=None,
                    solver_cache=None):
         """Forces + KKT solve + semi-implicit update (no history bookkeeping)."""
@@ -979,6 +982,7 @@ class Simulation:
     # HHT-alpha integrator (the reference YAML `integrator: type: HHT`,
     # run_hydrochrono_from_yaml.cpp:185-214 via Chrono's ChTimestepperHHT)
     # ------------------------------------------------------------------
+    @with_full_matmul
     def _step_hht(self, params, state, n, f_rad=None, f_wave=None):
         """One HHT-alpha step with modified-Newton iterations.
 
@@ -1163,6 +1167,7 @@ class Simulation:
             return state
         return dataclasses.replace(state, hht=self._hht_carry0(params, state))
 
+    @with_full_matmul
     def run(self, num_steps: int, state: Optional[State] = None, params=None,
             start_step: int = 0):
         """Run `num_steps` steps; returns (final_state, trajectory pytree).
@@ -1194,6 +1199,7 @@ class Simulation:
         final, traj = jax.lax.scan(step, state, steps)
         return final, traj
 
+    @with_full_matmul
     def _run_blocked(self, num_steps: int, state: State, params, start_step: int):
         """Blocked scan: far-field radiation (and irregular excitation) are
         computed once per block as Hankel-kernel matmuls; the inner scan only
@@ -1322,6 +1328,7 @@ class Simulation:
         except NotImplementedError:
             return False
 
+    @with_full_matmul
     def run_farm_fused(self, num_steps: int, states: State, params=None,
                        interpret: Optional[bool] = None,
                        subblock: Optional[int] = None,
@@ -1334,6 +1341,7 @@ class Simulation:
             num_steps, states, params=params, interpret=interpret,
             subblock=subblock, start_step=start_step)
 
+    @with_full_matmul
     def run_blocked_fused(self, num_steps: int, states: State, params=None,
                           interpret: Optional[bool] = None,
                           start_step: int = 0,
@@ -1705,6 +1713,7 @@ class Simulation:
         }
         return final, traj_out
 
+    @with_full_matmul
     def run_batch(self, num_steps: int, batched: dict, state: Optional[State] = None):
         """vmap `run` over the leaves named in `batched` (leading batch dim).
 
