@@ -170,7 +170,8 @@ def deepcwind_decay(h5_path: str, pitch_deg: float = -3.95,
 def sphere_farm(h5_path: str, *, nx: int = 2, ny: int = 2,
                 spacing: float = 40.0, z0: float = -2.0,
                 mass: float = 261.8e3, inertia_scalar: float = 2.1e6,
-                pto_damping: float = 5.0e4) -> SystemSpec:
+                pto_damping: float = 5.0e4,
+                heave_only: bool = False) -> SystemSpec:
     """An nx*ny wave farm of identical floating spheres (point absorbers)
     with linear heave PTO dampers to seabed anchors.
 
@@ -187,12 +188,19 @@ def sphere_farm(h5_path: str, *, nx: int = 2, ny: int = 2,
     farms). Each device gets a TSDA heave damper to a fixed anchor
     directly below it — the farm PTO — with no joints, so the system
     stays constraint-free.
+
+    heave_only=True adds a vertical prismatic joint to ground per device
+    (the WEC-on-a-heave-rail point-absorber configuration, cf. the
+    reference's heave-constrained sphere demo
+    demo_sphere_reg_waves.cpp:100-123, which approximates the rail with
+    stiff TSDAs): 5 constraint rows per device, solved at farm scale by
+    the refined constrained const-mass KKT path (stepper.py).
     """
     n = nx * ny
     hydro = load_bemio_h5(h5_path, num_bodies=n)
     x0 = -0.5 * (nx - 1) * spacing
     y0 = -0.5 * (ny - 1) * spacing
-    bodies, tsdas = [], []
+    bodies, tsdas, joints = [], [], []
     anchor_z = z0 - 30.0
     for b in range(n):
         ix, iy = b % nx, b // nx
@@ -208,8 +216,13 @@ def sphere_farm(h5_path: str, *, nx: int = 2, ny: int = 2,
         tsdas.append(TSDA(
             b, ground, (px, py, z0), (px, py, anchor_z),
             spring_coeff=0.0, damping_coeff=pto_damping))
+        if heave_only:
+            joints.append(Joint(
+                "prismatic", b, ground, location=(px, py, z0),
+                axis=(0.0, 0.0, 1.0)))
     return SystemSpec(
         bodies=bodies,
+        joints=joints,
         tsdas=tsdas,
         hydro=HydroAttachment(hydro=hydro, body_indices=list(range(n))),
         gravity=(0.0, 0.0, -9.81),

@@ -83,6 +83,10 @@ class FarmFusedRunner:
                 "farm kernel requires every moving body hydro, in slot order")
         if sim.spec.rsdas or sim.spec.motors or sim.spec.moorings is not None:
             raise NotImplementedError("farm kernel: TSDA elements only")
+        if sim.has_constraints:
+            raise NotImplementedError(
+                "farm kernel: joint constraints not fused yet "
+                "(the XLA const-mass path handles them)")
         for t in sim.spec.tsdas:
             if t.spring_curve is not None or t.damping_curve is not None:
                 raise NotImplementedError("farm kernel: linear TSDA only")

@@ -135,25 +135,38 @@ class Simulation:
                  integrator: str = "euler_implicit_linearized",
                  hht_alpha: float = -0.2, hht_iterations: int = 3,
                  radiation: str = "convolution",
-                 const_mass: Optional[bool] = None):
+                 const_mass: Optional[bool] = None,
+                 kkt_refine_iters: int = 2):
         """block_size: enable the blocked far-field convolution (see
         physics/radiation.py) — the history buffer is then read once per
         `block_size` steps instead of every step. far_dtype optionally lowers
         the far-field Hankel kernel precision (e.g. bfloat16).
 
         const_mass: farm-scale fast path (round 3). When every moving body
-        has an ISOTROPIC inertia tensor (spheres / point absorbers) and
-        there are no joints, M^ = blockdiag(m I3, I) + A_inf is constant in
-        time (R I R^T = I), so the per-step solve collapses to one
-        precomputed [nv, nv] inverse-apply — an MXU matmul instead of an
-        unrolled O(nv^3) Cholesky graph whose op count (and compile time)
-        blows up for wave farms (nv >= 24; cf. the reference's single
-        6N-system assembly, chloadaddedmass.cpp:27-53, which Chrono then
-        factorizes every step). None = auto-enable for eligible systems
-        with nv >= 24; True = require (raises if ineligible); False = off.
-        The inverse is computed in float64 on the host. Per-instance mass
-        sweeps are not supported with const_mass (the inverse is built from
-        the spec masses)."""
+        has an ISOTROPIC inertia tensor (spheres / point absorbers),
+        M^ = blockdiag(m I3, I) + A_inf is constant in time (R I R^T = I),
+        so the per-step solve collapses to precomputed inverse-applies —
+        MXU matmuls instead of an unrolled O(nv^3) Cholesky graph whose op
+        count (and compile time) blows up for wave farms (nv >= 24; cf. the
+        reference's single 6N-system assembly, chloadaddedmass.cpp:27-53,
+        which Chrono then factorizes every step). Constrained farms (PTO
+        joints) solve the KKT system with host-precomputed f64 block
+        inverses (M^-1, S0^-1 at the initial configuration) + iterative
+        refinement against the current Jacobian (ops/linalg.py
+        solve_kkt_refined) — exact in one correction when J is
+        configuration-independent (heave-rail prismatic farms), and
+        convergent at rate ||J - J0||*||S0^-1|| otherwise. None =
+        auto-enable for eligible systems with nv >= 24; True = require
+        (raises if ineligible); False = off. Inverses are computed in
+        float64 on the host. Per-instance mass sweeps are not supported
+        with const_mass (the inverses are built from the spec masses).
+
+        kkt_refine_iters: refinement iterations for the constrained
+        const-mass solve. 2 (default) is exact for configuration-
+        independent Jacobians (rail/prismatic farms); raise it for
+        constrained farms whose bodies rotate far from the initial
+        configuration (each iteration contracts the error by
+        ~||J - J0|| * ||S0^-1||)."""
         self.spec = spec
         self.dt = float(dt)
         self.dtype = dtype if dtype is not None else jnp.zeros(0).dtype
@@ -168,6 +181,7 @@ class Simulation:
         # while the unrolled scalar chains fuse into one kernel), so default
         # off; kept as an option for platforms where factorization dominates.
         self.refined_solver = False if refined_solver is None else refined_solver
+        self.kkt_refine_iters = int(kkt_refine_iters)
         self.integrator = integrator
         if integrator not in ("euler_implicit_linearized", "hht"):
             raise ValueError(f"unknown integrator {integrator!r}")
@@ -309,13 +323,13 @@ class Simulation:
             )
             for i in self.moving
         )
-        eligible = iso and self.n_constraints == 0
+        eligible = iso
         if const_mass is None:
             const_mass = eligible and self.nv >= 24
         elif const_mass and not eligible:
             raise ValueError(
-                "const_mass requires isotropic body inertias and no "
-                "constraints (M^ must be time-invariant)")
+                "const_mass requires isotropic body inertias "
+                "(M^ must be time-invariant)")
         self.const_mass = bool(const_mass)
         if self.const_mass:
             mhat = np.asarray(self._ainf_np, dtype=np.float64).copy()
@@ -325,7 +339,23 @@ class Simulation:
                 mhat[s * 6 + 3:s * 6 + 6, s * 6 + 3:s * 6 + 6] += (
                     bodies[i].inertia_matrix())
             const["mhat"] = jnp.asarray(mhat, self.dtype)
-            const["minv"] = jnp.asarray(np.linalg.inv(mhat), self.dtype)
+            minv64 = np.linalg.inv(mhat)
+            const["minv"] = jnp.asarray(minv64, self.dtype)
+            if self.has_constraints:
+                # constrained farm: freeze the KKT block inverses at the
+                # initial configuration (f64, host) for the refined solver
+                pos0 = np.stack([np.asarray(bodies[i].pos0, np.float64)
+                                 for i in self.moving])
+                quat0 = np.stack([np.asarray(bodies[i].quat0, np.float64)
+                                  for i in self.moving])
+                J0 = np.asarray(jax.device_get(self._constraint_jacobian(
+                    const, jnp.asarray(pos0, self.dtype),
+                    jnp.asarray(quat0, self.dtype))), np.float64)
+                MinvJt = minv64 @ J0.T
+                S0 = J0 @ MinvJt
+                const["kkt_minvjt"] = jnp.asarray(MinvJt, self.dtype)
+                const["kkt_sinv"] = jnp.asarray(np.linalg.inv(S0), self.dtype)
+                const["kkt_j0"] = jnp.asarray(J0, self.dtype)
 
         # ----- TSDA / RSDA -----
         self._build_force_elements(params, const)
@@ -874,6 +904,13 @@ class Simulation:
     def _solver_cache(self, params, state: State):
         """Per-block cache for the refined KKT solver (ops/linalg.py)."""
         const = params["_const"]
+        if self.const_mass:
+            # farm scale: the unrolled inv_spd in make_kkt_cache would blow
+            # up at nv >= 24 — use the host-precomputed inverses instead
+            if self.has_constraints:
+                return (const["minv"], const["kkt_minvjt"],
+                        const["kkt_sinv"], const["kkt_j0"])
+            return (const["minv"], None, None, None)
         Mhat = self._assemble_mass(params, self._world_inertia(params, state.quat))
         J = (self._constraint_jacobian(const, state.pos, state.quat)
              if self.has_constraints else None)
@@ -892,12 +929,24 @@ class Simulation:
         v = jnp.concatenate([state.lin_vel, state.ang_vel], axis=-1).reshape(self.nv)
 
         if self.const_mass:
-            # farm fast path: M^ is time-invariant (isotropic inertias, no
-            # joints) — the solve is one precomputed inverse-apply (MXU
-            # matmul under vmap) instead of an unrolled O(nv^3) Cholesky
+            # farm fast path: M^ is time-invariant (isotropic inertias) —
+            # the solve is precomputed inverse-applies (MXU matmuls under
+            # vmap) instead of an unrolled O(nv^3) Cholesky
             rhs = (const["mhat"] * v[None, :]).sum(-1) + h * F
-            v_new = (const["minv"] * rhs[None, :]).sum(-1)
-            lam = jnp.zeros((0,), self.dtype)
+            if self.has_constraints:
+                # constrained farm: refined KKT against the current J with
+                # the host-precomputed f64 block inverses (see __init__)
+                c = self._constraint_residual(const, state.pos, state.quat)
+                g = self._constraint_rhs(params, c)
+                J = self._constraint_jacobian(const, state.pos, state.quat)
+                cache = (const["minv"], const["kkt_minvjt"],
+                         const["kkt_sinv"], const["kkt_j0"])
+                v_new, lam = solve_kkt_refined(
+                    const["mhat"], J, rhs, g, cache,
+                    iters=self.kkt_refine_iters)
+            else:
+                v_new = (const["minv"] * rhs[None, :]).sum(-1)
+                lam = jnp.zeros((0,), self.dtype)
             vr = v_new.reshape(nm, 6)
             lin_new, ang_new = vr[:, :3], vr[:, 3:]
             pos_new = state.pos + h * lin_new
@@ -1105,7 +1154,14 @@ class Simulation:
                 # modified-Newton update with the KKT-structured Jacobian
                 # [[M, -J^T], [J, 0]] (force-state derivatives are O(h^2 k)
                 # and folded into the iteration)
-                da, dneg_lam = solve_kkt(Mhat, J, -r_a, -r_c)
+                if self.const_mass:
+                    cache = (const["minv"], const["kkt_minvjt"],
+                             const["kkt_sinv"], const["kkt_j0"])
+                    da, dneg_lam = solve_kkt_refined(
+                        Mhat, J, -r_a, -r_c, cache,
+                        iters=self.kkt_refine_iters)
+                else:
+                    da, dneg_lam = solve_kkt(Mhat, J, -r_a, -r_c)
                 a = a + da
                 lam = lam - dneg_lam
             elif self.const_mass:

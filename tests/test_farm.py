@@ -75,15 +75,82 @@ def test_const_mass_hht_matches_general(farm4_h5):
 
 
 def test_const_mass_rejects_ineligible(farm4_h5):
-    from hydrochrono_tpu.models.builders import sphere_heave_constrained
+    # a non-isotropic inertia tensor makes M^ time-varying (R I R^T != I)
+    # -> ineligible
+    import dataclasses as dc
 
-    # joints make M^ solves KKT-coupled -> ineligible
-    sphere = "/root/reference/demos/sphere/hydroData/sphere.h5"
-    if not os.path.exists(sphere):
-        pytest.skip("sphere.h5 unavailable")
-    spec = sphere_heave_constrained(sphere)
+    spec = sphere_farm(farm4_h5, nx=2, ny=2)
+    bodies = [dc.replace(b, inertia=np.diag([1.0e6, 2.0e6, 3.0e6]))
+              if not b.fixed else b for b in spec.bodies]
+    spec_aniso = dc.replace(spec, bodies=bodies)
     with pytest.raises(ValueError, match="const_mass"):
-        Simulation(spec, dt=0.02, const_mass=True)
+        Simulation(spec_aniso, dt=0.02, const_mass=True)
+
+
+def test_const_mass_constrained_matches_general(farm4_h5):
+    """Constrained farm (heave-rail prismatic joints, 20 KKT rows at
+    nv=24): the host-precomputed-inverse + refined-KKT const-mass path
+    matches the general unrolled-Cholesky KKT path. J is configuration-
+    independent here, so the refinement is exact."""
+    wave = IrregularWaveParams(height=2.0, period=8.0, nfrequencies=20,
+                               ramp_duration=4.0)
+    spec = sphere_farm(farm4_h5, nx=2, ny=2, heave_only=True)
+    kw = dict(dt=0.02, wave=wave, duration=20.0, radiation="convolution")
+    sim_fast = Simulation(spec, const_mass=None, **kw)
+    assert sim_fast.const_mass and sim_fast.has_constraints
+    sim_gen = Simulation(spec, const_mass=False, **kw)
+
+    n = 200
+    _, tf = jax.jit(lambda: sim_fast.run(n))()
+    _, tg = jax.jit(lambda: sim_gen.run(n))()
+    zf, zg = np.asarray(tf["pos"]), np.asarray(tg["pos"])
+    assert np.isfinite(zf).all()
+    assert np.abs(zf - zg).max() < 1e-8
+    # the rail really constrains: no surge/sway drift
+    assert np.abs(zf[..., :2] - zf[0, :, :2]).max() < 1e-10
+
+
+def test_const_mass_constrained_hht_matches_general(farm4_h5):
+    spec = sphere_farm(farm4_h5, nx=2, ny=2, heave_only=True)
+    sim_fast = Simulation(spec, dt=0.02, integrator="hht", const_mass=True)
+    sim_gen = Simulation(spec, dt=0.02, integrator="hht", const_mass=False)
+    n = 100
+    _, tf = jax.jit(lambda: sim_fast.run(n))()
+    _, tg = jax.jit(lambda: sim_gen.run(n))()
+    assert np.abs(np.asarray(tf["pos"]) - np.asarray(tg["pos"])).max() < 1e-8
+
+
+def test_const_mass_constrained_rotating_jacobian(farm4_h5):
+    """Spherical-joint farm (pendulum moorings): J depends on the body
+    quaternions, so the frozen-at-t0 block inverses are only a
+    preconditioner — the refinement must absorb the drift. Swings of
+    ~0.7 m; measured convergence: iters 2/4/8 -> 5e-3/1e-4/4e-8 max
+    trajectory deviation (each iteration is matvec-only, far cheaper
+    than a farm-scale factorization)."""
+    from hydrochrono_tpu.physics.system import Joint
+    import dataclasses as dc
+
+    spec = sphere_farm(farm4_h5, nx=2, ny=2)
+    joints = [Joint("spherical", b, len(spec.bodies) - 1,
+                    location=np.asarray(spec.bodies[b].pos0)
+                    + np.array([0.0, 0.0, -4.0]))
+              for b in range(4)]
+    spec = dc.replace(spec, joints=joints)
+    kw = dict(dt=0.02, radiation="convolution")
+    sim_fast = Simulation(spec, const_mass=True, kkt_refine_iters=8, **kw)
+    sim_gen = Simulation(spec, const_mass=False, **kw)
+
+    # kick the farm sideways so the pendulums swing (J drifts from J0)
+    st = sim_fast.init_state()
+    st = dc.replace(st, lin_vel=st.lin_vel + np.array([0.5, 0.0, 0.0]))
+    n = 150
+    _, tf = jax.jit(lambda: sim_fast.run(n, state=st))()
+    _, tg = jax.jit(lambda: sim_gen.run(n, state=st))()
+    zf, zg = np.asarray(tf["pos"]), np.asarray(tg["pos"])
+    assert np.isfinite(zf).all()
+    swing = np.abs(zf[..., 0] - zf[0, :, 0]).max()
+    assert swing > 0.05  # the kick actually rotated the pendulums
+    assert np.abs(zf - zg).max() < 1e-6 * max(1.0, swing)
 
 
 def test_farm_state_space_matches_convolution(farm4_h5):
