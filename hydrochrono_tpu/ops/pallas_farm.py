@@ -4,10 +4,12 @@ state-space radiation).
 The general fused kernel (ops/pallas_step.py) unrolls every scalar of the
 KKT solve into register-resident rows — ideal for nv <= ~18 but its op
 count explodes at farm scale (DEVNOTES: unrolled Cholesky at nv >= 24
-blows up Mosaic compile). Farms sit in a different regime: no joints, a
-time-invariant mass matrix (stepper.py const_mass) and state-space
-radiation (physics/statespace.py) whose [6N, 6N, o] per-instance state
-dwarfs everything else. The XLA path pays the fusion lottery on ~20 small
+blows up Mosaic compile). Farms sit in a different regime: a
+time-invariant mass matrix (stepper.py const_mass), joints that are
+either absent or configuration-independent (heave rails — solved
+in-kernel as a direct cached-inverse KKT, all MXU matmuls), and
+state-space radiation (physics/statespace.py) whose [6N, 6N, o]
+per-instance state dwarfs everything else. The XLA path pays the fusion lottery on ~20 small
 kernels per step (measured ~57 us/step at nv=48, B=128 — PERF.md round 3).
 
 This kernel keeps the whole step in one dispatch and the state-space
@@ -83,10 +85,34 @@ class FarmFusedRunner:
                 "farm kernel requires every moving body hydro, in slot order")
         if sim.spec.rsdas or sim.spec.motors or sim.spec.moorings is not None:
             raise NotImplementedError("farm kernel: TSDA elements only")
-        if sim.has_constraints:
-            raise NotImplementedError(
-                "farm kernel: joint constraints not fused yet "
-                "(the XLA const-mass path handles them)")
+        self.constrained = bool(sim.has_constraints)
+        if self.constrained:
+            # in-kernel KKT is limited to configuration-INDEPENDENT
+            # Jacobians: every joint must fully lock the rotation of one
+            # moving body against a fixed body (heave-rail prismatic /
+            # fixed / locked-revolute farms) so J(t) = J0 exactly (up to
+            # integrator roundoff) and the direct cached-inverse solve is
+            # exact. Rotating constrained farms take the XLA refined path.
+            def _is_fixed(i):
+                return i < 0 or sim.spec.bodies[i].fixed
+
+            for kind, locked, _r, b1, b2 in sim.joint_rows:
+                locks_rot = kind in ("prismatic", "fixed") or (
+                    kind == "revolute" and locked)
+                if not locks_rot:
+                    raise NotImplementedError(
+                        "farm kernel: only rotation-locking joints "
+                        "(prismatic/fixed/locked-revolute) are fused")
+                if _is_fixed(b1) == _is_fixed(b2):
+                    raise NotImplementedError(
+                        "farm kernel: fused joints must pair one moving "
+                        "body with a fixed body")
+            for i in sim.moving:
+                if not np.allclose(sim.spec.bodies[i].quat0,
+                                   (1.0, 0.0, 0.0, 0.0)):
+                    raise NotImplementedError(
+                        "farm kernel: constrained farms require identity "
+                        "initial orientations (linearized residual)")
         for t in sim.spec.tsdas:
             if t.spring_curve is not None or t.damping_curve is not None:
                 raise NotImplementedError("farm kernel: linear TSDA only")
@@ -123,6 +149,30 @@ class FarmFusedRunner:
         self.mats = np.stack([
             _np_const(c["ss_D"]), _np_const(c["mhat"]),
             _np_const(c["minv"]), Kneg]).astype(f32)
+
+        # --- constant-J KKT operands (constrained farms) ---------------
+        if self.constrained:
+            J0 = _np_const(c["kkt_j0"])          # [m, nv]
+            MinvJt = _np_const(c["kkt_minvjt"])  # [nv, m]
+            Sinv = _np_const(c["kkt_sinv"])      # [m, m]
+            self.m_rows = J0.shape[0]
+            # Baumgarte residual, linearized about the initial
+            # configuration: c(x) ~= J0 @ dx with dx = [P - pos0, cardan].
+            # The kernel's disp vector is [P - cg_eq, cardan], so
+            # c = J0 @ disp + J0 @ (cg_eq - pos0) = J0 @ disp + ccon.
+            doff = np.zeros((nv,))
+            cg_eq = _np_const(c["cg_eq"])
+            for s, i in enumerate(sim.moving):
+                doff[6 * s:6 * s + 3] = (
+                    cg_eq[s] - np.asarray(sim.spec.bodies[i].pos0, np.float64))
+            ccon = J0 @ doff
+            self.jmat = np.ascontiguousarray(J0, f32)
+            self.minvjt = np.ascontiguousarray(MinvJt, f32)
+            self.sinv = np.ascontiguousarray(Sinv, f32)
+            self.ccon = np.ascontiguousarray(np.broadcast_to(
+                ccon[:, None], (self.m_rows, LANE)), f32)
+        else:
+            self.m_rows = 0
 
         # --- static force rows: gravity + buoyancy ---------------------
         mass = _np_const(p["mass"])
@@ -307,10 +357,17 @@ class FarmFusedRunner:
         nm3, nm4 = nm * 3, nm * 4
         h = float(self.sim.dt)
         ab = getattr(self, "ablate", ())  # perf-tuning ablation hooks
+        con = self.constrained
 
-        def kernel(adb, bdb, cmb, mats, fstat, cgoff, fw,
-                   p_in, q_in, v_in, x_in,
-                   p_out, q_out, v_out, x_out, traj):
+        def kernel(*refs):
+            adb, bdb, cmb, mats, fstat, cgoff = refs[:6]
+            i = 6
+            if con:
+                jmat, sinv, minvjt, ccon = refs[6:10]
+                i = 10
+            fw = refs[i]
+            p_in, q_in, v_in, x_in = refs[i + 1:i + 5]
+            p_out, q_out, v_out, x_out, traj = refs[i + 5:i + 10]
             tc = pl.program_id(1)
 
             @pl.when(tc == 0)
@@ -327,6 +384,9 @@ class FarmFusedRunner:
             dm, mhat, minv, kneg = (mats[k] for k in range(4))
             fstat = fstat[...]
             cgoff = cgoff[...]
+            if con:
+                jmat, sinv, minvjt, ccon = (
+                    jmat[...], sinv[...], minvjt[...], ccon[...])
 
             for e in range(0 if "empty" in ab else sub):
                 Prows = [P[k:k + 1] for k in range(nm3)]
@@ -390,6 +450,21 @@ class FarmFusedRunner:
                                   preferred_element_type=jnp.float32) + h * ftot
                     Vn = jnp.dot(minv, rhs, precision=_PREC,
                                  preferred_element_type=jnp.float32)
+                if con:
+                    # constant-J KKT, direct with the cached inverses
+                    # (exact — M and J are both time-invariant here):
+                    #   lam = S0^-1 (J0 Minv rhs - g),  g = -c/h
+                    #   Vn  = Minv rhs - Minv J0^T lam
+                    cres = jnp.dot(jmat, disp, precision=_PREC,
+                                   preferred_element_type=jnp.float32) \
+                        + ccon
+                    jt = jnp.dot(jmat, Vn, precision=_PREC,
+                                 preferred_element_type=jnp.float32)
+                    lam = jnp.dot(sinv, jt + cres * (1.0 / h),
+                                  precision=_PREC,
+                                  preferred_element_type=jnp.float32)
+                    Vn = Vn - jnp.dot(minvjt, lam, precision=_PREC,
+                                      preferred_element_type=jnp.float32)
 
                 # -- semi-implicit update
                 if "concat" in ab:
@@ -457,10 +532,13 @@ class FarmFusedRunner:
             (1, sub, nv, 1), lambda bt, tc: (tc, 0, 0, 0),
             memory_space=pltpu.VMEM)
 
+        m = self.m_rows
+        kkt_specs = ([cspec(m, nv), cspec(m, m), cspec(nv, m),
+                      cspec(m, LANE)] if con else [])
         in_specs = [
             cspec(o, o, nv, nv, LANE), cspec(o, nv, nv, LANE),
             cspec(o, nv, nv, LANE), cspec(4, nv, nv),
-            cspec(nv, LANE), cspec(nv, LANE), fw_spec,
+            cspec(nv, LANE), cspec(nv, LANE), *kkt_specs, fw_spec,
             sspec(nm3, LANE), sspec(nm4, LANE), sspec(nv, LANE),
             sspec(o, nv, nv, LANE),
         ]
@@ -549,6 +627,8 @@ class FarmFusedRunner:
         P, Qm, V, X, RBt, B = self.pack(states)
         consts = (self.adb, self.bdb, self.cmb, self.mats,
                   self.fstat, self.cgoff)
+        if self.constrained:
+            consts = consts + (self.jmat, self.sinv, self.minvjt, self.ccon)
 
         nfull = num_steps // sub
         rem = num_steps - nfull * sub

@@ -222,6 +222,36 @@ def test_farm_fused_matches_xla(farm4_h5):
     assert np.abs(np.asarray(ff.quat) - np.asarray(fx.quat)).max() < 1e-5
 
 
+def test_farm_fused_constrained_matches_xla(farm4_h5):
+    """Heave-rail farm through the fused kernel: the constant-J KKT
+    (direct cached-inverse solve, linearized Baumgarte residual) matches
+    the XLA refined const-mass path."""
+    import jax.numpy as jnp
+    from hydrochrono_tpu.parallel.sharding import make_batched_states
+
+    wave = IrregularWaveParams(height=1.5, period=7.0, nfrequencies=30,
+                               ramp_duration=5.0)
+    spec = sphere_farm(farm4_h5, nx=2, ny=2, heave_only=True)
+    sim = Simulation(spec, dt=0.02, wave=wave, duration=20.0,
+                     radiation="state_space", dtype=jnp.float32,
+                     outputs=("pos",))
+    assert sim.const_mass and sim.has_constraints
+    assert sim.farm_fused_supported()
+
+    B, n = 3, 42
+    off = np.zeros((B, sim.n_moving, 3))
+    off[:, :, 2] = 0.05 * np.arange(B)[:, None]
+    states = make_batched_states(sim, B, pos_offsets=off)
+
+    _, tx = jax.vmap(lambda s: sim.run(n, state=s))(states)
+    ff, tf = sim.run_farm_fused(n, states, interpret=True, subblock=8)
+
+    px, pf = np.asarray(tx["pos"]), np.asarray(tf["pos"])
+    assert np.abs(pf - px).max() < 1e-4
+    # the rail holds in the kernel too: no surge/sway drift
+    assert np.abs(pf[..., :2] - pf[:, :1, :, :2]).max() < 1e-4
+
+
 def test_farm_fused_rejects_unsupported(farm4_h5):
     """Configs outside the farm kernel's contract fall back cleanly."""
     sim = _farm_sim(farm4_h5, radiation="convolution")
@@ -229,3 +259,17 @@ def test_farm_fused_rejects_unsupported(farm4_h5):
     sim2 = _farm_sim(farm4_h5, radiation="state_space",
                      integrator="hht")
     assert not sim2.farm_fused_supported()
+    # rotating constrained farms (config-dependent J) fall back too
+    import dataclasses as dc
+    from hydrochrono_tpu.physics.system import Joint
+
+    spec = sphere_farm(farm4_h5, nx=2, ny=2)
+    joints = [Joint("spherical", b, len(spec.bodies) - 1,
+                    location=np.asarray(spec.bodies[b].pos0)
+                    + np.array([0.0, 0.0, -4.0]))
+              for b in range(4)]
+    import jax.numpy as jnp
+    sim3 = Simulation(dc.replace(spec, joints=joints), dt=0.02,
+                      radiation="state_space", dtype=jnp.float32,
+                      const_mass=True)
+    assert not sim3.farm_fused_supported()
