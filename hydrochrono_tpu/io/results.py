@@ -396,11 +396,19 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
                 gi.create_dataset("free_surface_time", data=np.asarray(irr.eta_time))
                 eta = np.asarray(irr.eta)
                 phases = np.asarray(irr.phases)
-                if eta.ndim > 1:
+                spread = irr.directions is not None
+                if eta.ndim > 1 and not spread:
                     # batched seed realizations: each per-seed file carries
                     # ITS OWN 1-D series (shape parity with single-seed runs)
                     eta = eta[eta_index if eta_index is not None else 0]
                     phases = phases[eta_index if eta_index is not None else 0]
+                if spread:
+                    # directional seas: full [D, Neta] per-heading series
+                    # (the physical elevation at the origin is the sum)
+                    gi.create_dataset("directions_deg",
+                                      data=np.asarray(irr.directions))
+                    gi.create_dataset("direction_weights",
+                                      data=np.asarray(irr.dir_weights))
                 gi.create_dataset("free_surface_eta", data=eta)
                 # full field reconstruction inputs (beyond-reference): lets
                 # tools/animate.py / physics/wavefield.py rebuild the

@@ -224,3 +224,9 @@ def build_hankel_excitation(E: np.ndarray, block: int) -> np.ndarray:
 def excitation_block(EH: jnp.ndarray, eta_window: jnp.ndarray) -> jnp.ndarray:
     """F_exc [..., T_b, K] for the block from eta window [..., M+T_b-1]."""
     return jnp.einsum("djk,...j->...dk", EH, eta_window, precision=FULL)
+
+
+def excitation_block_spread(EH: jnp.ndarray, eta_windows: jnp.ndarray) -> jnp.ndarray:
+    """Directional seas: per-heading Hankel kernels EH [H, T_b, M+T_b-1, K]
+    against per-heading eta windows [..., H, M+T_b-1], summed over H."""
+    return jnp.einsum("hdjk,...hj->...dk", EH, eta_windows, precision=FULL)

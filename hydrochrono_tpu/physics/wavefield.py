@@ -46,6 +46,9 @@ class WaveField:
     spectral_widths: Optional[np.ndarray] = None
     phases: Optional[np.ndarray] = None  # [F]
     wavenumbers: Optional[np.ndarray] = None
+    # directional seas (cos-2s spreading): the field is the superposition
+    # of independent per-heading components; queries sum over them
+    components: Optional[tuple] = None  # tuple[WaveField]
 
     # ------------------------------------------------------------------
     @classmethod
@@ -69,19 +72,40 @@ class WaveField:
         data = getattr(sim, "irr", None)
         if data is None:
             raise ValueError("simulation carries no irregular wave data")
+        stretch = bool(getattr(wave, "wave_stretching", False))
+        if data.directions is not None:
+            return cls._directional(
+                depth, g, stretch, np.asarray(data.freqs_hz),
+                np.asarray(data.spectral_densities),
+                np.asarray(data.spectral_widths),
+                np.asarray(data.phases), np.asarray(data.wavenumbers),
+                np.asarray(data.directions), np.asarray(data.dir_weights))
         phases = np.asarray(data.phases)
         if phases.ndim == 2:
             phases = phases[seed_index]
         return cls(
             kind="irregular", water_depth=depth, g=g,
             direction_deg=float(getattr(wave, "direction", 0.0)),
-            stretching=bool(getattr(wave, "wave_stretching", False)),
+            stretching=stretch,
             freqs_hz=np.asarray(data.freqs_hz),
             spectral_densities=np.asarray(data.spectral_densities),
             spectral_widths=np.asarray(data.spectral_widths),
             phases=phases,
             wavenumbers=np.asarray(data.wavenumbers),
         )
+
+    @classmethod
+    def _directional(cls, depth, g, stretch, freqs, dens, widths,
+                     phases, ks, directions, weights) -> "WaveField":
+        comps = tuple(
+            cls(kind="irregular", water_depth=depth, g=g,
+                direction_deg=float(directions[d]), stretching=stretch,
+                freqs_hz=freqs, spectral_densities=dens * weights[d],
+                spectral_widths=widths, phases=phases[d], wavenumbers=ks)
+            for d in range(len(directions))
+        )
+        return cls(kind="irregular", water_depth=depth, g=g,
+                   stretching=stretch, components=comps)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -94,6 +118,17 @@ class WaveField:
 
         with h5py.File(path, "r") as f:
             gw = f["inputs/simulation/waves"]
+            if "irregular" in gw and "directions_deg" in gw["irregular"]:
+                gi = gw["irregular"]
+                return cls._directional(
+                    float(np.asarray(gi["water_depth"])), 9.81, False,
+                    np.asarray(gi["frequencies_hz"]),
+                    np.asarray(gi["spectral_densities"]),
+                    np.asarray(gi["spectral_widths"]),
+                    np.asarray(gi["phases"]),
+                    np.asarray(gi["wavenumbers"]),
+                    np.asarray(gi["directions_deg"]),
+                    np.asarray(gi["direction_weights"]))
             if "irregular" in gw and "phases" in gw["irregular"]:
                 gi = gw["irregular"]
                 return cls(
@@ -150,6 +185,11 @@ class WaveField:
         """Free-surface elevation at [..., 3] points (z ignored), time t."""
         import jax.numpy as jnp
 
+        if self.components:
+            out = self.components[0].eta(position, t)
+            for c in self.components[1:]:
+                out = out + c.eta(position, t)
+            return out
         position = jnp.asarray(position, jnp.float64 if _x64() else jnp.float32)
         p = self._to_wave_frame(position)
         if self.kind == "still":
@@ -165,6 +205,11 @@ class WaveField:
         """Water particle velocity [..., 3] (GetWaterVelocity parity)."""
         import jax.numpy as jnp
 
+        if self.components:
+            out = self.components[0].velocity(position, t, stretching)
+            for c in self.components[1:]:
+                out = out + c.velocity(position, t, stretching)
+            return out
         position = jnp.asarray(position, jnp.float64 if _x64() else jnp.float32)
         p = self._to_wave_frame(position)
         if self.kind == "still":
@@ -186,6 +231,11 @@ class WaveField:
         """Water particle acceleration [..., 3] (GetWaterAcceleration)."""
         import jax.numpy as jnp
 
+        if self.components:
+            out = self.components[0].acceleration(position, t, stretching)
+            for c in self.components[1:]:
+                out = out + c.acceleration(position, t, stretching)
+            return out
         position = jnp.asarray(position, jnp.float64 if _x64() else jnp.float32)
         p = self._to_wave_frame(position)
         if self.kind == "still":

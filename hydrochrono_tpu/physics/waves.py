@@ -184,6 +184,33 @@ class IrregularWaveParams:
     wave_stretching: bool = False
     direction: float = 0.0  # degrees (see RegularWave.direction)
     axisymmetric: bool = False
+    # directional spreading (beyond-reference; the reference is strictly
+    # unidirectional, wave_types.cpp:20,34): cos-2s model
+    # D(theta) ~ cos^{2s}((theta - theta_m)/2) (Longuet-Higgins 1963),
+    # discretized over `n_directions` headings spanning `spreading_span`
+    # degrees about `direction`. None = unidirectional (reference behavior).
+    spreading_exponent: Optional[float] = None
+    n_directions: int = 7
+    spreading_span: float = 180.0
+
+
+def cos2s_headings(s: float, n_directions: int,
+                   span_deg: float = 180.0):
+    """Discretized cos-2s spreading: relative headings [D] (degrees,
+    centered on 0) and energy weights [D] summing to 1.
+
+    D(theta) ~ cos^{2s}(theta/2) on |theta| <= span/2; the normalization
+    constant drops out because the trapezoid weights are renormalized to
+    exactly conserve the spectrum's total energy (sum_d w_d = 1 means the
+    multi-directional eta variance equals the unidirectional one)."""
+    if n_directions < 1:
+        raise ValueError("n_directions must be >= 1")
+    if n_directions == 1:
+        return np.zeros(1), np.ones(1)
+    th = np.linspace(-0.5 * span_deg, 0.5 * span_deg, int(n_directions))
+    dens = np.cos(np.deg2rad(th) / 2.0) ** (2.0 * float(s))
+    w = dens * trapezoid_widths(th)
+    return th, w / w.sum()
 
 
 def _heading_transform(direction_deg: float) -> np.ndarray:
@@ -351,6 +378,11 @@ class IrregularWaveData:
     eta_time: np.ndarray  # [Neta]
     irf_time_resampled: np.ndarray
     irf_resampled: np.ndarray  # [N, 6, Tr']
+    # directional spreading (cos-2s): when set, eta is [D, Neta], phases
+    # [D, F] and exc_kernel [D, 6N, M]; the total excitation is the sum
+    # over headings of per-heading eta (*) per-heading kernel
+    directions: Optional[np.ndarray] = None  # [D] absolute headings, deg
+    dir_weights: Optional[np.ndarray] = None  # [D] energy fractions
 
 
 def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
@@ -361,15 +393,41 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
     axis; the excitation kernel is seed-independent.
     """
     nb = hydro.num_bodies
+    spread = (params.spreading_exponent is not None
+              and not params.eta_file_path)
+    if spread and np.atleast_1d(np.asarray(params.seed)).shape[0] > 1:
+        raise NotImplementedError(
+            "directional spreading with batched seeds is not supported "
+            "yet (run one seed per process / sweep entry)")
 
     # 1) resample excitation IRF onto (approximately) the simulation dt
     t_old = hydro.exc_irf_time
     t0, t1 = float(t_old[0]), float(t_old[-1])
     n_new = int(np.ceil((t1 - t0) / dt))
     irf_time = np.linspace(t0, t1, n_new)
-    irf_res = np.stack(
-        [eigen_spline_resample(hydro.exc_irf[b], n_new) for b in range(nb)]
-    )  # [N, 6, n_new]
+
+    def _resample(exc_irf):
+        return np.stack(
+            [eigen_spline_resample(exc_irf[b], n_new) for b in range(nb)]
+        )  # [N, 6, n_new]
+
+    if spread:
+        # per-heading resolved excitation (beyond-reference; the headings
+        # share hydro's IRF time grid, only the values differ)
+        rel, dir_weights = cos2s_headings(
+            params.spreading_exponent, params.n_directions,
+            params.spreading_span)
+        directions = params.direction + rel
+        irf_res = np.stack([
+            _resample(resolve_wave_direction(
+                hydro, float(th), axisymmetric=params.axisymmetric).exc_irf)
+            for th in directions
+        ])  # [D, N, 6, n_new]
+    else:
+        # single heading: the caller passes hydro already resolved at the
+        # mean direction (stepper._build_wave_arrays)
+        directions = dir_weights = None
+        irf_res = _resample(hydro.exc_irf)
     irf_width = trapezoid_widths(irf_time)
 
     # 2) spectrum / phases / wavenumbers
@@ -394,7 +452,20 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
         )
         widths = trapezoid_widths(freqs_hz)
         seeds = np.atleast_1d(np.asarray(params.seed, dtype=np.int64))
-        phases = np.stack([mt19937_uniform_phases(int(s), nf) for s in seeds])
+        if spread and seeds.shape[0] > 1:
+            raise NotImplementedError(
+                "directional spreading with batched seeds is not "
+                "supported yet (run one seed per process / sweep entry)")
+        if spread:
+            # independent phase sets per heading; heading 0's offset is 0
+            # so n_directions=1 degenerates bit-exactly to unidirectional
+            phases = np.stack([
+                mt19937_uniform_phases(int(seeds[0]) + d * 1000003, nf)
+                for d in range(len(directions))
+            ])  # [D, F]
+        else:
+            phases = np.stack(
+                [mt19937_uniform_phases(int(s), nf) for s in seeds])
         ks = compute_wavenumber(TWO_PI * freqs_hz, hydro.water_depth, hydro.g)
 
         # 3) eta series on [-t_irf_max, T + 2*(t_irf_max - t_irf_min) - t_irf_max]
@@ -424,6 +495,20 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
                 freqs_hz, dens, widths, phases, ks, eta_time,
                 ramp_duration=params.ramp_duration, dtype=jnp.float32,
             ), dtype=np.float64)
+        elif spread:
+            # per-heading realizations: energy fraction w_d scales the
+            # density, so sum_d Var(eta_d) equals the unidirectional
+            # variance (independent phases)
+            eta = np.stack([
+                eta_irregular_series(
+                    eta_time, freqs_hz, dens * dir_weights[d], widths,
+                    phases[d], ks)
+                for d in range(len(directions))
+            ])  # [D, Neta]
+            if params.ramp_duration > 0.0:
+                ramp = np.clip(eta_time / params.ramp_duration, 0.0, 1.0)
+                ramp = np.where(eta_time <= 0.0, 0.0, ramp)
+                eta = eta * ramp[None, :]
         else:
             eta = np.stack([
                 eta_irregular_series(eta_time, freqs_hz, dens, widths, phases[i], ks)
@@ -433,7 +518,8 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
                 ramp = np.clip(eta_time / params.ramp_duration, 0.0, 1.0)
                 ramp = np.where(eta_time <= 0.0, 0.0, ramp)
                 eta = eta * ramp[None, :]
-        if np.isscalar(params.seed) or np.asarray(params.seed).ndim == 0:
+        if not spread and (np.isscalar(params.seed)
+                           or np.asarray(params.seed).ndim == 0):
             eta = eta[0]
             phases = phases[0]
 
@@ -462,13 +548,20 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
         eta_time = np.concatenate([eta_time[0] + dt * np.arange(-pad, 0), eta_time])
         m = m + pad
         m_max += pad
-    E = np.zeros((total, m_max + 1))
-    for b in range(nb):
-        kw = irf_res[b] * irf_width[None, :]  # [6, n_new]
-        acc = np.zeros((m_max + 1, 6))
-        np.add.at(acc, m, (1.0 - f)[:, None] * kw.T)
-        np.add.at(acc, m + 1, f[:, None] * kw.T)
-        E[b * 6 : b * 6 + 6] = acc.T
+    def _fold(irf_one):  # [N, 6, n_new] -> [6N, m_max+1]
+        Eo = np.zeros((total, m_max + 1))
+        for b in range(nb):
+            kw = irf_one[b] * irf_width[None, :]  # [6, n_new]
+            acc = np.zeros((m_max + 1, 6))
+            np.add.at(acc, m, (1.0 - f)[:, None] * kw.T)
+            np.add.at(acc, m + 1, f[:, None] * kw.T)
+            Eo[b * 6 : b * 6 + 6] = acc.T
+        return Eo
+
+    if spread:
+        E = np.stack([_fold(irf_res[d]) for d in range(len(directions))])
+    else:
+        E = _fold(irf_res)
 
     return IrregularWaveData(
         eta=eta,
@@ -481,6 +574,8 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
         eta_time=eta_time,
         irf_time_resampled=irf_time,
         irf_resampled=irf_res,
+        directions=directions,
+        dir_weights=dir_weights,
     )
 
 

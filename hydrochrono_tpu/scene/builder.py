@@ -320,6 +320,9 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
                 eta_file_path=ws.eta_file,
                 direction=ws.direction,
                 axisymmetric=ws.axisymmetric,
+                spreading_exponent=ws.spreading_exponent,
+                n_directions=ws.n_directions,
+                spreading_span=ws.spreading_span,
             )
         if hydro_spec.moordyn:
             moorings = _build_moorings(

@@ -322,6 +322,10 @@ class WaveSettings:
     frequency_max: float = 1.0
     wave_stretching: bool = False
     eta_file: Optional[str] = None  # time/eta text file (ReadEtaFromFile)
+    # directional spreading (beyond-reference): cos-2s about `direction`
+    spreading_exponent: Optional[float] = None
+    n_directions: int = 7
+    spreading_span: float = 180.0
 
     @property
     def is_sweep(self) -> bool:
@@ -446,6 +450,12 @@ def parse_hydro_file(path: str) -> HydroSpec:
         wave_stretching=bool(wave.get("wave_stretching", False)),
         eta_file=(os.path.join(base, str(wave["eta_file"]))
                   if wave.get("eta_file") else None),
+        spreading_exponent=(
+            float(spreading["exponent"])
+            if (spreading := wave.get("spreading", {}) or {}).get(
+                "exponent") is not None else None),
+        n_directions=int(spreading.get("n_directions", 7)),
+        spreading_span=float(spreading.get("span", 180.0)),
     )
 
     conv = hyd.get("convolution", {}) or {}

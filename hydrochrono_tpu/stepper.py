@@ -371,15 +371,21 @@ class Simulation:
     def _build_wave_arrays(self, params):
         wave = self.wave
         self.wave_kind = type(wave).__name__
+        self.wave_spread = False
         if isinstance(wave, wv.NoWave) or self.hydro is None:
             self.wave_kind = "NoWave"
             return
         hd = self.hydro.hydro
         dirn = float(getattr(wave, "direction", 0.0) or 0.0)
         d0 = float(hd.wave_directions[0]) if hd.wave_directions is not None else 0.0
-        if dirn != d0:
+        self.wave_spread = bool(
+            getattr(wave, "spreading_exponent", None) is not None
+            and not getattr(wave, "eta_file_path", None))
+        if dirn != d0 and not self.wave_spread:
             # beyond-reference: honor the wave heading (the reference parses
-            # `direction:` and ignores it, wave_types.cpp:20,34)
+            # `direction:` and ignores it, wave_types.cpp:20,34). With
+            # directional spreading, build_irregular_wave resolves each
+            # heading itself — pass the unresolved tables through.
             hd = wv.resolve_wave_direction(
                 hd, dirn, axisymmetric=getattr(wave, "axisymmetric", False))
         if isinstance(wave, wv.RegularWave):
@@ -398,7 +404,7 @@ class Simulation:
             # which would silently misalign the window otherwise). Blocked
             # runs round the step count up to a block boundary (and HHT reads
             # the window at t+h), so cover the full final-block overhang too.
-            M = data.exc_kernel.shape[1]
+            M = data.exc_kernel.shape[-1]
             n_max = int(np.ceil(self.duration / self.dt)) + 2
             eta = np.asarray(data.eta)
             need = n_max + M + (self.block_size or 0)
@@ -407,12 +413,18 @@ class Simulation:
                 eta = np.concatenate([eta, np.zeros(eta.shape[:-1] + (pad,))], axis=-1)
             params["irr_eta"] = jnp.asarray(eta, self.dtype)
             params["_const"]["irr_kernel"] = jnp.asarray(data.exc_kernel, self.dtype)
-            self._exc_window = data.exc_kernel.shape[1]
+            self._exc_window = data.exc_kernel.shape[-1]
             if self.block_size:
-                params["_const"]["eh_kernel"] = jnp.asarray(
-                    rad.build_hankel_excitation(data.exc_kernel, self.block_size),
-                    self.far_dtype,
-                )
+                if self.wave_spread:
+                    eh = np.stack([
+                        rad.build_hankel_excitation(
+                            np.asarray(data.exc_kernel[d]), self.block_size)
+                        for d in range(data.exc_kernel.shape[0])
+                    ])  # [D, tb, M+tb-1, K]
+                else:
+                    eh = rad.build_hankel_excitation(
+                        data.exc_kernel, self.block_size)
+                params["_const"]["eh_kernel"] = jnp.asarray(eh, self.far_dtype)
         else:
             raise TypeError(f"unknown wave model {wave!r}")
 
@@ -430,6 +442,11 @@ class Simulation:
         window = jax.lax.dynamic_slice_in_dim(
             params["irr_eta"], n, self._exc_window, axis=-1
         )
+        if self.wave_spread:
+            # directional seas: eta [D, Neta], kernel [D, 6N, M] — the
+            # total excitation sums the per-heading convolutions
+            return jnp.einsum(
+                "dkm,dm->k", params["_const"]["irr_kernel"], window)
         return params["_const"]["irr_kernel"] @ window
 
     # ------------------------------------------------------------------
@@ -1300,9 +1317,14 @@ class Simulation:
                 etaw = jax.lax.dynamic_slice_in_dim(
                     params["irr_eta"], n0 + (1 if hht else 0), M + tb - 1, axis=-1
                 )
-                f_exc = rad.excitation_block(
-                    const["eh_kernel"], etaw.astype(self.far_dtype)
-                ).astype(self.dtype)  # [tb, K]
+                if self.wave_spread:
+                    f_exc = rad.excitation_block_spread(
+                        const["eh_kernel"], etaw.astype(self.far_dtype)
+                    ).astype(self.dtype)  # [tb, K]
+                else:
+                    f_exc = rad.excitation_block(
+                        const["eh_kernel"], etaw.astype(self.far_dtype)
+                    ).astype(self.dtype)  # [tb, K]
 
             def inner(ic, d):
                 st, vblock = ic
@@ -1467,7 +1489,8 @@ class Simulation:
                 base_ndim = {"mass": 1, "tsda_k": 1, "tsda_c": 1, "rsda_k": 1,
                              "rsda_c": 1, "motor_speed": 1, "reg_mag": 1,
                              "reg_phase": 1, "reg_amp": 0, "reg_omega": 0,
-                             "irr_eta": 1}
+                             # directional seas: [D, Neta] is UNBATCHED
+                             "irr_eta": 2 if self.wave_spread else 1}
                 axes = {}
                 for k2, v2 in params.items():
                     axes[k2] = (0 if (k2 in base_ndim and hasattr(v2, "ndim")
@@ -1546,7 +1569,10 @@ class Simulation:
 
         irregular = self.wave_kind == "IrregularWaveParams"
         regular = self.wave_kind == "RegularWave"
-        eta_batched = irregular and params["irr_eta"].ndim > 1
+        # directional seas carry a [D, Neta] eta — a heading axis, not a
+        # per-instance batch (batched seeds are rejected with spreading)
+        eta_batched = (irregular and params["irr_eta"].ndim > 1
+                       and not self.wave_spread)
         if eta_batched:
             Bp = RB * 128
             idx = jnp.minimum(jnp.arange(Bp), params["irr_eta"].shape[0] - 1)
@@ -1610,6 +1636,10 @@ class Simulation:
             etaw = jax.lax.dynamic_slice_in_dim(
                 params["irr_eta"], nb, M + tb - 1, axis=-1
             )
+            if self.wave_spread:
+                return rad.excitation_block_spread(
+                    const["eh_kernel"], etaw.astype(self.far_dtype)
+                ).astype(self.dtype)
             return rad.excitation_block(
                 const["eh_kernel"], etaw.astype(self.far_dtype)
             ).astype(self.dtype)
