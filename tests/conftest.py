@@ -49,6 +49,11 @@ SLOW_TESTS = {
     "test_f3of_dt3_flap_decay",
     "test_batched_seeds_irregular",
     "test_run_tests_harness",
+    "test_mooring_fused_path_matches_xla",
+    "test_pto_power_peaks_at_rao_optimum",
+    "test_const_mass_constrained_hht_matches_general",
+    "test_moordyn_yaml_end_to_end",
+    "test_const_mass_constrained_rotating_jacobian",
 }
 
 
