@@ -792,9 +792,33 @@ class Simulation:
         st = State(pos=pos, quat=quat, lin_vel=zeros3, ang_vel=zeros3,
                    vhist=vhist, ss=ss, hht=jnp.zeros((0,), self.dtype))
         if self.integrator == "hht":
+            # sweep-batched params (builder-stored reg_* sweeps, batched
+            # masses, ...) would crash the unbatched force evaluation —
+            # use instance 0 as the representative; every start-from-zero
+            # run path recomputes the carry per instance anyway
+            # (_ensure_hht_carry / run_blocked_fused's vmapped hc0)
             st = dataclasses.replace(
-                st, hht=self._hht_carry0(params or self.params, st))
+                st, hht=self._hht_carry0(
+                    self._unbatch_params(params or self.params), st))
         return st
+
+    def _param_base_ndim(self):
+        """Canonical UNBATCHED rank per sweepable params leaf — a leaf
+        with higher rank carries a leading per-instance sweep batch."""
+        return {"mass": 1, "tsda_k": 1, "tsda_c": 1, "rsda_k": 1,
+                "rsda_c": 1, "motor_speed": 1, "reg_mag": 1,
+                "reg_phase": 1, "reg_amp": 0, "reg_omega": 0,
+                # directional seas: [D, Neta] is UNBATCHED
+                "irr_eta": 2 if self.wave_spread else 1}
+
+    def _unbatch_params(self, params):
+        """Representative (index-0) slice of any sweep-batched leaves."""
+        base = self._param_base_ndim()
+        out = dict(params)
+        for k, v in params.items():
+            if (k in base and hasattr(v, "ndim") and v.ndim > base[k]):
+                out[k] = v[0]
+        return out
 
     def _hydro_velocity(self, state: State):
         # static-index stack (no gather with a device index array)
@@ -1486,11 +1510,7 @@ class Simulation:
                 # batches (the builder stores period-sweep reg_* params
                 # batched), so comparing against self.params would miss them.
                 f_rad0 = jnp.zeros((K,), self.dtype)
-                base_ndim = {"mass": 1, "tsda_k": 1, "tsda_c": 1, "rsda_k": 1,
-                             "rsda_c": 1, "motor_speed": 1, "reg_mag": 1,
-                             "reg_phase": 1, "reg_amp": 0, "reg_omega": 0,
-                             # directional seas: [D, Neta] is UNBATCHED
-                             "irr_eta": 2 if self.wave_spread else 1}
+                base_ndim = self._param_base_ndim()
                 axes = {}
                 for k2, v2 in params.items():
                     axes[k2] = (0 if (k2 in base_ndim and hasattr(v2, "ndim")
