@@ -20,6 +20,11 @@ import jax
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# honor JAX_PLATFORMS=cpu even when a site hook pre-selects another
+# platform (the env var alone loses — DEVNOTES.md)
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 from hydrochrono_tpu.io.synth import write_bemio_h5  # noqa: E402
 from hydrochrono_tpu.models.builders import sphere_farm  # noqa: E402
 from hydrochrono_tpu.physics.waves import IrregularWaveParams  # noqa: E402
@@ -47,12 +52,12 @@ def main():
     )
     spec = sphere_farm(h5, nx=2, ny=2, heave_only=True,
                        pto_damping=PTO_DAMPING)
-    sim = Simulation(spec, dt=0.02, wave=wave, duration=120.0,
+    sim = Simulation(spec, dt=0.02, wave=wave, duration=60.0,
                      radiation="state_space",
                      outputs=("pos", "lin_vel", "tsda"))
     assert sim.const_mass and sim.has_constraints and sim.wave_spread
 
-    n = 6000
+    n = 3000
     _, traj = jax.jit(lambda: sim.run(n))()
     pos = np.asarray(traj["pos"])          # [T, 4, 3]
     vel = np.asarray(traj["lin_vel"])      # [T, 4, 3]
@@ -70,8 +75,8 @@ def main():
     print(f"rail surge/sway drift: {drift:.2e} m (locked)")
 
     field = sim.wave_field()
-    eta0 = float(field.eta(np.zeros(3), 60.0))
-    print(f"free-surface elevation at the array center, t=60 s: {eta0:+.2f} m")
+    eta0 = float(field.eta(np.zeros(3), 30.0))
+    print(f"free-surface elevation at the array center, t=30 s: {eta0:+.2f} m")
 
 
 if __name__ == "__main__":
