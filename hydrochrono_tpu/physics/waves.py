@@ -194,6 +194,37 @@ class IrregularWaveParams:
     spreading_span: float = 180.0
 
 
+def excitation_freq_from_irf(K: np.ndarray, freqs: np.ndarray,
+                             times: np.ndarray) -> np.ndarray:
+    """Forward transform of a (real, compact-support) excitation IRF onto
+    the tabulated frequency grid: X(w) = int K(t) e^{-iwt} dt (trapezoid
+    over the kernel's own time grid). Inverse of
+    excitation_irf_from_frequency; the roundtrip preserves the kernel to
+    band-truncation error (tested). K: [..., Te] -> [..., Nw] complex."""
+    tw = trapezoid_widths(times)
+    basis = np.exp(-1j * np.outer(freqs, times)) * tw[None, :]  # [Nw, Te]
+    return K @ basis.T
+
+
+def excitation_irf_from_frequency(Xc: np.ndarray, freqs: np.ndarray,
+                                  times: np.ndarray) -> np.ndarray:
+    """Rebuild the excitation IRF from the complex frequency response.
+
+    K(t) = (1/pi) * int_0^inf Re{ X(w) e^{iwt} } dw, discretized with
+    trapezoid weights over the tabulated frequency grid — the same
+    construction BEMIO uses to produce `excitation_IRF` (validated against
+    the shipped kernel in tests/test_spreading.py). Needed when the
+    frequency response is modified per heading (array-phasing correction)
+    and the time-domain kernel must follow.
+
+    Xc: [..., Nw] complex; freqs: [Nw] rad/s; times: [Te]. Returns
+    [..., Te] real.
+    """
+    w = trapezoid_widths(freqs)
+    ph = np.exp(1j * np.outer(freqs, times))  # [Nw, Te]
+    return (Xc[..., None] * (w[:, None] * ph)).real.sum(-2) / np.pi
+
+
 def cos2s_headings(s: float, n_directions: int,
                    span_deg: float = 180.0):
     """Discretized cos-2s spreading: relative headings [D] (degrees,
@@ -227,7 +258,8 @@ def _heading_transform(direction_deg: float) -> np.ndarray:
 
 
 def resolve_wave_direction(hydro: HydroData, direction_deg: float,
-                           axisymmetric: bool = False) -> HydroData:
+                           axisymmetric: bool = False,
+                           body_xy: Optional[np.ndarray] = None) -> HydroData:
     """Return a HydroData with the excitation resolved at `direction_deg`.
 
     The reference parses the YAML `direction:` key but squeezes the BEMIO
@@ -244,6 +276,15 @@ def resolve_wave_direction(hydro: HydroData, direction_deg: float,
         at heading theta is T(theta) = blockdiag(Rz, Rz) applied to the
         heading-0 complex response (validated by the rotated-frame
         symmetry test, tests/test_direction.py).
+
+    body_xy [N, 2]: horizontal body reference positions. When given, the
+    axisymmetric rotation additionally applies the plane-wave ARRAY
+    PHASING e^{-i k(w) (d_hat - d0_hat) . r_b} per body and frequency —
+    the leading-order (wide-spacing) geometric correction for
+    multi-device arrays whose coefficients were solved at d0 only — and
+    rebuilds the excitation IRF from the corrected spectrum
+    (excitation_irf_from_frequency). Without it a rotated heading keeps
+    every device's phase as if it sat at the origin.
     """
     import dataclasses as _dc
 
@@ -284,10 +325,37 @@ def resolve_wave_direction(hydro: HydroData, direction_deg: float,
             exc_irf=irf,
         )
     if axisymmetric:
-        T = _heading_transform(d - float(dirs[0]))
+        d0 = float(dirs[0])
+        T = _heading_transform(d - d0)
         c = hydro.exc_mag[:, :, 0] * np.exp(1j * hydro.exc_phase[:, :, 0])
         c_rot = np.einsum("ij,njf->nif", T, c)
+        proj = None
+        if body_xy is not None and abs(d - d0) > 1e-12:
+            # wide-spacing array phasing: the file's phases assume
+            # propagation along d0; at heading d the plane wave reaches
+            # body b earlier/later by (d_hat - d0_hat) . r_b
+            th, th0 = np.deg2rad(d), np.deg2rad(d0)
+            dvec = np.array([np.cos(th) - np.cos(th0),
+                             np.sin(th) - np.sin(th0)])
+            proj = np.asarray(body_xy, np.float64) @ dvec  # [N]
         irf_rot = np.einsum("ij,njt->nit", T, hydro.exc_irf)
+        if proj is not None and np.abs(proj).max() > 1e-9:
+            ks = compute_wavenumber(hydro.freq_list, hydro.water_depth,
+                                    hydro.g)  # [Nw]
+            phase = np.exp(-1j * ks[None, None, :] * proj[:, None, None])
+            c_rot = c_rot * phase
+            # dispersive shift of the TIME-DOMAIN kernel: roundtrip the
+            # shipped (rotated) kernel through its own transform and apply
+            # the phase RESIDUAL there — K' = K + invT(T(K) * (phase - 1)).
+            # The unshifted content stays bit-exact (phase-1 vanishes at
+            # proj = 0), the kernel stays authoritative even when a file's
+            # mag/phase and IRF are not a Fourier pair (synthetic farm
+            # files), and only the correction term carries the
+            # band-truncation error of the frequency grid (tested).
+            Xk = excitation_freq_from_irf(
+                irf_rot, hydro.freq_list, hydro.exc_irf_time)
+            irf_rot = irf_rot + excitation_irf_from_frequency(
+                Xk * (phase - 1.0), hydro.freq_list, hydro.exc_irf_time)
         return _dc.replace(
             hydro,
             exc_mag=np.abs(c_rot)[:, :, None, :],
@@ -386,7 +454,8 @@ class IrregularWaveData:
 
 
 def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
-                         dt: float, duration: float) -> IrregularWaveData:
+                         dt: float, duration: float,
+                         body_xy: Optional[np.ndarray] = None) -> IrregularWaveData:
     """Full reference pipeline (wave_types.cpp:432-844), vectorized.
 
     Batched seeds: if params.seed is an array, eta/phases get a leading batch
@@ -420,7 +489,8 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
         directions = params.direction + rel
         irf_res = np.stack([
             _resample(resolve_wave_direction(
-                hydro, float(th), axisymmetric=params.axisymmetric).exc_irf)
+                hydro, float(th), axisymmetric=params.axisymmetric,
+                body_xy=body_xy).exc_irf)
             for th in directions
         ])  # [D, N, 6, n_new]
     else:

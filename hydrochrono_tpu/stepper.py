@@ -381,13 +381,23 @@ class Simulation:
         self.wave_spread = bool(
             getattr(wave, "spreading_exponent", None) is not None
             and not getattr(wave, "eta_file_path", None))
+        # horizontal body positions for the wide-spacing array-phasing
+        # correction (multi-device arrays only; a single body keeps the
+        # file's own phase reference)
+        body_xy = None
+        if self.hydro.hydro.num_bodies > 1:
+            body_xy = np.stack([
+                np.asarray(self.spec.bodies[i].pos0, np.float64)[:2]
+                for i in self.hydro.body_indices
+            ])
         if dirn != d0 and not self.wave_spread:
             # beyond-reference: honor the wave heading (the reference parses
             # `direction:` and ignores it, wave_types.cpp:20,34). With
             # directional spreading, build_irregular_wave resolves each
             # heading itself — pass the unresolved tables through.
             hd = wv.resolve_wave_direction(
-                hd, dirn, axisymmetric=getattr(wave, "axisymmetric", False))
+                hd, dirn, axisymmetric=getattr(wave, "axisymmetric", False),
+                body_xy=body_xy)
         if isinstance(wave, wv.RegularWave):
             data = wv.build_regular_wave(hd, wave)
             params["reg_mag"] = jnp.asarray(data.force_mag, self.dtype)
@@ -397,7 +407,8 @@ class Simulation:
         elif isinstance(wave, wv.IrregularWaveParams):
             if self.duration is None:
                 raise ValueError("irregular waves require `duration` at build time")
-            data = wv.build_irregular_wave(hd, wave, self.dt, self.duration)
+            data = wv.build_irregular_wave(hd, wave, self.dt, self.duration,
+                                           body_xy=body_xy)
             self.irr = data
             # zero-pad the eta series so the per-step dynamic_slice window
             # stays in bounds for every step (jax clamps out-of-range starts,

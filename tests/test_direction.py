@@ -165,3 +165,97 @@ def test_yaml_direction_plumbs_through(tmp_path, sphere_h5):
     case = build_case(str(d))
     assert float(case.wave.direction) == 25.0
     assert any("direction" in w for w in case.warnings)
+
+
+def test_excitation_irf_reconstruction(sphere_h5):
+    """The frequency->time rebuild reproduces BEMIO's shipped excitation
+    IRF (needed because array phasing modifies the spectrum per heading
+    and the time-domain kernel must follow)."""
+    from hydrochrono_tpu.physics.waves import excitation_irf_from_frequency
+
+    hd = load_bemio_h5(sphere_h5, num_bodies=1)
+    Xc = hd.exc_mag[:, :, 0, :] * np.exp(1j * hd.exc_phase[:, :, 0, :])
+    K = excitation_irf_from_frequency(Xc, hd.freq_list, hd.exc_irf_time)
+    rel = np.linalg.norm(K - hd.exc_irf) / np.linalg.norm(hd.exc_irf)
+    assert rel < 0.03
+    i = np.unravel_index(np.abs(hd.exc_irf).argmax(), hd.exc_irf.shape)
+    assert abs(K[i] - hd.exc_irf[i]) < 5e-3 * abs(hd.exc_irf[i])
+    # the roundtrip (time -> frequency -> time) behind the array-phasing
+    # residual correction preserves the kernel to band-truncation error
+    from hydrochrono_tpu.physics.waves import excitation_freq_from_irf
+
+    Xk = excitation_freq_from_irf(hd.exc_irf, hd.freq_list, hd.exc_irf_time)
+    K2 = excitation_irf_from_frequency(Xk, hd.freq_list, hd.exc_irf_time)
+    rel2 = np.linalg.norm(K2 - hd.exc_irf) / np.linalg.norm(hd.exc_irf)
+    assert rel2 < 0.05
+
+
+def test_array_phasing_under_rotation(tmp_path):
+    """Wide-spacing array phasing: rotating the heading by 90 degrees on a
+    2-device array shifts each device's excitation phase by exactly
+    -k (d_hat - x_hat) . r_b relative to the rotation-only result."""
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+    from hydrochrono_tpu.physics.waves import compute_wavenumber
+
+    path = str(tmp_path / "pair.h5")
+    write_bemio_h5(path, 2, seed=5,
+                   cg_list=[np.array([0.0, 0.0, -2.0])] * 2,
+                   cb_list=[np.array([0.0, 0.0, -1.7])] * 2,
+                   disp_vol=[261.8] * 2, rirf_tmax=10.0, rirf_steps=201,
+                   n_freq=40)
+    hd = load_bemio_h5(path, num_bodies=2)
+    body_xy = np.array([[0.0, 0.0], [40.0, 0.0]])
+    r_norot = resolve_wave_direction(hd, 90.0, axisymmetric=True)
+    r_phase = resolve_wave_direction(hd, 90.0, axisymmetric=True,
+                                     body_xy=body_xy)
+    # magnitudes are untouched by the pure phase factor
+    np.testing.assert_allclose(r_phase.exc_mag, r_norot.exc_mag,
+                               rtol=1e-12, atol=1e-12)
+    # body at the origin: no phase change at all
+    dph = r_phase.exc_phase[0] - r_norot.exc_phase[0]
+    assert np.abs(np.angle(np.exp(1j * dph))).max() < 1e-12
+    # body at (40, 0): d_hat - x_hat = (-1, 1) -> proj = -40
+    ks = compute_wavenumber(hd.freq_list, hd.water_depth, hd.g)
+    expected = np.angle(np.exp(-1j * ks * (-40.0)))
+    dph1 = np.angle(np.exp(1j * (r_phase.exc_phase[1] - r_norot.exc_phase[1])))
+    mag1 = r_phase.exc_mag[1]
+    big = mag1 > 1e-6 * mag1.max()  # phase is meaningless on ~zero entries
+    err = np.abs(np.angle(np.exp(1j * (dph1 - expected[None, None, :]))))
+    assert err[big].max() < 1e-9
+    # residual formulation: the origin body (proj = 0 -> phase == 1) keeps
+    # the rotation-only kernel BIT-exactly; the shifted body's kernel
+    # actually moved
+    np.testing.assert_array_equal(r_phase.exc_irf[0], r_norot.exc_irf[0])
+    assert (np.linalg.norm(r_phase.exc_irf[1] - r_norot.exc_irf[1])
+            / np.linalg.norm(r_norot.exc_irf[1])) > 0.1
+
+
+def test_array_phasing_plumbs_from_simulation(tmp_path):
+    """A 2x2 farm at heading 45 integrates with per-device phasing: the
+    devices' excitation series are no longer identical up to the rotation
+    (they are time-shifted), while heading 0 keeps the origin-referenced
+    kernels bit-identical to the body_xy=None build."""
+    import jax.numpy as jnp
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+    from hydrochrono_tpu.models.builders import sphere_farm
+
+    path = str(tmp_path / "farm4p.h5")
+    write_bemio_h5(path, 4, seed=9, state_space=True,
+                   cg_list=[np.array([0.0, 0.0, -2.0])] * 4,
+                   cb_list=[np.array([0.0, 0.0, -1.7])] * 4,
+                   disp_vol=[261.8] * 4, rirf_tmax=10.0, rirf_steps=201,
+                   n_freq=40)
+    wave0 = IrregularWaveParams(height=2.0, period=8.0, nfrequencies=30,
+                                ramp_duration=4.0, axisymmetric=True)
+    wave45 = dataclasses.replace(wave0, direction=45.0)
+    kw = dict(dt=0.02, duration=20.0, radiation="state_space")
+    sim0 = Simulation(sphere_farm(path, nx=2, ny=2), wave=wave0, **kw)
+    sim45 = Simulation(sphere_farm(path, nx=2, ny=2), wave=wave45, **kw)
+    n = 300
+    _, t0 = jax.jit(lambda: sim0.run(n))()
+    _, t45 = jax.jit(lambda: sim45.run(n))()
+    z0 = np.asarray(t0["pos"][..., 2])
+    z45 = np.asarray(t45["pos"][..., 2])
+    assert np.isfinite(z45).all()
+    # heading 45 breaks the heading-0 response pattern (phasing active)
+    assert np.abs(z45 - z0).max() > 1e-3
