@@ -397,9 +397,9 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
                 eta = np.asarray(irr.eta)
                 phases = np.asarray(irr.phases)
                 spread = irr.directions is not None
-                if eta.ndim > 1 and not spread:
+                if eta.ndim > (2 if spread else 1):
                     # batched seed realizations: each per-seed file carries
-                    # ITS OWN 1-D series (shape parity with single-seed runs)
+                    # ITS OWN series (shape parity with single-seed runs)
                     eta = eta[eta_index if eta_index is not None else 0]
                     phases = phases[eta_index if eta_index is not None else 0]
                 if spread:

@@ -74,11 +74,14 @@ class WaveField:
             raise ValueError("simulation carries no irregular wave data")
         stretch = bool(getattr(wave, "wave_stretching", False))
         if data.directions is not None:
+            ph = np.asarray(data.phases)
+            if ph.ndim == 3:  # batched seeds: [B, D, F]
+                ph = ph[seed_index]
             return cls._directional(
                 depth, g, stretch, np.asarray(data.freqs_hz),
                 np.asarray(data.spectral_densities),
                 np.asarray(data.spectral_widths),
-                np.asarray(data.phases), np.asarray(data.wavenumbers),
+                ph, np.asarray(data.wavenumbers),
                 np.asarray(data.directions), np.asarray(data.dir_weights))
         phases = np.asarray(data.phases)
         if phases.ndim == 2:

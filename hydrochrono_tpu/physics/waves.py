@@ -464,10 +464,6 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
     nb = hydro.num_bodies
     spread = (params.spreading_exponent is not None
               and not params.eta_file_path)
-    if spread and np.atleast_1d(np.asarray(params.seed)).shape[0] > 1:
-        raise NotImplementedError(
-            "directional spreading with batched seeds is not supported "
-            "yet (run one seed per process / sweep entry)")
 
     # 1) resample excitation IRF onto (approximately) the simulation dt
     t_old = hydro.exc_irf_time
@@ -522,17 +518,16 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
         )
         widths = trapezoid_widths(freqs_hz)
         seeds = np.atleast_1d(np.asarray(params.seed, dtype=np.int64))
-        if spread and seeds.shape[0] > 1:
-            raise NotImplementedError(
-                "directional spreading with batched seeds is not "
-                "supported yet (run one seed per process / sweep entry)")
         if spread:
             # independent phase sets per heading; heading 0's offset is 0
             # so n_directions=1 degenerates bit-exactly to unidirectional
             phases = np.stack([
-                mt19937_uniform_phases(int(seeds[0]) + d * 1000003, nf)
-                for d in range(len(directions))
-            ])  # [D, F]
+                np.stack([
+                    mt19937_uniform_phases(int(s) + d * 1000003, nf)
+                    for d in range(len(directions))
+                ])
+                for s in seeds
+            ])  # [B, D, F]
         else:
             phases = np.stack(
                 [mt19937_uniform_phases(int(s), nf) for s in seeds])
@@ -561,24 +556,38 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
 
             from hydrochrono_tpu.ops.pallas_eta import build_eta_batched
 
-            eta = np.asarray(build_eta_batched(
-                freqs_hz, dens, widths, phases, ks, eta_time,
-                ramp_duration=params.ramp_duration, dtype=jnp.float32,
-            ), dtype=np.float64)
+            if spread:
+                # one device call per heading (the density scale differs)
+                eta = np.stack([
+                    np.asarray(build_eta_batched(
+                        freqs_hz, dens * dir_weights[d], widths,
+                        phases[:, d], ks, eta_time,
+                        ramp_duration=params.ramp_duration,
+                        dtype=jnp.float32), dtype=np.float64)
+                    for d in range(len(directions))
+                ], axis=1)  # [B, D, Neta]
+            else:
+                eta = np.asarray(build_eta_batched(
+                    freqs_hz, dens, widths, phases, ks, eta_time,
+                    ramp_duration=params.ramp_duration, dtype=jnp.float32,
+                ), dtype=np.float64)
         elif spread:
             # per-heading realizations: energy fraction w_d scales the
             # density, so sum_d Var(eta_d) equals the unidirectional
             # variance (independent phases)
             eta = np.stack([
-                eta_irregular_series(
-                    eta_time, freqs_hz, dens * dir_weights[d], widths,
-                    phases[d], ks)
-                for d in range(len(directions))
-            ])  # [D, Neta]
+                np.stack([
+                    eta_irregular_series(
+                        eta_time, freqs_hz, dens * dir_weights[d], widths,
+                        phases[i, d], ks)
+                    for d in range(len(directions))
+                ])
+                for i in range(seeds.shape[0])
+            ])  # [B, D, Neta]
             if params.ramp_duration > 0.0:
                 ramp = np.clip(eta_time / params.ramp_duration, 0.0, 1.0)
                 ramp = np.where(eta_time <= 0.0, 0.0, ramp)
-                eta = eta * ramp[None, :]
+                eta = eta * ramp[None, None, :]
         else:
             eta = np.stack([
                 eta_irregular_series(eta_time, freqs_hz, dens, widths, phases[i], ks)
@@ -588,9 +597,8 @@ def build_irregular_wave(hydro: HydroData, params: IrregularWaveParams,
                 ramp = np.clip(eta_time / params.ramp_duration, 0.0, 1.0)
                 ramp = np.where(eta_time <= 0.0, 0.0, ramp)
                 eta = eta * ramp[None, :]
-        if not spread and (np.isscalar(params.seed)
-                           or np.asarray(params.seed).ndim == 0):
-            eta = eta[0]
+        if np.isscalar(params.seed) or np.asarray(params.seed).ndim == 0:
+            eta = eta[0]    # spread: [D, Neta]; plain: [Neta]
             phases = phases[0]
 
     # 4) fold quadrature + eta interpolation into an eta-index-space kernel:

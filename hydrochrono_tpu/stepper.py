@@ -1600,14 +1600,16 @@ class Simulation:
 
         irregular = self.wave_kind == "IrregularWaveParams"
         regular = self.wave_kind == "RegularWave"
-        # directional seas carry a [D, Neta] eta — a heading axis, not a
-        # per-instance batch (batched seeds are rejected with spreading)
-        eta_batched = (irregular and params["irr_eta"].ndim > 1
-                       and not self.wave_spread)
+        # directional seas carry a heading axis ([D, Neta] unbatched /
+        # [B, D, Neta] per-seed batched) — only a rank beyond that is a
+        # per-instance batch
+        eta_batched = (irregular and params["irr_eta"].ndim
+                       > (2 if self.wave_spread else 1))
         if eta_batched:
             Bp = RB * 128
             idx = jnp.minimum(jnp.arange(Bp), params["irr_eta"].shape[0] - 1)
-            eta_p = params["irr_eta"][idx].reshape(RB, 128, -1)
+            eta_p = params["irr_eta"][idx]  # [Bp, (D,) Neta]
+            eta_p = eta_p.reshape((RB, 128) + eta_p.shape[1:])
 
         keys = [k for k in ("pos", "quat", "lin_vel", "ang_vel", "acc",
                             "lambda", "tsda")
@@ -1659,6 +1661,12 @@ class Simulation:
             if eta_batched:
                 etaw = jax.lax.dynamic_slice_in_dim(eta_p, nb, M + tb - 1,
                                                     axis=-1)
+                if self.wave_spread:
+                    return jnp.einsum(
+                        "hdjk,rlhj->dkrl",
+                        const["eh_kernel"].astype(self.dtype),
+                        etaw,
+                    )
                 return jnp.einsum(
                     "djk,rlj->dkrl",
                     const["eh_kernel"].astype(self.dtype),

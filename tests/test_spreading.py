@@ -159,12 +159,25 @@ def test_farm_fused_spread_matches_xla(tmp_path):
     assert np.abs(np.asarray(tf["pos"]) - np.asarray(tx["pos"])).max() < 1e-4
 
 
-def test_batched_seeds_rejected(sphere_h5):
+def test_batched_seeds_spread(sphere_h5):
+    """Seed-batched directional seas ([B, D, Neta]): each realization in
+    the batch matches its own scalar-seed run exactly (run_batch detects
+    the heading axis as unbatched rank)."""
     spec = _free_sphere_spec(sphere_h5)
-    wave = _wave(seed=np.array([1, 2]), spreading_exponent=2.0,
-                 n_directions=3)
-    with pytest.raises(NotImplementedError, match="spreading"):
-        Simulation(spec, dt=0.02, wave=wave, duration=10.0)
+    kw = dict(spreading_exponent=2.0, n_directions=3, spreading_span=90.0,
+              axisymmetric=True)
+    sim_b = Simulation(spec, dt=0.02, duration=10.0,
+                       wave=_wave(seed=np.array([1, 5]), **kw))
+    assert sim_b.params["irr_eta"].ndim == 3
+    n = 150
+    _, tb = sim_b.run_batch(n, {"irr_eta": sim_b.params["irr_eta"]})
+    pb = np.asarray(tb["pos"])
+    assert pb.shape[0] == 2
+    for i, seed in enumerate((1, 5)):
+        sim_s = Simulation(spec, dt=0.02, duration=10.0,
+                           wave=_wave(seed=seed, **kw))
+        _, ts = jax.jit(lambda s=sim_s: s.run(n))()
+        assert np.abs(np.asarray(ts["pos"]) - pb[i]).max() < 1e-12
 
 
 def test_wavefield_directional(sphere_h5):
