@@ -164,14 +164,22 @@ def main():
             from hydrochrono_tpu.parallel.sharding import batch_mesh, shard_batch
 
             st_f = shard_batch(st_f, batch_mesh())
+        run_xla = jax.jit(jax.vmap(lambda s: sim_f.run(nf, state=s)[0].pos))
         if n_dev == 1 and sim_f.farm_fused_supported():
             # fused farm kernel (ops/pallas_farm.py): ~4.9x the XLA path
-            # at B=128 on v5e (15.7 vs 76.5 us/step)
-            run_f = jax.jit(
-                lambda s: sim_f.run_farm_fused(nf, s)[0].pos)
+            # at B=128 on v5e (15.7 vs 76.5 us/step). Fall back to the XLA
+            # farm path if the kernel fails to compile/run on this chip —
+            # a slower farm number beats a missing one.
+            try:
+                run_f = jax.jit(
+                    lambda s: sim_f.run_farm_fused(nf, s)[0].pos)
+                wall_farm, out_f = _timed(run_f, st_f)
+            except Exception as exc:  # noqa: BLE001
+                print(f"# farm fused kernel failed ({exc}); XLA fallback",
+                      file=sys.stderr)
+                wall_farm, out_f = _timed(run_xla, st_f)
         else:
-            run_f = jax.jit(jax.vmap(lambda s: sim_f.run(nf, state=s)[0].pos))
-        wall_farm, out_f = _timed(run_f, st_f)
+            wall_farm, out_f = _timed(run_xla, st_f)
         ok_farm = bool(np.isfinite(out_f).all())
         farm_us_step = wall_farm / nf * 1e6
         farm_rt = nf * dtf / wall_farm
