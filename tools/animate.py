@@ -54,8 +54,12 @@ def load_results(path):
             }
         irr = "inputs/simulation/waves/irregular"
         if irr in f:
-            out["eta"] = (np.asarray(f[irr + "/free_surface_time"][:]),
-                          np.asarray(f[irr + "/free_surface_eta"][:]))
+            e = np.asarray(f[irr + "/free_surface_eta"][:])
+            if e.ndim == 2:
+                # directional seas: per-heading series [D, Neta]; the
+                # physical elevation at the origin is the superposition
+                e = e.sum(axis=0)
+            out["eta"] = (np.asarray(f[irr + "/free_surface_time"][:]), e)
     return out
 
 
