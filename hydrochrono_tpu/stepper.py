@@ -399,7 +399,13 @@ class Simulation:
                 hd, dirn, axisymmetric=getattr(wave, "axisymmetric", False),
                 body_xy=body_xy)
         if isinstance(wave, wv.RegularWave):
-            data = wv.build_regular_wave(hd, wave)
+            # the reference-parity phase quirk (body 1's phases tiled over
+            # every body, wave_types.cpp:323) only makes sense at the
+            # file's own heading — a resolved heading carries REAL
+            # per-body phase differences (array phasing) that the tile
+            # would wipe out
+            data = wv.build_regular_wave(
+                hd, wave, replicate_phase_bug=(dirn == d0))
             params["reg_mag"] = jnp.asarray(data.force_mag, self.dtype)
             params["reg_phase"] = jnp.asarray(data.force_phase, self.dtype)
             params["reg_amp"] = jnp.asarray(data.amplitude, self.dtype)

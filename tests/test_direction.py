@@ -259,3 +259,31 @@ def test_array_phasing_plumbs_from_simulation(tmp_path):
     assert np.isfinite(z45).all()
     # heading 45 breaks the heading-0 response pattern (phasing active)
     assert np.abs(z45 - z0).max() > 1e-3
+
+
+def test_regular_heading_disables_phase_tile(tmp_path):
+    """The reference-parity phase quirk (body 1's phases tiled over all
+    bodies, wave_types.cpp:323) is kept at the file's own heading but
+    disabled for resolved headings — the array phasing IS the per-body
+    phase difference."""
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+    from hydrochrono_tpu.models.builders import sphere_farm
+
+    path = str(tmp_path / "pair2.h5")
+    write_bemio_h5(path, 4, seed=3, state_space=True,
+                   cg_list=[np.array([0.0, 0.0, -2.0])] * 4,
+                   cb_list=[np.array([0.0, 0.0, -1.7])] * 4,
+                   disp_vol=[261.8] * 4, rirf_tmax=10.0, rirf_steps=201,
+                   n_freq=40)
+    kw = dict(dt=0.02, radiation="state_space")
+    w0 = RegularWave(amplitude=0.5, omega=0.8)
+    w90 = RegularWave(amplitude=0.5, omega=0.8, direction=90.0,
+                      axisymmetric=True)
+    sim0 = Simulation(sphere_farm(path, nx=2, ny=2), wave=w0, **kw)
+    sim90 = Simulation(sphere_farm(path, nx=2, ny=2), wave=w90, **kw)
+    p0 = np.asarray(sim0.params["reg_phase"]).reshape(4, 6)
+    p90 = np.asarray(sim90.params["reg_phase"]).reshape(4, 6)
+    # heading 0: parity tile (all bodies share body 1's phases)
+    assert np.array_equal(p0[0], p0[1])
+    # heading 90: devices at different y see different plane-wave phases
+    assert not np.allclose(p90[0], p90[1])
