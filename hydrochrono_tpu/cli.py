@@ -325,7 +325,8 @@ def run_case(args, log) -> int:
 
     sweep_batched = None
     ws = case.hydro_spec.waves if case.hydro_spec else None
-    if ws is not None and ws.kind == "regular" and ws.is_sweep:
+    if ws is not None and ws.kind == "regular" and (
+            ws.is_sweep or ws.is_direction_sweep):
         # the batched params already carry the sweep axis from the builder
         sweep_batched = {k: sim.params[k] for k in
                          ("reg_mag", "reg_phase", "reg_amp", "reg_omega")}
@@ -439,7 +440,12 @@ def run_case(args, log) -> int:
         # reference --fail-fast stops a serial sweep on the first failure
         # (app/run_hydrochrono.cpp:46,138); without it the remaining cases
         # still export.
-        if sweep_batched is not None:
+        if sweep_batched is not None and ws.is_direction_sweep:
+            cases_out = [(f"direction_{d:g}",
+                          f"sweep case {i + 1} ({d:g} deg)", None)
+                         for i, d in enumerate(np.atleast_1d(ws.direction))]
+            noun = "heading sweep cases"
+        elif sweep_batched is not None:
             cases_out = [(f"period_{T:g}", f"sweep case {i + 1} (T={T:g} s)",
                           None)
                          for i, T in enumerate(np.atleast_1d(ws.periods))]

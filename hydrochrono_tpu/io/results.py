@@ -383,8 +383,9 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
         sim = getattr(case, "_sim", None)
         _depth = (float(sim.hydro.hydro.water_depth)
                   if sim is not None and sim.hydro is not None else np.inf)
-        _dirn = float(getattr(case.hydro_spec.waves, "direction", 0.0)
-                      if case.hydro_spec is not None else 0.0)
+        _dirn = np.asarray(getattr(case.hydro_spec.waves, "direction", 0.0)
+                           if case.hydro_spec is not None else 0.0,
+                           dtype=np.float64)  # scalar, or [B] heading sweep
         if case.hydro_spec is not None and case.hydro_spec.waves.kind == "irregular":
             # spectrum + free-surface inputs (simulation_exporter.cpp:365-393)
             irr = getattr(sim, "irr", None) if sim is not None else None

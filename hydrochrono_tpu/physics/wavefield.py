@@ -66,7 +66,8 @@ class WaveField:
             amp = float(np.atleast_1d(np.asarray(wave.amplitude))[0])
             k = float(wv.compute_wavenumber(om, depth, g))
             return cls(kind="regular", water_depth=depth, g=g,
-                       direction_deg=float(getattr(wave, "direction", 0.0)),
+                       direction_deg=float(np.atleast_1d(np.asarray(
+                           getattr(wave, "direction", 0.0)))[0]),
                        omega=om, amplitude=amp, phase=float(wave.phase),
                        wavenumber=k)
         data = getattr(sim, "irr", None)
@@ -88,7 +89,8 @@ class WaveField:
             phases = phases[seed_index]
         return cls(
             kind="irregular", water_depth=depth, g=g,
-            direction_deg=float(getattr(wave, "direction", 0.0)),
+            direction_deg=float(np.atleast_1d(np.asarray(
+                           getattr(wave, "direction", 0.0)))[0]),
             stretching=stretch,
             freqs_hz=np.asarray(data.freqs_hz),
             spectral_densities=np.asarray(data.spectral_densities),
@@ -151,7 +153,8 @@ class WaveField:
                     kind="regular",
                     water_depth=float(np.asarray(gr["water_depth"])),
                     g=9.81,
-                    direction_deg=float(np.asarray(gr["direction_deg"])),
+                    direction_deg=float(
+                        np.asarray(gr["direction_deg"]).reshape(-1)[0]),
                     omega=float(np.asarray(gr["omega"]).reshape(-1)[0]),
                     amplitude=float(np.asarray(gr["amplitude"]).reshape(-1)[0]),
                     phase=float(np.asarray(gr["phase"])),

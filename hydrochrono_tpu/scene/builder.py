@@ -279,7 +279,7 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
         hydro_att = HydroAttachment(hydro=hd, body_indices=body_indices)
 
         ws = hydro_spec.waves
-        if getattr(ws, "direction", 0.0) and ws.kind in ("regular", "irregular"):
+        if np.any(np.asarray(ws.direction)) and ws.kind in ("regular", "irregular"):
             warnings.append(
                 f"wave direction {ws.direction} deg is APPLIED here (the "
                 "reference parses `direction:` but hard-codes +x "
@@ -288,10 +288,21 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
             periods = np.atleast_1d(np.asarray(ws.periods, dtype=np.float64))
             omegas = 2.0 * np.pi / periods
             amp = ws.height / 2.0
+            if ws.is_direction_sweep and periods.size > 1:
+                raise ValueError(
+                    "period and direction sweeps cannot be combined in one "
+                    "run (one batch axis); sweep one and loop the other")
             if periods.size > 1:
                 # sweep: batch over the period axis
                 wave = wv.RegularWave(amplitude=amp, omega=omegas,
                                       direction=ws.direction,
+                                      axisymmetric=ws.axisymmetric)
+            elif ws.is_direction_sweep:
+                # heading sweep (beyond-reference): batch over direction
+                wave = wv.RegularWave(amplitude=amp, omega=float(omegas[0]),
+                                      phase=ws.phase,
+                                      direction=np.asarray(ws.direction,
+                                                           np.float64),
                                       axisymmetric=ws.axisymmetric)
             else:
                 wave = wv.RegularWave(amplitude=amp, omega=float(omegas[0]),
@@ -299,6 +310,10 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
                                       direction=ws.direction,
                                       axisymmetric=ws.axisymmetric)
         elif ws.kind == "irregular":
+            if ws.is_direction_sweep:
+                raise ValueError(
+                    "direction sweeps are regular-wave only (irregular "
+                    "multi-heading seas use the spreading: block instead)")
             period = float(np.atleast_1d(ws.periods)[0]) if ws.periods is not None else 0.0
             # reference behavior: PM spectrum (gamma=1, unnormalized), ramp 0
             # (run_hydrochrono_from_yaml.cpp:457). `spectrum: jonswap` is an

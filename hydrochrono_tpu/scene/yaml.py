@@ -331,6 +331,11 @@ class WaveSettings:
     def is_sweep(self) -> bool:
         return self.periods is not None and self.periods.ndim > 0 and self.periods.size > 1
 
+    @property
+    def is_direction_sweep(self) -> bool:
+        d = np.asarray(self.direction)
+        return d.ndim > 0 and d.size > 1
+
 
 @dataclasses.dataclass(frozen=True)
 class ConvolutionSettings:
@@ -381,6 +386,19 @@ def _parse_periods(wave: dict) -> Optional[np.ndarray]:
     if isinstance(val, list):
         return np.asarray([float(v) for v in val])
     raise ValueError(f"unsupported period specification: {val!r}")
+
+
+def _parse_directions(wave: dict):
+    """`direction:` accepts the same scalar / values / linspace / range
+    forms as `period:` (beyond-reference: heading sweeps for directional
+    RAO studies; the reference ignores the key entirely)."""
+    if "direction" not in wave:
+        return 0.0
+    val = wave["direction"]
+    if isinstance(val, (int, float)):
+        return float(val)
+    arr = _parse_periods({"period": val})
+    return float(arr) if arr.ndim == 0 else arr
 
 
 def parse_hydro_file(path: str) -> HydroSpec:
@@ -437,7 +455,7 @@ def parse_hydro_file(path: str) -> HydroSpec:
         kind=kind,
         height=height,
         periods=periods,
-        direction=float(wave.get("direction", 0.0)),
+        direction=_parse_directions(wave),
         axisymmetric=bool(wave.get("axisymmetric", False)),
         phase=float(wave.get("phase", 0.0)),
         spectrum=str(wave.get("spectrum", "pierson_moskowitz")).lower(),

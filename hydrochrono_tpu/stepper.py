@@ -376,7 +376,11 @@ class Simulation:
             self.wave_kind = "NoWave"
             return
         hd = self.hydro.hydro
-        dirn = float(getattr(wave, "direction", 0.0) or 0.0)
+        dir_attr = getattr(wave, "direction", 0.0)
+        dir_arr = np.atleast_1d(np.asarray(
+            0.0 if dir_attr is None else dir_attr, np.float64))
+        dir_sweep = dir_arr.size > 1
+        dirn = float(dir_arr[0])
         d0 = float(hd.wave_directions[0]) if hd.wave_directions is not None else 0.0
         self.wave_spread = bool(
             getattr(wave, "spreading_exponent", None) is not None
@@ -390,7 +394,7 @@ class Simulation:
                 np.asarray(self.spec.bodies[i].pos0, np.float64)[:2]
                 for i in self.hydro.body_indices
             ])
-        if dirn != d0 and not self.wave_spread:
+        if dirn != d0 and not self.wave_spread and not dir_sweep:
             # beyond-reference: honor the wave heading (the reference parses
             # `direction:` and ignores it, wave_types.cpp:20,34). With
             # directional spreading, build_irregular_wave resolves each
@@ -398,6 +402,29 @@ class Simulation:
             hd = wv.resolve_wave_direction(
                 hd, dirn, axisymmetric=getattr(wave, "axisymmetric", False),
                 body_xy=body_xy)
+        if isinstance(wave, wv.RegularWave) and dir_sweep:
+            # heading sweep (beyond-reference): one resolved excitation per
+            # heading, batched over the sweep axis like period sweeps
+            axisym = getattr(wave, "axisymmetric", False)
+            mags, phs = [], []
+            for th in dir_arr:
+                hd_t = (wv.resolve_wave_direction(
+                    hd, float(th), axisymmetric=axisym, body_xy=body_xy)
+                    if float(th) != d0 else hd)
+                data_t = wv.build_regular_wave(
+                    hd_t, wave, replicate_phase_bug=(float(th) == d0))
+                mags.append(data_t.force_mag)
+                phs.append(data_t.force_phase)
+            B = dir_arr.size
+            params["reg_mag"] = jnp.asarray(np.stack(mags), self.dtype)
+            params["reg_phase"] = jnp.asarray(np.stack(phs), self.dtype)
+            params["reg_amp"] = jnp.asarray(
+                np.broadcast_to(np.asarray(wave.amplitude, np.float64), (B,)),
+                self.dtype)
+            params["reg_omega"] = jnp.asarray(
+                np.broadcast_to(np.asarray(wave.omega, np.float64), (B,)),
+                self.dtype)
+            return
         if isinstance(wave, wv.RegularWave):
             # the reference-parity phase quirk (body 1's phases tiled over
             # every body, wave_types.cpp:323) only makes sense at the

@@ -287,3 +287,46 @@ def test_regular_heading_disables_phase_tile(tmp_path):
     assert np.array_equal(p0[0], p0[1])
     # heading 90: devices at different y see different plane-wave phases
     assert not np.allclose(p90[0], p90[1])
+
+
+def test_direction_sweep_batched(sym_hydro):
+    """A heading sweep batches per-heading resolved excitations over one
+    device program (like period sweeps); on an exactly Rz-equivariant
+    system the 90-degree entry is the 0-degree entry rotated."""
+    w = RegularWave(amplitude=1.0, omega=0.8,
+                    direction=np.array([0.0, 90.0]), axisymmetric=True)
+    sim = Simulation(_spec(sym_hydro), dt=0.02, wave=w,
+                     outputs=("pos", "lin_vel"))
+    assert sim.params["reg_mag"].shape[0] == 2
+    n = 300
+    batched = {k: sim.params[k] for k in
+               ("reg_mag", "reg_phase", "reg_amp", "reg_omega")}
+    _, tr = sim.run_batch(n, batched)
+    pos = np.asarray(tr["pos"])  # [2, n, 1, 3]
+    T = _heading_transform(90.0)[:3, :3]
+    a, b = pos[0, :, 0, :], pos[1, :, 0, :]
+    assert np.abs(b - a @ T.T).max() / max(1.0, np.abs(a).max()) < 1e-8
+
+
+def test_yaml_direction_sweep(tmp_path):
+    from hydrochrono_tpu.scene.yaml import parse_hydro_file
+
+    hy = tmp_path / "d.hydro.yaml"
+    hy.write_text(
+        """
+hydrodynamics:
+  bodies:
+    - name: body1
+      h5_file: sphere.h5
+  waves:
+    type: regular
+    height: 1.0
+    period: 8.0
+    axisymmetric: true
+    direction:
+      linspace: {start: 0.0, stop: 90.0, num: 4}
+"""
+    )
+    ws = parse_hydro_file(str(hy)).waves
+    assert ws.is_direction_sweep and not ws.is_sweep
+    np.testing.assert_allclose(np.asarray(ws.direction), [0.0, 30.0, 60.0, 90.0])
