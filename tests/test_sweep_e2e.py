@@ -101,8 +101,8 @@ def test_sweep_cli_end_to_end(sweep_case, tmp_path):
     # the RAO tool consumes the sweep layout directly
     from rao import rao_from_sweep_dir
 
-    rao = rao_from_sweep_dir(out_dir, wave_amplitude=0.25)
-    assert rao.shape[0] == 3
+    rao, by_heading = rao_from_sweep_dir(out_dir, wave_amplitude=0.25)
+    assert rao.shape[0] == 3 and not by_heading
     assert np.isfinite(rao).all()
 
 

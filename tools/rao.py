@@ -53,24 +53,36 @@ def rao_from_batch(times: np.ndarray, responses: np.ndarray, periods: np.ndarray
 
 def rao_from_sweep_dir(sweep_dir: str, body: str = "body1", channel: str = "position",
                        component: int = 2, wave_amplitude: float | None = None):
-    """RAO from the CLI's period_* export directories."""
+    """RAO from the CLI's period_* (or direction_*) export directories.
+
+    Heading sweeps (direction_* dirs, one wave period) return rows keyed
+    by heading in degrees instead of period — the directional RAO."""
     import h5py
 
+    period_dirs = sorted(glob.glob(os.path.join(sweep_dir, "period_*")))
+    dir_dirs = sorted(glob.glob(os.path.join(sweep_dir, "direction_*")))
+    by_heading = not period_dirs and bool(dir_dirs)
+
     rows = []
-    for d in sorted(glob.glob(os.path.join(sweep_dir, "period_*"))):
-        T = float(os.path.basename(d).split("_", 1)[1])
+    for d in period_dirs or dir_dirs:
+        key = float(os.path.basename(d).split("_", 1)[1])
         files = glob.glob(os.path.join(d, "results.*.h5"))
         if not files:
             continue
         with h5py.File(files[0]) as f:
             t = f["results/time/time"][:]
             y = f[f"results/model/bodies/{body}/{channel}"][:, component]
+            if by_heading:
+                om = float(np.asarray(
+                    f["inputs/simulation/waves/regular/omega"]).reshape(-1)[0])
+            else:
+                om = 2.0 * np.pi / key
             amp = wave_amplitude
             if amp is None:
                 amp = 1.0
-        a, ph = fourier_amplitude(t, y, 2.0 * np.pi / T)
-        rows.append((T, a / amp, ph))
-    return np.asarray(rows)
+        a, ph = fourier_amplitude(t, y, om)
+        rows.append((key, a / amp, ph))
+    return np.asarray(rows), by_heading
 
 
 def main(argv=None) -> int:
@@ -83,13 +95,15 @@ def main(argv=None) -> int:
     p.add_argument("--plot", help="write a PNG RAO curve here")
     args = p.parse_args(argv)
 
-    rao = rao_from_sweep_dir(args.sweep_dir, args.body, args.channel,
-                             args.component, args.amplitude)
+    rao, by_heading = rao_from_sweep_dir(
+        args.sweep_dir, args.body, args.channel, args.component,
+        args.amplitude)
     if rao.size == 0:
         print("no sweep results found")
         return 2
+    key = "direction_deg" if by_heading else "period_s"
     for T, r, ph in rao:
-        print(json.dumps({"period_s": T, "rao": r, "phase_rad": ph}))
+        print(json.dumps({key: T, "rao": r, "phase_rad": ph}))
 
     if args.plot:
         import matplotlib
@@ -99,7 +113,8 @@ def main(argv=None) -> int:
 
         fig, ax = plt.subplots(figsize=(8, 5))
         ax.plot(rao[:, 0], rao[:, 1], "o-")
-        ax.set_xlabel("wave period (s)")
+        ax.set_xlabel("wave heading (deg)" if by_heading
+                      else "wave period (s)")
         ax.set_ylabel("RAO (m/m)")
         ax.grid(alpha=0.3)
         fig.savefig(args.plot, dpi=110)
