@@ -1310,12 +1310,18 @@ class Simulation:
 
     @with_full_matmul
     def run(self, num_steps: int, state: Optional[State] = None, params=None,
-            start_step: int = 0):
+            start_step: int = 0, remat: bool = False):
         """Run `num_steps` steps; returns (final_state, trajectory pytree).
 
         Trajectory arrays have leading dim num_steps and hold post-step values
         at times (n+1)*dt, matching the reference output convention
         (demo_sphere_decay.cpp:110-120 records after DoStepDynamics).
+
+        remat=True wraps the step in jax.checkpoint so reverse-mode
+        gradients store only the per-step State carry (O(T * state)) and
+        recompute step internals on the backward pass — the standard
+        long-horizon design-optimization configuration. Forward values
+        are identical; only backward memory/compute trade off.
         """
         if params is None:
             params = self.params
@@ -1324,24 +1330,28 @@ class Simulation:
         state = self._ensure_hht_carry(params, state, start_step)
 
         if self.block_size and self.hydro is not None:
-            return self._run_blocked(num_steps, state, params, start_step)
+            return self._run_blocked(num_steps, state, params, start_step,
+                                     remat=remat)
 
         if self.integrator == "hht":
             def hht_step(s, n):
                 return self._step_hht(params, s, n)
 
             steps = start_step + jnp.arange(num_steps, dtype=jnp.int32)
-            return jax.lax.scan(hht_step, state, steps)
+            return jax.lax.scan(jax.checkpoint(hht_step) if remat
+                                else hht_step, state, steps)
 
         def step(s, n):
             return self._step(params, s, n)
 
         steps = start_step + jnp.arange(num_steps, dtype=jnp.int32)
-        final, traj = jax.lax.scan(step, state, steps)
+        final, traj = jax.lax.scan(jax.checkpoint(step) if remat else step,
+                                   state, steps)
         return final, traj
 
     @with_full_matmul
-    def _run_blocked(self, num_steps: int, state: State, params, start_step: int):
+    def _run_blocked(self, num_steps: int, state: State, params, start_step: int,
+                     remat: bool = False):
         """Blocked scan: far-field radiation (and irregular excitation) are
         computed once per block as Hankel-kernel matmuls; the inner scan only
         touches this block's velocities. Matches the per-step path up to
@@ -1424,8 +1434,10 @@ class Simulation:
             st2 = dataclasses.replace(st2, vhist=vhist)
             return st2, outs
 
+        # remat per BLOCK: backward stores one State per block (sqrt-style
+        # granularity — the inner tb-step scan is recomputed)
         final, traj = jax.lax.scan(
-            block, state,
+            jax.checkpoint(block) if remat else block, state,
             start_block + jnp.arange(nblocks, dtype=jnp.int32),
         )
         # [nblocks, tb, ...] -> [nblocks*tb, ...] -> trim padding

@@ -88,3 +88,44 @@ def test_gradient_through_simulation(sphere_h5):
     assert abs(float(g) - float(fd)) <= max(1e-3 * abs(float(fd)), 1e-18)
     # more damping -> less motion
     assert float(g) < 0
+
+
+def test_remat_gradients_match(sphere_h5):
+    """run(remat=True) (jax.checkpoint per step / per block) produces the
+    SAME gradient as the plain scan — only backward memory/compute trade
+    off. Long-horizon design optimization relies on this."""
+    from hydrochrono_tpu.io.bemio import load_bemio_h5
+    from hydrochrono_tpu.physics.system import (
+        Body, HydroAttachment, Joint, SystemSpec, TSDA,
+    )
+    from hydrochrono_tpu.physics.waves import RegularWave
+    from hydrochrono_tpu.stepper import Simulation
+
+    hydro = load_bemio_h5(sphere_h5, num_bodies=1)
+    spec = SystemSpec(
+        bodies=[
+            Body("body1", 261.8e3, (0.0, 0.0, -2.0)),
+            Body("ground", 999.0, (0.0, 0.0, -5.0), fixed=True),
+        ],
+        joints=[Joint("prismatic", 0, 1, location=(0.0, 0.0, -2.0),
+                      axis=(0.0, 0.0, 1.0))],
+        tsdas=[TSDA(0, 1, (0.0, 0.0, -2.0), (0.0, 0.0, -5.0),
+                    damping_coeff=1e5)],
+        hydro=HydroAttachment(hydro=hydro, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    n = 200
+
+    def loss(damping, sim, remat):
+        params = dict(sim.params)
+        params["tsda_c"] = jnp.asarray([damping])
+        _, traj = sim.run(n, params=params, remat=remat)
+        return jnp.mean(traj["lin_vel"][:, 0, 2] ** 2)
+
+    for kw in ({}, {"block_size": 32}):
+        sim = Simulation(spec, dt=0.015,
+                         wave=RegularWave(amplitude=1.0, omega=1.2),
+                         outputs=("pos", "lin_vel"), **kw)
+        g0 = jax.grad(loss)(1e5, sim, False)
+        g1 = jax.grad(loss)(1e5, sim, True)
+        np.testing.assert_allclose(float(g1), float(g0), rtol=1e-12)
