@@ -54,6 +54,7 @@ SLOW_TESTS = {
     "test_const_mass_constrained_hht_matches_general",
     "test_moordyn_yaml_end_to_end",
     "test_const_mass_constrained_rotating_jacobian",
+    "test_remat_gradients_match",
 }
 
 
