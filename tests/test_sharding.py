@@ -116,3 +116,52 @@ def test_fused_runner_sharded_matches_unsharded(tmp_path):
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(traj_s["pos"]), np.asarray(traj_u["pos"]),
                                rtol=0, atol=1e-6)
+
+
+def test_farm_fused_sharded_matches_unsharded(tmp_path):
+    """The fused farm kernel under an 8-device batch mesh (interpret on
+    the virtual CPU mesh) produces the same trajectories as unsharded
+    execution — the multi-chip farm production shape."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+    from hydrochrono_tpu.models.builders import sphere_farm
+    from hydrochrono_tpu.parallel.sharding import make_batched_states
+    from hydrochrono_tpu.physics.waves import IrregularWaveParams
+    from hydrochrono_tpu.stepper import Simulation
+
+    h5 = str(tmp_path / "farm4sh.h5")
+    write_bemio_h5(h5, 4, seed=13, state_space=True,
+                   cg_list=[np.array([0.0, 0.0, -2.0])] * 4,
+                   cb_list=[np.array([0.0, 0.0, -1.7])] * 4,
+                   disp_vol=[261.8] * 4, rirf_tmax=10.0, rirf_steps=201,
+                   n_freq=40)
+    wave = IrregularWaveParams(height=1.5, period=7.0, nfrequencies=20,
+                               ramp_duration=4.0)
+    sim = Simulation(sphere_farm(h5, nx=2, ny=2), dt=0.02, wave=wave,
+                     duration=10.0, radiation="state_space",
+                     dtype=jnp.float32, outputs=("pos",))
+    assert sim.farm_fused_supported()
+
+    B = 8 * 128  # one lane tile per device
+    rng = np.random.RandomState(3)
+    offs = np.zeros((B, 4, 3), dtype=np.float32)
+    offs[:, :, 2] = rng.uniform(-0.1, 0.1, size=(B, 4))
+    states = make_batched_states(sim, B, pos_offsets=offs)
+
+    n = 16
+    _, traj_u = jax.jit(
+        lambda s: sim.run_farm_fused(n, s, interpret=True, subblock=8))(states)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("batch",))
+    sharding = NamedSharding(mesh, P("batch"))
+    states_s = jax.tree.map(
+        lambda x: jax.device_put(x, sharding) if x.ndim > 0 else x, states)
+    _, traj_s = jax.jit(
+        lambda s: sim.run_farm_fused(n, s, interpret=True, subblock=8))(states_s)
+
+    np.testing.assert_allclose(np.asarray(traj_s["pos"]),
+                               np.asarray(traj_u["pos"]), rtol=0, atol=1e-6)
