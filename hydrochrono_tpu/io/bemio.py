@@ -257,12 +257,21 @@ def mask_hydro_bodies(hd: HydroData, include_excitation, include_radiation) -> H
         for b in np.nonzero(~rad)[0]:
             rirf[DOF * b : DOF * (b + 1), :, :] = 0.0
     exc_mag, exc_irf = hd.exc_mag, hd.exc_irf
+    exc_irf_dir = hd.exc_irf_dir
     if not exc.all():
         exc_mag = exc_mag.copy()
         exc_irf = exc_irf.copy()
+        if exc_irf_dir is not None:
+            # the direction-resolved kernel feeds resolve_wave_direction's
+            # tabulated-heading path — an excluded body must stay excluded
+            # at every heading
+            exc_irf_dir = exc_irf_dir.copy()
         for b in np.nonzero(~exc)[0]:
             exc_mag[b] = 0.0
             exc_irf[b] = 0.0
+            if exc_irf_dir is not None:
+                exc_irf_dir[b] = 0.0
     return dataclasses.replace(
         hd, rirf=rirf, exc_mag=exc_mag, exc_irf=exc_irf,
+        exc_irf_dir=exc_irf_dir,
         radiation_mask=rad if not rad.all() else None)

@@ -314,6 +314,9 @@ def test_include_flags_applied(case_copy, tmp_path):
         assert np.all(hd_noexc.exc_mag == 0.0)
         assert np.all(hd_noexc.exc_irf == 0.0)
         assert np.all(hd_noexc.rirf == hd.rirf)
+        # the direction-resolved kernel stays excluded at every heading
+        if hd_noexc.exc_irf_dir is not None:
+            assert np.all(hd_noexc.exc_irf_dir == 0.0)
 
         def late_amplitude(h):
             spec = SystemSpec(
