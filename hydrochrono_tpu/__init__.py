@@ -21,6 +21,6 @@ Layer map (bottom → top), mirroring SURVEY.md §1:
   cli        `run_hydrochrono`-compatible command line
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from hydrochrono_tpu.io.bemio import HydroData, load_bemio_h5  # noqa: F401
