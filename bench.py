@@ -165,11 +165,13 @@ def main():
 
             st_f = shard_batch(st_f, batch_mesh())
         run_xla = jax.jit(jax.vmap(lambda s: sim_f.run(nf, state=s)[0].pos))
-        if n_dev == 1 and sim_f.farm_fused_supported():
+        if sim_f.farm_fused_supported():
             # fused farm kernel (ops/pallas_farm.py): ~4.9x the XLA path
-            # at B=128 on v5e (15.7 vs 76.5 us/step). Fall back to the XLA
-            # farm path if the kernel fails to compile/run on this chip —
-            # a slower farm number beats a missing one.
+            # at B=128 on v5e (15.7 vs 76.5 us/step). Works sharded too
+            # (tests/test_sharding.py::test_farm_fused_sharded_matches_
+            # unsharded). Fall back to the XLA farm path if the kernel
+            # fails to compile/run on this chip — a slower farm number
+            # beats a missing one.
             try:
                 run_f = jax.jit(
                     lambda s: sim_f.run_farm_fused(nf, s)[0].pos)

@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Gradient-based PTO tuning at wave-farm scale.
+
+Tunes the per-device linear PTO damping of a 2x2 point-absorber farm
+(hydrodynamically coupled 24-DoF system, const-mass + state-space
+radiation — the farm production path, stepper.py) by gradient ascent on
+total mean absorbed power in irregular seas. The farm rows differ from
+each other hydrodynamically (radiation/excitation coupling, array
+phasing), so the optimal damping is NOT uniform across devices — a
+per-body optimum is exactly the kind of design loop the reference
+(whose Chrono core is not differentiable) cannot run at all.
+
+The result is cross-checked two ways:
+  * the analytic gradient matches central finite differences
+    (tests/test_farm.py::test_farm_pto_gradient_matches_fd gates this);
+  * the per-body optimum is compared against the best UNIFORM damping
+    from a coarse grid sweep — per-body tuning must do at least as well.
+
+Usage:  python examples/optimize_farm_pto.py [--steps 30] [--n 1500]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# design optimization is a float64 job: force CPU (the axon site hook
+# pre-selects the TPU platform; the env var alone loses — DEVNOTES.md)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from hydrochrono_tpu.io.synth import write_bemio_h5
+from hydrochrono_tpu.models.builders import sphere_farm
+from hydrochrono_tpu.physics.waves import IrregularWaveParams
+from hydrochrono_tpu.stepper import Simulation
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30, help="Adam steps")
+    ap.add_argument("--n", type=int, default=1500, help="sim steps per eval")
+    ap.add_argument("--c0", type=float, default=2.0e4,
+                    help="initial per-device damping [N s/m]")
+    args = ap.parse_args()
+
+    # synthetic coupled farm coefficients (the reference's real multi-body
+    # h5 files are missing LFS blobs; io/synth.py is the validated stand-in)
+    h5 = "/tmp/hydrochrono_tpu_farm_opt.h5"
+    if not os.path.exists(h5):
+        write_bemio_h5(
+            h5, 4, seed=23, state_space=True,
+            cg_list=[np.array([0.0, 0.0, -2.0])] * 4,
+            cb_list=[np.array([0.0, 0.0, -1.7])] * 4,
+            disp_vol=[261.8] * 4, rirf_tmax=12.0, rirf_steps=601,
+        )
+
+    wave = IrregularWaveParams(height=2.0, period=7.0, nfrequencies=120,
+                               ramp_duration=10.0, seed=3)
+    n = args.n
+    dt = 0.02
+    sim = Simulation(sphere_farm(h5, nx=2, ny=2), dt=dt, wave=wave,
+                     duration=1.2 * n * dt, radiation="state_space",
+                     outputs=("lin_vel",))
+    assert sim.const_mass, "farm fast path should be active"
+    settle = n // 3
+    n_pto = len(sim.spec.tsdas)
+
+    def mean_power(c):
+        """Total mean absorbed power [W] for per-device damping vector c."""
+        p = dict(sim.params)
+        p["tsda_c"] = c
+        _, traj = sim.run(n, params=p)
+        vz = traj["lin_vel"][settle:, :, 2]  # heave rate ~ damper rate
+        return jnp.mean(jnp.sum(c * vz ** 2, axis=1))
+
+    neg_power = jax.jit(jax.value_and_grad(lambda lc: -mean_power(jnp.exp(lc))))
+
+    # --- baseline: coarse uniform-damping sweep --------------------------
+    grid = np.geomspace(5e3, 5e5, 9)
+    p_uni = [float(mean_power(jnp.full((n_pto,), c))) for c in grid]
+    i_best = int(np.argmax(p_uni))
+    print("uniform-damping sweep:")
+    for c, p in zip(grid, p_uni):
+        mark = "  <-- best uniform" if p == p_uni[i_best] else ""
+        print(f"  c = {c:10.4g}  P = {p / 1e3:9.3f} kW{mark}")
+
+    # --- per-body gradient ascent ---------------------------------------
+    import optax
+
+    log_c = jnp.log(jnp.full((n_pto,), args.c0))
+    opt = optax.adam(0.2)
+    state = opt.init(log_c)
+    best = (-np.inf, None)  # the power surface is flat near the top and
+    for k in range(args.steps):  # Adam rings — keep the best-seen iterate
+        val, g = neg_power(log_c)
+        if -float(val) > best[0]:
+            best = (-float(val), np.asarray(log_c))
+        upd, state = opt.update(g, state)
+        log_c = optax.apply_updates(log_c, upd)
+        if k % 5 == 0 or k == args.steps - 1:
+            print(f"  step {k:3d}: P = {-float(val) / 1e3:9.3f} kW   "
+                  f"c = {np.array2string(np.exp(np.asarray(log_c)), precision=3)}")
+
+    val, _ = neg_power(log_c)
+    if -float(val) > best[0]:
+        best = (-float(val), np.asarray(log_c))
+    c_star = np.exp(best[1])
+    p_star = best[0]
+    print(f"\nper-body optimum: c = {np.array2string(c_star, precision=4)}")
+    print(f"P(per-body) = {p_star / 1e3:.3f} kW  vs best uniform "
+          f"{p_uni[i_best] / 1e3:.3f} kW  "
+          f"(+{100 * (p_star / p_uni[i_best] - 1):.2f}%)")
+    # per-body tuning searches a superset of the uniform sweep; allow a
+    # hair of optimizer slack
+    return 0 if p_star >= 0.99 * p_uni[i_best] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -273,3 +273,39 @@ def test_farm_fused_rejects_unsupported(farm4_h5):
                       radiation="state_space", dtype=jnp.float32,
                       const_mass=True)
     assert not sim3.farm_fused_supported()
+
+
+@pytest.mark.slow
+def test_farm_pto_gradient_matches_fd(farm4_h5):
+    """Mean absorbed PTO power differentiates through the farm production
+    path (const-mass + state-space, stepper.run) w.r.t. per-device
+    damping, matching central finite differences. This is the gradient
+    guarantee behind examples/optimize_farm_pto.py — a design loop the
+    non-differentiable reference cannot run (PARITY.md)."""
+    import jax.numpy as jnp
+
+    wave = IrregularWaveParams(height=1.5, period=7.0, nfrequencies=20,
+                               ramp_duration=4.0)
+    sim = _farm_sim(farm4_h5, radiation="state_space", const_mass=True,
+                    wave=wave, outputs=("lin_vel",))
+    assert sim.const_mass
+    n, settle = 300, 100
+
+    def neg_power(log_c):
+        c = jnp.exp(log_c)
+        p = dict(sim.params)
+        p["tsda_c"] = c
+        _, traj = sim.run(n, params=p)
+        vz = traj["lin_vel"][settle:, :, 2]
+        return -jnp.mean(jnp.sum(c * vz ** 2, axis=1))
+
+    log_c0 = jnp.log(jnp.full((4,), 5.0e4))
+    val, grad = jax.value_and_grad(neg_power)(log_c0)
+    assert np.isfinite(val) and np.isfinite(np.asarray(grad)).all()
+    assert float(val) < 0.0  # absorbing power
+
+    eps = 1e-5
+    for k in (0, 3):
+        e = jnp.zeros((4,)).at[k].set(eps)
+        fd = (neg_power(log_c0 + e) - neg_power(log_c0 - e)) / (2 * eps)
+        np.testing.assert_allclose(float(grad[k]), float(fd), rtol=1e-6)
