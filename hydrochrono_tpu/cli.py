@@ -225,6 +225,21 @@ def _export_rirf_csvs(case, sim, out_dir, log):
     log.info(f"RIRF CSVs written in {out_dir}")
 
 
+def _sweep_batch_size(ws, seed_sweep) -> int:
+    """Batch size of the one device program for a batched run: the
+    direction array for heading sweeps, the period array for period
+    sweeps (the builder rejects combining the two), the seed count for
+    --seeds, else 1. `ws` is the parsed WaveSpec when a regular-wave
+    sweep is active, None otherwise."""
+    if ws is not None:
+        if ws.is_direction_sweep:
+            return int(np.atleast_1d(ws.direction).size)
+        return int(np.atleast_1d(ws.periods).size)
+    if seed_sweep is not None:
+        return len(seed_sweep)
+    return 1
+
+
 def run_case(args, log) -> int:
     import jax
     import jax.numpy as jnp
@@ -380,12 +395,8 @@ def run_case(args, log) -> int:
         # regular-wave params)
         from hydrochrono_tpu.parallel.sharding import make_batched_states
 
-        if sweep_batched is not None:
-            B = int(np.atleast_1d(ws.periods).size)
-        elif seed_sweep is not None:
-            B = len(seed_sweep)
-        else:
-            B = 1
+        B = _sweep_batch_size(ws if sweep_batched is not None else None,
+                              seed_sweep)
         log.info(f"step path: fused Pallas kernel (blocked, batch {B})")
         states = make_batched_states(sim, B)
         n_dev = len(jax.devices())
@@ -440,16 +451,19 @@ def run_case(args, log) -> int:
         # reference --fail-fast stops a serial sweep on the first failure
         # (app/run_hydrochrono.cpp:46,138); without it the remaining cases
         # still export.
+        sweep_i = None
         if sweep_batched is not None and ws.is_direction_sweep:
             cases_out = [(f"direction_{d:g}",
                           f"sweep case {i + 1} ({d:g} deg)", None)
                          for i, d in enumerate(np.atleast_1d(ws.direction))]
             noun = "heading sweep cases"
+            sweep_i = True
         elif sweep_batched is not None:
             cases_out = [(f"period_{T:g}", f"sweep case {i + 1} (T={T:g} s)",
                           None)
                          for i, T in enumerate(np.atleast_1d(ws.periods))]
             noun = "sweep cases"
+            sweep_i = True
         else:
             cases_out = [(f"seed_{int(s)}", f"seed {int(s)}", i)
                          for i, s in enumerate(seed_sweep)]
@@ -467,9 +481,10 @@ def run_case(args, log) -> int:
                 log.warning(f"{desc} diverged; skipped")
                 continue
             d = os.path.join(out_dir, dname)
-            paths.append(export_results(case, sub, times, d,
-                                        wall_time_s=t_run, run_metadata=meta,
-                                        verbose_log=vlog, eta_index=eta_i))
+            paths.append(export_results(
+                case, sub, times, d, wall_time_s=t_run, run_metadata=meta,
+                verbose_log=vlog, eta_index=eta_i,
+                sweep_index=(i if sweep_i else None)))
         if not paths:
             log.error(f"all {len(cases_out)} batched cases diverged; "
                       "nothing exported")

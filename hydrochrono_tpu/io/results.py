@@ -261,7 +261,8 @@ def _rsda_channels(case, sim, k, pos, quat, ang_vel, slot_of, nsteps):
 
 def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
                    wall_time_s: float = 0.0, run_metadata: Optional[dict] = None,
-                   verbose_log=None, eta_index: Optional[int] = None) -> str:
+                   verbose_log=None, eta_index: Optional[int] = None,
+                   sweep_index: Optional[int] = None) -> str:
     """Write one case's trajectory to results.<wave>.h5; returns the path.
 
     traj: trajectory pytree from Simulation.run with outputs including at
@@ -282,11 +283,12 @@ def export_results(case, traj: dict, times: np.ndarray, out_dir: str,
 
     with jax.default_device(jax.devices("cpu")[0]):
         return _export_results_impl(case, traj, times, fname, wall_time_s,
-                                    run_metadata, _v, eta_index)
+                                    run_metadata, _v, eta_index, sweep_index)
 
 
 def _export_results_impl(case, traj, times, fname, wall_time_s,
-                         run_metadata, _v, eta_index=None) -> str:
+                         run_metadata, _v, eta_index=None,
+                         sweep_index=None) -> str:
 
     model = case.model
     moving = [i for i, b in enumerate(case.system.bodies) if not b.fixed]
@@ -428,12 +430,19 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
 
             wv_spec = case.wave
             om = np.atleast_1d(np.asarray(wv_spec.omega, dtype=np.float64))
+            amp = np.atleast_1d(np.asarray(wv_spec.amplitude, np.float64))
+            if sweep_index is not None:
+                # per-case file of a batched sweep: write THIS case's
+                # scalar, not the whole sweep axis (readers like
+                # WaveField.from_results_h5 take element [0])
+                om = om[sweep_index:sweep_index + 1] if om.size > 1 else om
+                amp = (amp[sweep_index:sweep_index + 1]
+                       if amp.size > 1 else amp)
+                if _dirn.ndim > 0 and _dirn.size > 1:
+                    _dirn = _dirn.reshape(-1)[sweep_index]
             gr = gw.require_group("regular")
             gr.create_dataset("omega", data=om)
-            gr.create_dataset(
-                "amplitude",
-                data=np.atleast_1d(np.asarray(wv_spec.amplitude,
-                                              dtype=np.float64)))
+            gr.create_dataset("amplitude", data=amp)
             gr.create_dataset("phase", data=float(wv_spec.phase))
             gr.create_dataset(
                 "wavenumber",

@@ -325,7 +325,16 @@ class Simulation:
         )
         eligible = iso
         if const_mass is None:
-            const_mass = eligible and self.nv >= 24
+            # auto-enable only when the per-step solve stays EXACT: either
+            # no constraints, or every joint Jacobian is configuration-
+            # independent (rotation-locking joints against fixed bodies —
+            # rails/locks). Rotating joints (pendulum farms) would silently
+            # swap the exact KKT for the refined solve frozen at t=0
+            # (kkt_refine_iters=2 leaves percent-level constraint error at
+            # large swings) — that trade is opt-in via const_mass=True.
+            const_mass = (eligible and self.nv >= 24
+                          and (not self.has_constraints
+                               or self._joints_const_jacobian()))
         elif const_mass and not eligible:
             raise ValueError(
                 "const_mass requires isotropic body inertias "
@@ -368,6 +377,27 @@ class Simulation:
         self.params = params
 
     # ------------------------------------------------------------------
+    def _joints_const_jacobian(self) -> bool:
+        """True when every joint's Jacobian is configuration-independent:
+        the joint fully locks the rotation of one moving body against a
+        fixed body (prismatic rail / fixed / locked revolute) from an
+        identity initial orientation — the same eligibility rule as the
+        fused farm kernel's in-kernel KKT (ops/pallas_farm.py). For these
+        systems the refined const-mass solve is exact, so it is safe to
+        auto-enable."""
+        def _fix(i):
+            return i < 0 or self.spec.bodies[i].fixed
+
+        for kind, locked, _r, b1, b2 in self.joint_rows:
+            locks_rot = kind in ("prismatic", "fixed") or (
+                kind == "revolute" and locked)
+            if not locks_rot or (_fix(b1) == _fix(b2)):
+                return False
+        return all(
+            np.allclose(self.spec.bodies[i].quat0, (1.0, 0.0, 0.0, 0.0))
+            for i in self.moving)
+
+    # ------------------------------------------------------------------
     def _build_wave_arrays(self, params):
         wave = self.wave
         self.wave_kind = type(wave).__name__
@@ -382,9 +412,23 @@ class Simulation:
         dir_sweep = dir_arr.size > 1
         dirn = float(dir_arr[0])
         d0 = float(hd.wave_directions[0]) if hd.wave_directions is not None else 0.0
+        if (getattr(wave, "spreading_exponent", None) is not None
+                and getattr(wave, "eta_file_path", None)):
+            # an imported eta record is a single measured unidirectional
+            # series — cos-2s spreading cannot apply to it. Silently
+            # dropping the spreading block would hand the user
+            # unidirectional results they believe are directional.
+            raise ValueError(
+                "directional spreading cannot be combined with eta_file "
+                "(an imported elevation record is unidirectional); remove "
+                "one of the two")
         self.wave_spread = bool(
-            getattr(wave, "spreading_exponent", None) is not None
-            and not getattr(wave, "eta_file_path", None))
+            getattr(wave, "spreading_exponent", None) is not None)
+        if dir_sweep and not isinstance(wave, wv.RegularWave):
+            raise ValueError(
+                "direction arrays (heading sweeps) are regular-wave only; "
+                "for irregular multi-heading seas use directional "
+                "spreading (spreading_exponent)")
         # horizontal body positions for the wide-spacing array-phasing
         # correction (multi-device arrays only; a single body keeps the
         # file's own phase reference)
@@ -411,8 +455,13 @@ class Simulation:
                 hd_t = (wv.resolve_wave_direction(
                     hd, float(th), axisymmetric=axisym, body_xy=body_xy)
                     if float(th) != d0 else hd)
+                # true per-body phases at EVERY heading, including d0: the
+                # reference's body-1-phase quirk would wipe real inter-body
+                # phase differences only at the base heading, putting a
+                # spurious jump in the directional RAO exactly at d0
+                # (single-heading non-sweep runs keep the quirk for parity)
                 data_t = wv.build_regular_wave(
-                    hd_t, wave, replicate_phase_bug=(float(th) == d0))
+                    hd_t, wave, replicate_phase_bug=False)
                 mags.append(data_t.force_mag)
                 phs.append(data_t.force_phase)
             B = dir_arr.size

@@ -330,3 +330,73 @@ hydrodynamics:
     ws = parse_hydro_file(str(hy)).waves
     assert ws.is_direction_sweep and not ws.is_sweep
     np.testing.assert_allclose(np.asarray(ws.direction), [0.0, 30.0, 60.0, 90.0])
+
+
+def test_direction_sweep_true_phases_at_base_heading(tmp_path):
+    """Heading sweeps keep TRUE per-body phases at EVERY heading,
+    including the file's own: tiling body-1 phases (the reference parity
+    quirk) only at d0 would put a spurious jump in the directional RAO
+    exactly at the base heading. Found by review; single-heading
+    non-sweep runs still keep the quirk for reference parity
+    (test_regular_heading_disables_phase_tile)."""
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+    from hydrochrono_tpu.physics.waves import build_regular_wave
+
+    path = str(tmp_path / "pair3.h5")
+    write_bemio_h5(path, 2, seed=3,
+                   cg_list=[np.array([0.0, 0.0, -2.0])] * 2,
+                   cb_list=[np.array([0.0, 0.0, -1.7])] * 2,
+                   disp_vol=[261.8] * 2, rirf_tmax=10.0, rirf_steps=201,
+                   n_freq=40)
+    hd = load_bemio_h5(path, num_bodies=2)
+    # the synthetic file gives every body identical phases; offset body 2
+    # so the tile would actually change something
+    ph = np.asarray(hd.exc_phase).copy()
+    ph[1] += 0.3
+    hd = dataclasses.replace(hd, exc_phase=ph)
+    spec = SystemSpec(
+        bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -2.0)),
+                Body(name="body2", mass=261.8e3, pos0=(40.0, 0.0, -2.0))],
+        hydro=HydroAttachment(hydro=hd, body_indices=[0, 1]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    w = RegularWave(amplitude=0.5, omega=0.8,
+                    direction=np.array([0.0, 10.0]), axisymmetric=True)
+    sim = Simulation(spec, dt=0.02, wave=w)
+    p = np.asarray(sim.params["reg_phase"])  # [2, 12]
+    p0 = p[0].reshape(2, 6)
+    # no tile at the base heading: bodies keep their own file phases
+    assert not np.array_equal(p0[0], p0[1])
+    # and the d0 entry equals the untiled single-heading build exactly
+    w0 = RegularWave(amplitude=0.5, omega=0.8)
+    data0 = build_regular_wave(hd, w0, replicate_phase_bug=False)
+    np.testing.assert_allclose(p[0], np.asarray(data0.force_phase).reshape(-1),
+                               rtol=0, atol=1e-12)
+
+
+def test_irregular_direction_array_raises(sphere_h5):
+    """A direction ARRAY on IrregularWaveParams used to be silently
+    ignored (the run proceeded at the file's base heading); it now
+    raises. Irregular multi-heading seas use spreading instead."""
+    hd = load_bemio_h5(sphere_h5, num_bodies=1)
+    w = dataclasses.replace(
+        IrregularWaveParams(height=1.0, period=8.0, nfrequencies=10),
+        direction=np.array([0.0, 30.0]))
+    with pytest.raises(ValueError, match="regular-wave only"):
+        Simulation(_spec(hd), dt=0.02, wave=w, duration=10.0)
+
+
+def test_eta_file_with_spreading_raises(tmp_path, sphere_h5):
+    """eta_file + spreading used to silently run unidirectional; the
+    contradiction now raises (an imported elevation record cannot carry
+    cos-2s heading structure)."""
+    hd = load_bemio_h5(sphere_h5, num_bodies=1)
+    eta = tmp_path / "eta.txt"
+    eta.write_text("".join(f"{0.02 * i:.3f} {0.01 * (i % 5):.3f}\n"
+                           for i in range(100)))
+    w = dataclasses.replace(
+        IrregularWaveParams(height=1.0, period=8.0, nfrequencies=10,
+                            spreading_exponent=2.0),
+        eta_file_path=str(eta))
+    with pytest.raises(ValueError, match="spreading"):
+        Simulation(_spec(hd), dt=0.02, wave=w, duration=10.0)

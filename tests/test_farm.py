@@ -309,3 +309,27 @@ def test_farm_pto_gradient_matches_fd(farm4_h5):
         e = jnp.zeros((4,)).at[k].set(eps)
         fd = (neg_power(log_c0 + e) - neg_power(log_c0 - e)) / (2 * eps)
         np.testing.assert_allclose(float(grad[k]), float(fd), rtol=1e-6)
+
+
+def test_const_mass_auto_excludes_rotating_joints(farm4_h5):
+    """const_mass auto-enables only when the per-step solve stays exact:
+    heave rails yes (constant J, covered above), rotating joints NO —
+    those would silently swap the exact KKT for the refined solve frozen
+    at t=0 (percent-level error at large swings). Rotating-J farms stay
+    opt-in via const_mass=True (test_const_mass_constrained_rotating_
+    jacobian measures the refinement convergence)."""
+    import dataclasses as dc
+
+    from hydrochrono_tpu.physics.system import Joint
+
+    spec = sphere_farm(farm4_h5, nx=2, ny=2)
+    joints = [Joint("spherical", b, len(spec.bodies) - 1,
+                    location=np.asarray(spec.bodies[b].pos0)
+                    + np.array([0.0, 0.0, -4.0]))
+              for b in range(4)]
+    spec_rot = dc.replace(spec, joints=joints)
+    sim = Simulation(spec_rot, dt=0.02)
+    assert not sim.const_mass
+    # explicit opt-in still allowed (with the iters knob)
+    sim2 = Simulation(spec_rot, dt=0.02, const_mass=True)
+    assert sim2.const_mass
