@@ -206,7 +206,11 @@ def main():
         "sphere_per_instance_realtime_factor": round(sph_rt, 1),
         "farm8_us_per_step": round(farm_us_step, 2),
         "farm8_per_instance_realtime_factor": round(farm_rt, 1),
-        "finite": ok_rm3 and ok_sph and ok_farm,
+        "farm8_ok": ok_farm,
+        # primary gate: RM3 + sphere only — the optional farm section must
+        # not contaminate the headline result (it has its own key above),
+        # matching the exit code
+        "finite": ok_rm3 and ok_sph,
     }
     print(json.dumps(result))
     return 0 if (ok_rm3 and ok_sph) else 1

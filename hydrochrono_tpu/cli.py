@@ -116,19 +116,25 @@ def _make_live_view(sim, case, png_path, log):
                 acc["pitch"].append(_np.rad2deg(xyz[:, :, 1]))
             t = _np.concatenate(acc["t"])
             z = _np.concatenate(acc["z"])
+            # decimate to a fixed point budget: re-plotting the FULL
+            # accumulated history each chunk is O(n^2) over a long run
+            # and the panel falls behind the simulation
+            budget = 4000
+            stride = max(1, len(t) // budget)
+            tp, zp = t[::stride], z[::stride]
             rows = 2 if acc["pitch"] else 1
             fig, axes = plt.subplots(rows, 1, figsize=(9, 3.0 * rows),
                                      sharex=True)
             axes = _np.atleast_1d(axes)
             for s in range(z.shape[1]):
-                axes[0].plot(t, z[:, s], lw=0.9, label=f"body{s + 1}")
+                axes[0].plot(tp, zp[:, s], lw=0.9, label=f"body{s + 1}")
             axes[0].set_ylabel("heave (m)")
             axes[0].legend(fontsize=7, loc="upper right")
             axes[0].set_title(f"t = {t[-1]:.1f} s ({done} steps)")
             if acc["pitch"]:
-                ptc = _np.concatenate(acc["pitch"])
+                ptc = _np.concatenate(acc["pitch"])[::stride]
                 for s in range(ptc.shape[1]):
-                    axes[1].plot(t, ptc[:, s], lw=0.9)
+                    axes[1].plot(tp, ptc[:, s], lw=0.9)
                 axes[1].set_ylabel("pitch (deg)")
             axes[-1].set_xlabel("time (s)")
             fig.tight_layout()
@@ -320,9 +326,10 @@ def run_case(args, log) -> int:
             base = int(np.asarray(case.wave.seed).reshape(-1)[0])
             seed_sweep = base + np.arange(args.seeds)
             case.wave = _dc.replace(case.wave, seed=seed_sweep)
-    if (args.guard_chunk or args.checkpoint) and seed_sweep is not None:
-        log.warning("--guard-chunk/--checkpoint are not supported with "
-                    "--seeds; running unguarded")
+    if (args.guard_chunk or args.checkpoint or args.live_view) \
+            and seed_sweep is not None:
+        log.warning("--guard-chunk/--checkpoint/--live-view are not "
+                    "supported with --seeds; running unguarded")
     sim = case.build_simulation(dtype=dtype, outputs=outputs,
                                 block_size=block_size)
     if args.state_space:

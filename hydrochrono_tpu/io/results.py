@@ -423,6 +423,12 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
                 gi.create_dataset("wavenumbers", data=np.asarray(irr.wavenumbers))
                 gi.create_dataset("water_depth", data=_depth)
                 gi.create_dataset("direction_deg", data=_dirn)
+                # Wheeler stretching is part of the field definition —
+                # without it WaveField.from_results_h5 rebuilds surface
+                # kinematics unstretched (review finding)
+                gi.create_dataset(
+                    "wave_stretching",
+                    data=bool(getattr(sim.wave, "wave_stretching", False)))
         elif (case.hydro_spec is not None
               and case.hydro_spec.waves.kind == "regular"
               and sim is not None and sim.hydro is not None):

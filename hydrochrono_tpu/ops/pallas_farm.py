@@ -611,6 +611,27 @@ class FarmFusedRunner:
         supported (the XLA path handles those)."""
         sim = self.sim
         p = sim.params if params is None else params
+        if params is not None and params is not sim.params:
+            # everything except the wave forcing is BAKED into the kernel
+            # at construction (self.tsdas/self.mats/fstat); silently
+            # running an overridden tsda_c with the old damping is the
+            # optimize-pto footgun — refuse what we cannot honor. Traced
+            # values (params passed through jit) cannot be checked here;
+            # the production callers pass concrete params.
+            for key in ("tsda_k", "tsda_c", "mass"):
+                if key not in sim.params:
+                    continue
+                new_v, old_v = params.get(key), sim.params[key]
+                if isinstance(new_v, jax.core.Tracer):
+                    continue
+                if new_v is None or not np.array_equal(
+                        np.asarray(jax.device_get(new_v)),
+                        np.asarray(jax.device_get(old_v))):
+                    raise ValueError(
+                        f"run_farm_fused bakes '{key}' into the kernel at "
+                        "build time; rebuild the Simulation with the new "
+                        "value, or use the differentiable XLA path "
+                        "(sim.run / vmap) for parameter studies")
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         # sub=8 measured best on v5e (B=128: 15.7/16.4/18.6 us/step for

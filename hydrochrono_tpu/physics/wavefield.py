@@ -125,8 +125,10 @@ class WaveField:
             gw = f["inputs/simulation/waves"]
             if "irregular" in gw and "directions_deg" in gw["irregular"]:
                 gi = gw["irregular"]
+                stretch = ("wave_stretching" in gi
+                           and bool(np.asarray(gi["wave_stretching"])))
                 return cls._directional(
-                    float(np.asarray(gi["water_depth"])), 9.81, False,
+                    float(np.asarray(gi["water_depth"])), 9.81, stretch,
                     np.asarray(gi["frequencies_hz"]),
                     np.asarray(gi["spectral_densities"]),
                     np.asarray(gi["spectral_widths"]),
@@ -140,6 +142,8 @@ class WaveField:
                     kind="irregular",
                     water_depth=float(np.asarray(gi["water_depth"])),
                     g=9.81,
+                    stretching=("wave_stretching" in gi
+                                and bool(np.asarray(gi["wave_stretching"]))),
                     direction_deg=float(np.asarray(gi["direction_deg"])),
                     freqs_hz=np.asarray(gi["frequencies_hz"]),
                     spectral_densities=np.asarray(gi["spectral_densities"]),

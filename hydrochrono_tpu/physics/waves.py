@@ -292,8 +292,14 @@ def resolve_wave_direction(hydro: HydroData, direction_deg: float,
     if dirs is None:
         dirs = np.zeros(1)
     d = float(direction_deg)
+    if dirs.size >= 1 and dirs.min() - 1e-9 <= d <= dirs.max() + 1e-9:
+        # snap float roundoff just outside the tabulated range onto the
+        # endpoints: d = -1e-10 used to pass the range check but miss the
+        # exact-hit check, and searchsorted's j=0 then wrapped i=j-1 to
+        # the LAST heading with a negative interpolation weight
+        d = float(np.clip(d, dirs.min(), dirs.max()))
     # exact tabulated heading?
-    hit = np.nonzero(np.abs(dirs - d) < 1e-9)[0]
+    hit = np.nonzero(np.abs(dirs - d) <= 1e-9)[0]
     if hit.size:
         i = int(hit[0])
         irf_dir = (hydro.exc_irf_dir[:, :, i, :]

@@ -246,10 +246,19 @@ class Simulation:
             if radiation == "state_space":
                 ss = ssr.load_state_space(hd.file_path, nh, hd.rho, self.dt)
                 self.ss_order = ss.order
+                Cm, Dm = ss.Cm, ss.Dm
+                if hd.radiation_mask is not None:
+                    # include_radiation: false — the loader re-reads the
+                    # h5, so apply the same force-row zeroing the mask
+                    # applied to the RIRF (io/bemio.mask_hydro_bodies)
+                    Cm, Dm = Cm.copy(), Dm.copy()
+                    for b in np.nonzero(~hd.radiation_mask)[0]:
+                        Cm[6 * b:6 * (b + 1)] = 0.0
+                        Dm[6 * b:6 * (b + 1)] = 0.0
                 const["ss_Ad"] = jnp.asarray(ss.Ad, self.dtype)
                 const["ss_Bd"] = jnp.asarray(ss.Bd, self.dtype)
-                const["ss_C"] = jnp.asarray(ss.Cm, self.dtype)
-                const["ss_D"] = jnp.asarray(ss.Dm, self.dtype)
+                const["ss_C"] = jnp.asarray(Cm, self.dtype)
+                const["ss_D"] = jnp.asarray(Dm, self.dtype)
             kernel = hd.rirf
             if tapered is not None:
                 kernel = rad.preprocess_rirf_tapered(kernel, hd.rirf_time, tapered)

@@ -400,3 +400,30 @@ def test_eta_file_with_spreading_raises(tmp_path, sphere_h5):
         eta_file_path=str(eta))
     with pytest.raises(ValueError, match="spreading"):
         Simulation(_spec(hd), dt=0.02, wave=w, duration=10.0)
+
+
+def test_resolve_direction_roundoff_at_table_edges(sphere_h5):
+    """A heading a float-roundoff OUTSIDE the tabulated range snaps onto
+    the endpoint (review finding: d = -1e-10 passed the range check but
+    missed the exact-hit check, and searchsorted's j=0 wrapped i=-1 to
+    the LAST heading with a negative interpolation weight)."""
+    hd = load_bemio_h5(sphere_h5, num_bodies=1)
+    rot = _heading_transform(60.0)
+    c0 = hd.exc_mag[:, :, 0] * np.exp(1j * hd.exc_phase[:, :, 0])
+    c60 = np.einsum("ij,njf->nif", rot, c0)
+    mag2 = np.concatenate([hd.exc_mag, np.abs(c60)[:, :, None, :]], axis=2)
+    ph2 = np.concatenate([hd.exc_phase, np.angle(c60)[:, :, None, :]], axis=2)
+    irf2 = np.concatenate(
+        [hd.exc_irf_dir,
+         np.einsum("ij,njt->nit", rot, hd.exc_irf)[:, :, None, :]], axis=2)
+    hd2 = dataclasses.replace(hd, exc_mag=mag2, exc_phase=ph2,
+                              exc_irf_dir=irf2,
+                              wave_directions=np.array([0.0, 60.0]))
+
+    r_lo = resolve_wave_direction(hd2, -1e-10)
+    r0 = resolve_wave_direction(hd2, 0.0)
+    np.testing.assert_array_equal(r_lo.exc_mag, r0.exc_mag)
+    np.testing.assert_array_equal(r_lo.exc_phase, r0.exc_phase)
+    r_hi = resolve_wave_direction(hd2, 60.0 + 1e-10)
+    r60 = resolve_wave_direction(hd2, 60.0)
+    np.testing.assert_array_equal(r_hi.exc_mag, r60.exc_mag)

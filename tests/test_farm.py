@@ -210,14 +210,13 @@ def test_farm_fused_matches_xla(farm4_h5):
     off[:, :, 2] = 0.05 * np.arange(B)[:, None]
     states = make_batched_states(sim, B, pos_offsets=off)
 
-    _, tx = jax.vmap(lambda s: sim.run(n, state=s))(states)
+    fx, tx = jax.vmap(lambda s: sim.run(n, state=s))(states)
     ff, tf = sim.run_farm_fused(n, states, interpret=True, subblock=8)
 
     px, pf = np.asarray(tx["pos"]), np.asarray(tf["pos"])
     assert pf.shape == px.shape == (B, n, sim.n_moving, 3)
     assert np.abs(pf - px).max() < 1e-4
     # final carried state (incl. the radiation state tensor) agrees too
-    fx, _ = jax.vmap(lambda s: sim.run(n, state=s))(states)
     assert np.abs(np.asarray(ff.ss) - np.asarray(fx.ss)).max() < 1e-5
     assert np.abs(np.asarray(ff.quat) - np.asarray(fx.quat)).max() < 1e-5
 
@@ -333,3 +332,26 @@ def test_const_mass_auto_excludes_rotating_joints(farm4_h5):
     # explicit opt-in still allowed (with the iters knob)
     sim2 = Simulation(spec_rot, dt=0.02, const_mass=True)
     assert sim2.const_mass
+
+
+def test_farm_fused_rejects_modified_baked_params(farm4_h5):
+    """run_farm_fused bakes TSDA coefficients/masses into the kernel at
+    construction; a params override of a baked key must raise instead of
+    silently running with the stale value (review finding — the
+    optimize-pto pattern overrides params['tsda_c'])."""
+    import jax.numpy as jnp
+
+    from hydrochrono_tpu.parallel.sharding import make_batched_states
+
+    wave = IrregularWaveParams(height=1.5, period=7.0, nfrequencies=10,
+                               ramp_duration=4.0)
+    sim = _farm_sim(farm4_h5, radiation="state_space", wave=wave,
+                    dtype=jnp.float32, outputs=("pos",))
+    assert sim.farm_fused_supported()
+    states = make_batched_states(sim, 2)
+    p = dict(sim.params)
+    p["tsda_c"] = sim.params["tsda_c"] * 2.0
+    with pytest.raises(ValueError, match="bakes"):
+        sim.run_farm_fused(4, states, params=p, interpret=True)
+    # an untouched params dict still runs (wave forcing is re-read)
+    sim.run_farm_fused(4, states, params=dict(sim.params), interpret=True)

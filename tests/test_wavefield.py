@@ -141,6 +141,7 @@ def test_from_results_h5_roundtrip(sphere_h5, tmp_path):
             period: 8.0
             nfrequencies: 25
             seed: 4
+            wave_stretching: true
     """))
     rc = cli.main([str(d), "--quiet", "--output-h5", str(tmp_path / "out")])
     assert rc == 0
@@ -159,6 +160,9 @@ def test_from_results_h5_roundtrip(sphere_h5, tmp_path):
         np.testing.assert_allclose(np.asarray(wf_file.velocity(pts, t)),
                                    np.asarray(wf_live.velocity(pts, t)),
                                    rtol=1e-9)
+    # the stretching flag itself must survive the roundtrip: near-surface
+    # kinematics differ when Wheeler stretching is dropped (review finding)
+    assert wf_live.stretching and wf_file.stretching
 
 
 def test_pto_power_peaks_at_rao_optimum(sphere_h5):

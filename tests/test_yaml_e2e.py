@@ -334,6 +334,51 @@ def test_include_flags_applied(case_copy, tmp_path):
         assert a_undamped > 3.0 * a_damped
 
 
+def test_include_radiation_honored_on_state_space_path(tmp_path):
+    """include_radiation: false must also silence STATE-SPACE radiation:
+    the loader re-reads A/B/C/D from the h5, so the stepper re-applies
+    the mask's force-row zeroing (review finding — radiation_mask
+    previously had no consumer on this path)."""
+    import jax
+    import numpy as np
+    from hydrochrono_tpu.io.bemio import load_bemio_h5, mask_hydro_bodies
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+    from hydrochrono_tpu.physics.system import Body, HydroAttachment, SystemSpec
+    from hydrochrono_tpu.stepper import Simulation
+
+    h5 = str(tmp_path / "ssmask.h5")
+    write_bemio_h5(h5, 2, seed=4, state_space=True,
+                   cg_list=[np.array([0.0, 0.0, -2.0])] * 2,
+                   cb_list=[np.array([0.0, 0.0, -1.7])] * 2,
+                   disp_vol=[261.8] * 2, rirf_tmax=10.0, rirf_steps=201,
+                   n_freq=40)
+    hd = load_bemio_h5(h5, 2)
+    hd_m = mask_hydro_bodies(hd, [True, True], [False, True])
+
+    def spec(h):
+        return SystemSpec(
+            bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.5)),
+                    Body(name="body2", mass=261.8e3, pos0=(40.0, 0.0, -2.0))],
+            hydro=HydroAttachment(hydro=h, body_indices=[0, 1]),
+            gravity=(0.0, 0.0, -9.81))
+
+    sim_m = Simulation(spec(hd_m), dt=0.02, radiation="state_space")
+    sim_f = Simulation(spec(hd), dt=0.02, radiation="state_space")
+    # body-1 force rows of C and D are zeroed; body-2 rows untouched
+    C_m = np.asarray(sim_m.params["_const"]["ss_C"])
+    D_m = np.asarray(sim_m.params["_const"]["ss_D"])
+    assert np.all(C_m[:6] == 0.0) and np.all(D_m[:6] == 0.0)
+    assert np.any(C_m[6:] != 0.0)
+    # and the body-1 decay keeps more energy than with radiation on
+    n = 400
+    _, tm = jax.jit(lambda: sim_m.run(n))()
+    _, tf = jax.jit(lambda: sim_f.run(n))()
+    zm = np.asarray(tm["pos"][:, 0, 2])
+    zf = np.asarray(tf["pos"][:, 0, 2])
+    assert np.abs(zm - zm.mean())[-100:].max() > np.abs(zf - zf.mean())[-100:].max()
+
+
+
 def test_seed_statistics_h5(tmp_path):
     """--seeds writes cross-realization statistics.h5 (per-seed + aggregate
     response std / significant range / PTO power)."""
