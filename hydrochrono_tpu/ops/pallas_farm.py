@@ -174,6 +174,19 @@ class FarmFusedRunner:
         else:
             self.m_rows = 0
 
+        # --- viscous (Morison-type) per-DOF damping --------------------
+        self.has_visc = bool(getattr(sim, "has_viscous", False))
+        if self.has_visc:
+            vl = _np_const(p["visc_lin"])
+            vq = _np_const(p["visc_quad"])
+            if vl.ndim != 2:
+                raise NotImplementedError(
+                    "farm kernel: per-instance viscous coefficients are "
+                    "XLA-path only")
+            self.visc = np.ascontiguousarray(np.broadcast_to(
+                np.stack([vl.reshape(-1), vq.reshape(-1)])[:, :, None],
+                (2, nv, LANE)), f32)
+
         # --- static force rows: gravity + buoyancy ---------------------
         mass = _np_const(p["mass"])
         disp_vol = _np_const(c["disp_vol"])
@@ -359,12 +372,17 @@ class FarmFusedRunner:
         ab = getattr(self, "ablate", ())  # perf-tuning ablation hooks
         con = self.constrained
 
+        vis = self.has_visc
+
         def kernel(*refs):
             adb, bdb, cmb, mats, fstat, cgoff = refs[:6]
             i = 6
+            if vis:
+                visc_ref = refs[i]
+                i += 1
             if con:
-                jmat, sinv, minvjt, ccon = refs[6:10]
-                i = 10
+                jmat, sinv, minvjt, ccon = refs[i:i + 4]
+                i += 4
             fw = refs[i]
             p_in, q_in, v_in, x_in = refs[i + 1:i + 5]
             p_out, q_out, v_out, x_out, traj = refs[i + 5:i + 10]
@@ -384,6 +402,8 @@ class FarmFusedRunner:
             dm, mhat, minv, kneg = (mats[k] for k in range(4))
             fstat = fstat[...]
             cgoff = cgoff[...]
+            if vis:
+                vlin, vquad = visc_ref[0], visc_ref[1]
             if con:
                 jmat, sinv, minvjt, ccon = (
                     jmat[...], sinv[...], minvjt[...], ccon[...])
@@ -442,6 +462,8 @@ class FarmFusedRunner:
 
                 fwe = jnp.broadcast_to(fw[0, e], (nv, LANE))
                 ftot = fstat + fel + fhs - frad + fwe
+                if vis:
+                    ftot = ftot - (vlin * Vp + vquad * jnp.abs(Vp) * Vp)
                 if "mats" in ab:
                     rhs = Vp + h * ftot
                     Vn = 0.999 * rhs * 1e-6
@@ -533,12 +555,14 @@ class FarmFusedRunner:
             memory_space=pltpu.VMEM)
 
         m = self.m_rows
+        visc_specs = [cspec(2, nv, LANE)] if vis else []
         kkt_specs = ([cspec(m, nv), cspec(m, m), cspec(nv, m),
                       cspec(m, LANE)] if con else [])
         in_specs = [
             cspec(o, o, nv, nv, LANE), cspec(o, nv, nv, LANE),
             cspec(o, nv, nv, LANE), cspec(4, nv, nv),
-            cspec(nv, LANE), cspec(nv, LANE), *kkt_specs, fw_spec,
+            cspec(nv, LANE), cspec(nv, LANE), *visc_specs, *kkt_specs,
+            fw_spec,
             sspec(nm3, LANE), sspec(nm4, LANE), sspec(nv, LANE),
             sspec(o, nv, nv, LANE),
         ]
@@ -618,7 +642,8 @@ class FarmFusedRunner:
             # optimize-pto footgun — refuse what we cannot honor. Traced
             # values (params passed through jit) cannot be checked here;
             # the production callers pass concrete params.
-            for key in ("tsda_k", "tsda_c", "mass"):
+            for key in ("tsda_k", "tsda_c", "mass", "visc_lin",
+                        "visc_quad"):
                 if key not in sim.params:
                     continue
                 new_v, old_v = params.get(key), sim.params[key]
@@ -648,6 +673,8 @@ class FarmFusedRunner:
         P, Qm, V, X, RBt, B = self.pack(states)
         consts = (self.adb, self.bdb, self.cmb, self.mats,
                   self.fstat, self.cgoff)
+        if self.has_visc:
+            consts = consts + (self.visc,)
         if self.constrained:
             consts = consts + (self.jmat, self.sinv, self.minvjt, self.ccon)
 

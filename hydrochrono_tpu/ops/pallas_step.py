@@ -281,6 +281,12 @@ class FusedStepBuilder:
             fetch.append((name, size, fn, batch_key))
 
         reg("mass", self.nm, lambda p: p["mass"], batch_key="mass")
+        if getattr(sim, "has_viscous", False):
+            nm6 = self.nm * 6
+            reg("visc_lin", nm6, lambda p: p["visc_lin"].reshape(
+                p["visc_lin"].shape[:-2] + (nm6,)), batch_key="visc_lin")
+            reg("visc_quad", nm6, lambda p: p["visc_quad"].reshape(
+                p["visc_quad"].shape[:-2] + (nm6,)), batch_key="visc_quad")
         reg("g", 3, lambda p: p["_const"]["gravity"])
         reg("inertia", self.nm * 9,
             lambda p: p["_const"]["inertia_body"].reshape(-1))
@@ -416,7 +422,8 @@ class FusedStepBuilder:
         """Names of cvec entries whose backing params leaf carries a leading
         batch dim (fused sweeps: per-instance mass / PTO coefficients)."""
         base_ndim = {"mass": 1, "tsda_k": 1, "tsda_c": 1,
-                     "rsda_k": 1, "rsda_c": 1}
+                     "rsda_k": 1, "rsda_c": 1,
+                     "visc_lin": 2, "visc_quad": 2}
         out = set()
         for name, _, _, bk in self._fetch:
             if bk is not None and bk in params and                     params[bk].ndim > base_ndim[bk]:
@@ -672,6 +679,17 @@ class FusedStepBuilder:
             gyro = _cross3(ang[s], Iw_w)
             for k in range(3):
                 F[s * 6 + 3 + k] = _ssub(F[s * 6 + 3 + k], gyro[k])
+
+        if getattr(sim, "has_viscous", False):
+            # viscous (Morison-type) per-DOF damping rows, mirroring
+            # stepper._forces_mech: F_k -= cl v_k + cq |v_k| v_k
+            for s in range(nm):
+                for k in range(6):
+                    v = lin[s][k] if k < 3 else ang[s][k - 3]
+                    cl = c1("visc_lin", s * 6 + k)
+                    cq = c1("visc_quad", s * 6 + k)
+                    F[s * 6 + k] = _ssub(
+                        F[s * 6 + k], cl * v + cq * jnp.abs(v) * v)
 
         def add_wrench(body, force, torque):
             sl = slot(body)

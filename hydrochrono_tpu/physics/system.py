@@ -37,6 +37,13 @@ class Body:
     quat0: Sequence[float] = (1.0, 0.0, 0.0, 0.0)
     inertia: Optional[np.ndarray] = None  # 3x3 about COM in body frame; default = identity
     fixed: bool = False
+    # viscous (Morison-type) damping, beyond-reference: per-DOF world-
+    # aligned coefficients [6] (surge sway heave roll pitch yaw).
+    # F_k = -linear_k * v_k - quadratic_k * |v_k| * v_k. Linear BEM
+    # underpredicts damping near resonance; WEC-Sim exposes the same
+    # lumped per-DOF model. None = absent.
+    linear_damping: Optional[Sequence[float]] = None
+    quadratic_damping: Optional[Sequence[float]] = None
 
     def inertia_matrix(self) -> np.ndarray:
         if self.inertia is None:

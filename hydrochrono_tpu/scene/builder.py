@@ -276,6 +276,16 @@ def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = 
                     f"{sorted(name_to_idx)}"
                 )
             body_indices.append(name_to_idx[hb.name])
+            if hb.viscous_linear is not None or hb.viscous_quadratic is not None:
+                # beyond-reference viscous (Morison-type) drag extension
+                i = name_to_idx[hb.name]
+                bodies[i] = dataclasses.replace(
+                    bodies[i],
+                    linear_damping=hb.viscous_linear,
+                    quadratic_damping=hb.viscous_quadratic)
+                warnings.append(
+                    f"viscous_damping on {hb.name} is a hydrochrono-tpu "
+                    "extension (not in the reference)")
         hydro_att = HydroAttachment(hydro=hd, body_indices=body_indices)
 
         ws = hydro_spec.waves

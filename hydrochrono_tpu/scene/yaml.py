@@ -297,6 +297,10 @@ class HydroBodyEntry:
     h5_file: str
     include_excitation: bool = True
     include_radiation: bool = True
+    # viscous (Morison-type) per-DOF damping extension (beyond-reference):
+    # viscous_damping: {linear: [6], quadratic: [6]}
+    viscous_linear: object = None
+    viscous_quadratic: object = None
     radiation_calculation: str = "convolution"  # "state_space" declared but
     # unimplemented in the reference (hydro_types.h:24); implemented here.
 
@@ -413,11 +417,20 @@ def parse_hydro_file(path: str) -> HydroSpec:
         h5 = b.get("h5_file", "")
         if h5 and not os.path.isabs(h5):
             h5 = os.path.normpath(os.path.join(base, h5))
+        visc = b.get("viscous_damping", {}) or {}
+        if visc and not (visc.get("linear") or visc.get("quadratic")):
+            raise ValueError(
+                f"viscous_damping on body {b['name']} needs a "
+                "linear: [6] and/or quadratic: [6] list")
         bodies.append(HydroBodyEntry(
             name=str(b["name"]),
             h5_file=h5,
             include_excitation=bool(b.get("include_excitation", True)),
             include_radiation=bool(b.get("include_radiation", True)),
+            viscous_linear=([float(x) for x in visc["linear"]]
+                            if visc.get("linear") else None),
+            viscous_quadratic=([float(x) for x in visc["quadratic"]]
+                               if visc.get("quadratic") else None),
             radiation_calculation=str(b.get("radiation_calculation", "convolution")),
         ))
 

@@ -213,6 +213,28 @@ class Simulation:
         const = {}
         params["_const"] = const
         params["mass"] = jnp.asarray([bodies[i].mass for i in self.moving], self.dtype)
+        # viscous (Morison-type) per-DOF damping (beyond-reference; see
+        # physics/system.Body). Tunable design params (grad flows), so
+        # they live in params, not _const; absent -> no HLO change.
+        self.has_viscous = any(
+            bodies[i].linear_damping is not None
+            or bodies[i].quadratic_damping is not None
+            for i in self.moving)
+        if self.has_viscous:
+            def _d6(x):
+                v = np.zeros(6) if x is None else np.asarray(x, np.float64)
+                if v.shape != (6,):
+                    raise ValueError(
+                        "viscous damping coefficients must be length-6 "
+                        f"(surge sway heave roll pitch yaw); got {v.shape}")
+                return v
+
+            params["visc_lin"] = jnp.asarray(np.stack(
+                [_d6(bodies[i].linear_damping) for i in self.moving]),
+                self.dtype)
+            params["visc_quad"] = jnp.asarray(np.stack(
+                [_d6(bodies[i].quadratic_damping) for i in self.moving]),
+                self.dtype)
         const["inertia_body"] = jnp.asarray(
             np.stack([bodies[i].inertia_matrix() for i in self.moving]), self.dtype
         )
@@ -908,7 +930,8 @@ class Simulation:
         """Canonical UNBATCHED rank per sweepable params leaf — a leaf
         with higher rank carries a leading per-instance sweep batch."""
         return {"mass": 1, "tsda_k": 1, "tsda_c": 1, "rsda_k": 1,
-                "rsda_c": 1, "motor_speed": 1, "reg_mag": 1,
+                "rsda_c": 1, "visc_lin": 2, "visc_quad": 2,
+                "motor_speed": 1, "reg_mag": 1,
                 "reg_phase": 1, "reg_amp": 0, "reg_omega": 0,
                 # directional seas: [D, Neta] is UNBATCHED
                 "irr_eta": 2 if self.wave_spread else 1}
@@ -938,6 +961,10 @@ class Simulation:
         R = quat_to_matrix(quat)
         I_w = R @ const["inertia_body"] @ jnp.swapaxes(R, -1, -2)
         F = F.at[:, 3:].add(-jnp.cross(av, jnp.einsum("nij,nj->ni", I_w, av)))
+        if self.has_viscous:
+            v6 = jnp.concatenate([lv, av], axis=-1)  # [nm, 6]
+            F = F - (params["visc_lin"] * v6
+                     + params["visc_quad"] * jnp.abs(v6) * v6)
         F = F.reshape(self.nv)
         if self.spec.tsdas or self.spec.rsdas:
             F = F + self._element_forces(params, const, pos, quat, lv, av)
