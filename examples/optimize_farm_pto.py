@@ -79,10 +79,11 @@ def main():
         return jnp.mean(jnp.sum(c * vz ** 2, axis=1))
 
     neg_power = jax.jit(jax.value_and_grad(lambda lc: -mean_power(jnp.exp(lc))))
+    mean_power_j = jax.jit(mean_power)  # one trace for all grid points
 
     # --- baseline: coarse uniform-damping sweep --------------------------
     grid = np.geomspace(5e3, 5e5, 9)
-    p_uni = [float(mean_power(jnp.full((n_pto,), c))) for c in grid]
+    p_uni = [float(mean_power_j(jnp.full((n_pto,), c))) for c in grid]
     i_best = int(np.argmax(p_uni))
     print("uniform-damping sweep:")
     for c, p in zip(grid, p_uni):
@@ -109,6 +110,9 @@ def main():
     val, _ = neg_power(log_c)
     if -float(val) > best[0]:
         best = (-float(val), np.asarray(log_c))
+    if best[1] is None:
+        print("optimization diverged: every evaluation was non-finite")
+        return 1
     c_star = np.exp(best[1])
     p_star = best[0]
     print(f"\nper-body optimum: c = {np.array2string(c_star, precision=4)}")

@@ -647,11 +647,13 @@ class FarmFusedRunner:
                 if key not in sim.params:
                     continue
                 new_v, old_v = params.get(key), sim.params[key]
-                if isinstance(new_v, jax.core.Tracer):
-                    continue
-                if new_v is None or not np.array_equal(
+                if new_v is None:
+                    continue  # omitted key == use the baked value
+                if isinstance(new_v, jax.core.Tracer) or not np.array_equal(
                         np.asarray(jax.device_get(new_v)),
                         np.asarray(jax.device_get(old_v))):
+                    # a traced override can never be honored either — the
+                    # value is baked; raising beats silently-stale physics
                     raise ValueError(
                         f"run_farm_fused bakes '{key}' into the kernel at "
                         "build time; rebuild the Simulation with the new "

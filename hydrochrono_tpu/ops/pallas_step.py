@@ -421,12 +421,14 @@ class FusedStepBuilder:
     def batched_entries(self, params):
         """Names of cvec entries whose backing params leaf carries a leading
         batch dim (fused sweeps: per-instance mass / PTO coefficients)."""
-        base_ndim = {"mass": 1, "tsda_k": 1, "tsda_c": 1,
-                     "rsda_k": 1, "rsda_c": 1,
-                     "visc_lin": 2, "visc_quad": 2}
+        # single source of truth for unbatched ranks: the Simulation's
+        # own table (a private copy here once drifted when a new sweepable
+        # param was added to only one of the two)
+        base_ndim = self.sim._param_base_ndim()
         out = set()
         for name, _, _, bk in self._fetch:
-            if bk is not None and bk in params and                     params[bk].ndim > base_ndim[bk]:
+            if bk is not None and bk in params and \
+                    params[bk].ndim > base_ndim[bk]:
                 out.add(name)
         return out
 
