@@ -222,3 +222,29 @@ def test_viscous_bad_shape_raises():
             bodies=[Body(name="b", mass=1.0, pos0=(0, 0, 0),
                          quadratic_damping=[1.0, 2.0])],
             gravity=(0.0, 0.0, -9.81)), dt=0.01)
+
+
+def test_viscous_fused_hht_matches_xla(sphere_h5):
+    """HHT evaluates forces inside each modified-Newton iteration; the
+    in-kernel viscous rows must track the iterate velocities exactly as
+    the XLA path's _forces_mech does (interpret mode, f64)."""
+    from hydrochrono_tpu.parallel.sharding import make_batched_states
+
+    hd = load_bemio_h5(sphere_h5, num_bodies=1)
+    spec = SystemSpec(
+        bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.5),
+                     linear_damping=[0, 0, 2.0e3, 0, 0, 0],
+                     quadratic_damping=[0, 0, 8.0e4, 0, 0, 0])],
+        hydro=HydroAttachment(hydro=hd, body_indices=[0]),
+        gravity=(0.0, 0.0, -9.81),
+    )
+    wave = RegularWave(amplitude=0.5, omega=0.8)
+    sim = Simulation(spec, dt=0.02, wave=wave, block_size=16,
+                     integrator="hht", outputs=("pos",))
+    assert sim.fused_supported()
+    B, n = 2, 32
+    states = make_batched_states(sim, B)
+    _, tx = jax.vmap(lambda s: sim.run(n, state=s))(states)
+    _, tf = sim.run_blocked_fused(n, states, interpret=True)
+    np.testing.assert_allclose(np.asarray(tf["pos"]), np.asarray(tx["pos"]),
+                               rtol=0, atol=1e-9)
