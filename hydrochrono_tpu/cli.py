@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: 128 on TPU, off elsewhere)")
     p.add_argument("--state-space", action="store_true",
                    help="use the state-space radiation model (BEMIO fits)")
+    p.add_argument("--era", action="store_true",
+                   help="shared-pole ERA radiation realized from the RIRF "
+                        "itself (no BEMIO fits needed; composes with HHT "
+                        "and the fused TPU kernel)")
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas step kernel (TPU)")
     p.add_argument("--seeds", type=int, default=0, metavar="N",
@@ -330,8 +334,9 @@ def run_case(args, log) -> int:
             and seed_sweep is not None:
         log.warning("--guard-chunk/--checkpoint/--live-view are not "
                     "supported with --seeds; running unguarded")
-    sim = case.build_simulation(dtype=dtype, outputs=outputs,
-                                block_size=block_size)
+    sim = case.build_simulation(
+        dtype=dtype, outputs=outputs, block_size=block_size,
+        radiation="era" if args.era else None)
     if args.state_space:
         from hydrochrono_tpu.stepper import Simulation
 

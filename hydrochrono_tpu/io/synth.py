@@ -24,7 +24,8 @@ def write_bemio_h5(path: str, num_bodies: int, *, seed: int = 0,
                    cg_list=None, cb_list=None, disp_vol=None,
                    rirf_tmax: float = 15.0, rirf_steps: int = 501,
                    n_freq: int = 120, coupling: float = 0.15,
-                   state_space: bool = False) -> str:
+                   state_space: bool = False,
+                   shared_modes: int = 0) -> str:
     """Write a BEMIO file for `num_bodies` bodies; returns `path`.
 
     Coefficients are stored *unscaled* exactly as BEM post-processors write
@@ -37,13 +38,23 @@ def write_bemio_h5(path: str, num_bodies: int, *, seed: int = 0,
     EXACTLY (A = [[-zeta, w0], [-w0, -zeta]], B = [1, 0]^T, C = [amp, 0]),
     so the convolution and state-space paths integrate the same physics up
     to time-discretization error — the property the farm equivalence test
-    checks (tests/test_farm.py)."""
+    checks (tests/test_farm.py)).
+
+    `shared_modes > 0` switches the radiation kernel to a SHARED pole set
+    with symmetric PSD rank-2 residues per mode — the physically realistic
+    shape (real BEM kernels share the fluid resonances across the 6N x 6N
+    matrix; per-entry-independent poles, the legacy default kept for the
+    frozen case baselines, give an unphysically rank-rich Hankel that no
+    low-order realization fits). Shared-mode kernels are what the ERA
+    radiation mode (physics/era.py) is designed for: the true MIMO order is
+    2 * shared_modes * rank = tens."""
     rng = np.random.RandomState(seed)
     nb = num_bodies
     total = 6 * nb
-    ss_A = np.zeros((total, total, 2, 2))
-    ss_B = np.zeros((total, total, 2, 1))
-    ss_C = np.zeros((total, total, 1, 2))
+    o_ss = 2 * shared_modes if shared_modes else 2
+    ss_A = np.zeros((total, total, o_ss, o_ss))
+    ss_B = np.zeros((total, total, o_ss, 1))
+    ss_C = np.zeros((total, total, 1, o_ss))
     ss_D = np.zeros((total, total))
 
     if cg_list is None:
@@ -56,6 +67,22 @@ def write_bemio_h5(path: str, num_bodies: int, *, seed: int = 0,
     omegas = np.linspace(0.1, 5.0, n_freq)
     rirf_t = np.linspace(0.0, rirf_tmax, rirf_steps)
     exc_t = np.linspace(-rirf_tmax / 2, rirf_tmax / 2, rirf_steps)
+
+    Kglob = None
+    if shared_modes:
+        Kglob = np.zeros((total, total, rirf_steps))
+        for m in range(shared_modes):
+            w0 = 0.8 + 2.0 * rng.rand()
+            zeta = 0.25 + 0.5 * rng.rand()
+            u = rng.normal(size=(total, 2))
+            # PSD symmetric rank-2 residue: dissipative at every frequency
+            R = (10.0 / np.sqrt(total)) * (u @ u.T)
+            env = np.cos(w0 * rirf_t) * np.exp(-zeta * rirf_t)
+            Kglob += R[:, :, None] * env[None, None, :]
+            sl2 = slice(2 * m, 2 * m + 2)
+            ss_A[:, :, sl2, sl2] = np.array([[-zeta, w0], [-w0, -zeta]])
+            ss_B[:, :, 2 * m, 0] = 1.0
+            ss_C[:, :, 0, 2 * m] = R
 
     # system added mass (unscaled = A/rho): SPD via L L^T, dominated by diag
     L = 0.1 * coupling * rng.normal(size=(total, total))
@@ -96,19 +123,24 @@ def write_bemio_h5(path: str, num_bodies: int, *, seed: int = 0,
             # radiation IRF: damped cosines, decaying cross-coupling
             rd = hc.require_group("radiation_damping")
             irf = rd.require_group("impulse_response_fun")
-            K = np.zeros((6, total, rirf_steps))
-            zeta = 0.5
-            for i in range(6):
-                for j in range(total):
-                    scale = 1.0 if (j == b * 6 + i) else coupling * rng.rand()
-                    w0 = 0.8 + 2.0 * rng.rand()
-                    amp = 20.0 * scale
-                    K[i, j] = amp * np.cos(w0 * rirf_t) * np.exp(-zeta * rirf_t)
-                    # the exact modal realization of this damped cosine
-                    r = b * 6 + i
-                    ss_A[r, j] = [[-zeta, w0], [-w0, -zeta]]
-                    ss_B[r, j] = [[1.0], [0.0]]
-                    ss_C[r, j] = [[amp, 0.0]]
+            if shared_modes:
+                K = Kglob[b * 6:b * 6 + 6]
+            else:
+                K = np.zeros((6, total, rirf_steps))
+                zeta = 0.5
+                for i in range(6):
+                    for j in range(total):
+                        scale = (1.0 if (j == b * 6 + i)
+                                 else coupling * rng.rand())
+                        w0 = 0.8 + 2.0 * rng.rand()
+                        amp = 20.0 * scale
+                        K[i, j] = (amp * np.cos(w0 * rirf_t)
+                                   * np.exp(-zeta * rirf_t))
+                        # the exact modal realization of this damped cosine
+                        r = b * 6 + i
+                        ss_A[r, j] = [[-zeta, w0], [-w0, -zeta]]
+                        ss_B[r, j] = [[1.0], [0.0]]
+                        ss_C[r, j] = [[amp, 0.0]]
             irf.create_dataset("K", data=K)
             irf.create_dataset("t", data=rirf_t[:, None])
             irf.create_dataset("w", data=np.linspace(0, 5, rirf_steps)[:, None])

@@ -74,8 +74,9 @@ class FarmFusedRunner:
         p = sim.params if params is None else params
         if not sim.const_mass:
             raise NotImplementedError("farm kernel requires const_mass")
-        if sim.radiation != "state_space" or sim.hydro is None:
-            raise NotImplementedError("farm kernel requires state_space radiation")
+        if sim.radiation not in ("state_space", "era") or sim.hydro is None:
+            raise NotImplementedError(
+                "farm kernel requires history-free radiation (state_space/era)")
         if sim.integrator != "euler_implicit_linearized":
             raise NotImplementedError("farm kernel: euler integrator only")
         if sim.dtype != jnp.float32:
@@ -120,23 +121,41 @@ class FarmFusedRunner:
             raise NotImplementedError("farm kernel unrolls per-body math; nm <= 32")
 
         c = p["_const"]
-        nv, nm, o = sim.nv, sim.n_moving, sim.ss_order
+        self.mode = sim.radiation
+        nv, nm = sim.nv, sim.n_moving
+        o = sim.ss_order if self.mode == "state_space" else 0
         self.nv, self.nm, self.o = nv, nm, o
         f32 = np.float32
 
-        # --- state-space tensors, pre-broadcast to the lane layout -----
-        Ad = _np_const(c["ss_Ad"])  # [nv, nv, o, o]
-        Bd = _np_const(c["ss_Bd"])  # [nv, nv, o]
-        Cm = _np_const(c["ss_C"])   # [nv, nv, o]
-        # NOTE: constants stay numpy (materialized per trace) — building
-        # jnp arrays here would leak tracers when the runner is first
-        # constructed inside a jit trace (the runner is cached on sim).
-        self.adb = np.ascontiguousarray(np.broadcast_to(
-            Ad.transpose(2, 3, 0, 1)[..., None], (o, o, nv, nv, LANE)), f32)
-        self.bdb = np.ascontiguousarray(np.broadcast_to(
-            Bd.transpose(2, 0, 1)[..., None], (o, nv, nv, LANE)), f32)
-        self.cmb = np.ascontiguousarray(np.broadcast_to(
-            Cm.transpose(2, 0, 1)[..., None], (o, nv, nv, LANE)), f32)
+        if self.mode == "state_space":
+            # --- per-entry state-space tensors, pre-broadcast to lanes --
+            Ad = _np_const(c["ss_Ad"])  # [nv, nv, o, o]
+            Bd = _np_const(c["ss_Bd"])  # [nv, nv, o]
+            Cm = _np_const(c["ss_C"])   # [nv, nv, o]
+            # NOTE: constants stay numpy (materialized per trace) — building
+            # jnp arrays here would leak tracers when the runner is first
+            # constructed inside a jit trace (the runner is cached on sim).
+            self.adb = np.ascontiguousarray(np.broadcast_to(
+                Ad.transpose(2, 3, 0, 1)[..., None], (o, o, nv, nv, LANE)), f32)
+            self.bdb = np.ascontiguousarray(np.broadcast_to(
+                Bd.transpose(2, 0, 1)[..., None], (o, nv, nv, LANE)), f32)
+            self.cmb = np.ascontiguousarray(np.broadcast_to(
+                Cm.transpose(2, 0, 1)[..., None], (o, nv, nv, LANE)), f32)
+        else:
+            # --- shared-pole ERA realization (physics/era.py): the state
+            # is ONE [M, LANE] tile and advance/output are MXU matmuls —
+            # the per-entry pages (o * nv^2 rows) disappear entirely
+            M = sim.era_order
+            self.Mp = max(8, -(-M // 8) * 8)  # sublane-pad to 8
+            eA = np.zeros((self.Mp, self.Mp))
+            eB = np.zeros((self.Mp, nv))
+            eC = np.zeros((nv, self.Mp))
+            eA[:M, :M] = _np_const(c["era_Ad"])
+            eB[:M] = _np_const(c["era_Bd"])
+            eC[:, :M] = _np_const(c["era_C"])
+            self.eraA = np.ascontiguousarray(eA, f32)
+            self.eraB = np.ascontiguousarray(eB, f32)
+            self.eraC = np.ascontiguousarray(eC, f32)
 
         # --- matmul operands: Dm, mhat, minv, Kneg ---------------------
         grav = _np_const(c["gravity"])
@@ -146,8 +165,10 @@ class FarmFusedRunner:
         for b in range(nm):
             Kneg[b * 6:(b + 1) * 6, b * 6:(b + 1) * 6] = (
                 -(sim.rho * g_mag) * k_lin[b])
+        dmat = _np_const(c["ss_D"] if self.mode == "state_space"
+                         else c["era_D"])
         self.mats = np.stack([
-            _np_const(c["ss_D"]), _np_const(c["mhat"]),
+            dmat, _np_const(c["mhat"]),
             _np_const(c["minv"]), Kneg]).astype(f32)
 
         # --- constant-J KKT operands (constrained farms) ---------------
@@ -374,8 +395,13 @@ class FarmFusedRunner:
 
         vis = self.has_visc
 
+        era = self.mode == "era"
+
         def kernel(*refs):
-            adb, bdb, cmb, mats, fstat, cgoff = refs[:6]
+            if era:
+                eA, eB, eC, mats, fstat, cgoff = refs[:6]
+            else:
+                adb, bdb, cmb, mats, fstat, cgoff = refs[:6]
             i = 6
             if vis:
                 visc_ref = refs[i]
@@ -398,7 +424,11 @@ class FarmFusedRunner:
             P = p_out[0]     # (nm3, L)
             Qm = q_out[0]    # (nm4, L)
             Vp = v_out[0]    # (nv, L)
-            X = [x_out[0, i] for i in range(o)]  # each (nv, nv, L)
+            if era:
+                Z = x_out[0]  # (Mp, L) shared-pole radiation state
+                eAv, eBv, eCv = eA[...], eB[...], eC[...]
+            else:
+                X = [x_out[0, i] for i in range(o)]  # each (nv, nv, L)
             dm, mhat, minv, kneg = (mats[k] for k in range(4))
             fstat = fstat[...]
             cgoff = cgoff[...]
@@ -413,24 +443,38 @@ class FarmFusedRunner:
                 Qrows = [Qm[k:k + 1] for k in range(nm4)]
                 Vrows = [Vp[k:k + 1] for k in range(nv)]
 
-                # -- radiation: F = D v + sum_i sum_c Cm_i x_i; ZOH advance
+                # -- radiation: F = D v + C z (era) / per-entry reduce (ss);
+                #    state advance as matmuls (era) / ZOH elementwise (ss)
                 if "mats" in ab:
                     frad = 0.001 * Vp
                 else:
                     frad = jnp.dot(dm, Vp, precision=_PREC,
                                    preferred_element_type=jnp.float32)
-                if "reduce" not in ab:
-                    for i in range(o):
-                        frad = frad + jnp.sum(cmb[i] * X[i], axis=1)
-                if "adv" not in ab:
-                    Xn = []
-                    for i in range(o):
-                        xi = bdb[i] * Vp[None, :, :]
-                        for pp in range(o):
-                            xi = xi + adb[i, pp] * X[pp]
-                        Xn.append(xi)
+                if era:
+                    if "reduce" not in ab:
+                        frad = frad + jnp.dot(
+                            eCv, Z, precision=_PREC,
+                            preferred_element_type=jnp.float32)
+                    if "adv" not in ab:
+                        Zn = (jnp.dot(eAv, Z, precision=_PREC,
+                                      preferred_element_type=jnp.float32)
+                              + jnp.dot(eBv, Vp, precision=_PREC,
+                                        preferred_element_type=jnp.float32))
+                    else:
+                        Zn = Z
                 else:
-                    Xn = X
+                    if "reduce" not in ab:
+                        for i in range(o):
+                            frad = frad + jnp.sum(cmb[i] * X[i], axis=1)
+                    if "adv" not in ab:
+                        Xn = []
+                        for i in range(o):
+                            xi = bdb[i] * Vp[None, :, :]
+                            for pp in range(o):
+                                xi = xi + adb[i, pp] * X[pp]
+                            Xn.append(xi)
+                    else:
+                        Xn = X
 
                 # -- hydrostatics: Kneg @ disp6 (buoyancy sits in fstat)
                 if "concat" in ab:
@@ -504,7 +548,10 @@ class FarmFusedRunner:
                     P = jnp.concatenate(p_chunks, axis=0)
                     Qm = jnp.concatenate(q_chunks, axis=0)
                 Vp = Vn
-                X = Xn
+                if era:
+                    Z = Zn
+                else:
+                    X = Xn
                 if "dumpf0" in ab:
                     traj[0, 0, e] = ftot[:nm3]
                 elif "dumpf1" in ab:
@@ -528,7 +575,7 @@ class FarmFusedRunner:
             p_out[0] = P
             q_out[0] = Qm
             v_out[0] = Vp
-            x_out[0] = jnp.stack(X)
+            x_out[0] = Z if era else jnp.stack(X)
 
         def cspec(*dims):
             # constants: block index never changes -> DMA'd once per call
@@ -558,24 +605,33 @@ class FarmFusedRunner:
         visc_specs = [cspec(2, nv, LANE)] if vis else []
         kkt_specs = ([cspec(m, nv), cspec(m, m), cspec(nv, m),
                       cspec(m, LANE)] if con else [])
+        if era:
+            Mp = self.Mp
+            rad_specs = [cspec(Mp, Mp), cspec(Mp, nv), cspec(nv, Mp)]
+            rad_state = sspec(Mp, LANE)
+            rad_shape = (RBt, Mp, LANE)
+        else:
+            rad_specs = [cspec(o, o, nv, nv, LANE), cspec(o, nv, nv, LANE),
+                         cspec(o, nv, nv, LANE)]
+            rad_state = sspec(o, nv, nv, LANE)
+            rad_shape = (RBt, o, nv, nv, LANE)
         in_specs = [
-            cspec(o, o, nv, nv, LANE), cspec(o, nv, nv, LANE),
-            cspec(o, nv, nv, LANE), cspec(4, nv, nv),
+            *rad_specs, cspec(4, nv, nv),
             cspec(nv, LANE), cspec(nv, LANE), *visc_specs, *kkt_specs,
             fw_spec,
             sspec(nm3, LANE), sspec(nm4, LANE), sspec(nv, LANE),
-            sspec(o, nv, nv, LANE),
+            rad_state,
         ]
         out_specs = [
             sspec(nm3, LANE), sspec(nm4, LANE), sspec(nv, LANE),
-            sspec(o, nv, nv, LANE), tspec(sub, nm3, LANE),
+            rad_state, tspec(sub, nm3, LANE),
         ]
         f32 = jnp.float32
         out_shape = [
             jax.ShapeDtypeStruct((RBt, nm3, LANE), f32),
             jax.ShapeDtypeStruct((RBt, nm4, LANE), f32),
             jax.ShapeDtypeStruct((RBt, nv, LANE), f32),
-            jax.ShapeDtypeStruct((RBt, o, nv, nv, LANE), f32),
+            jax.ShapeDtypeStruct(rad_shape, f32),
             jax.ShapeDtypeStruct((RBt, nchunks, sub, nm3, LANE), f32),
         ]
         return pl.pallas_call(
@@ -603,9 +659,15 @@ class FarmFusedRunner:
         V = tile2(jnp.concatenate(
             [states.lin_vel, states.ang_vel], axis=-1
         ).reshape(B, nv).astype(f32), nv)
-        ss = states.ss.astype(f32)[sel]  # [Bp, nv, nv, o]
-        X = ss.transpose(3, 1, 2, 0).reshape(
-            o, nv, nv, RBt, LANE).transpose(3, 0, 1, 2, 4)
+        if self.mode == "era":
+            zpad = jnp.zeros(
+                (states.ss.shape[0], self.Mp - states.ss.shape[-1]), f32)
+            z = jnp.concatenate([states.ss.astype(f32), zpad], axis=-1)
+            X = tile2(z, self.Mp)  # [RBt, Mp, LANE]
+        else:
+            ss = states.ss.astype(f32)[sel]  # [Bp, nv, nv, o]
+            X = ss.transpose(3, 1, 2, 0).reshape(
+                o, nv, nv, RBt, LANE).transpose(3, 0, 1, 2, 4)
         return P, Qm, V, X, RBt, B
 
     def unpack(self, P, Qm, V, X, B, states):
@@ -619,8 +681,12 @@ class FarmFusedRunner:
         pos = untile(P, nm * 3).reshape(B, nm, 3).astype(dt)
         quat = untile(Qm, nm * 4).reshape(B, nm, 4).astype(dt)
         v = untile(V, nv).reshape(B, nm, 6).astype(dt)
-        ss = X.transpose(1, 2, 3, 0, 4).reshape(
-            o, nv, nv, RBt * LANE).transpose(3, 1, 2, 0)[:B].astype(dt)
+        if self.mode == "era":
+            M = states.ss.shape[-1]
+            ss = untile(X, self.Mp)[:, :M].astype(dt)
+        else:
+            ss = X.transpose(1, 2, 3, 0, 4).reshape(
+                o, nv, nv, RBt * LANE).transpose(3, 1, 2, 0)[:B].astype(dt)
         return dataclasses.replace(
             states, pos=pos, quat=quat,
             lin_vel=v[..., :3], ang_vel=v[..., 3:], ss=ss)
@@ -673,8 +739,12 @@ class FarmFusedRunner:
         fwave = fwave.astype(jnp.float32)
 
         P, Qm, V, X, RBt, B = self.pack(states)
-        consts = (self.adb, self.bdb, self.cmb, self.mats,
-                  self.fstat, self.cgoff)
+        if self.mode == "era":
+            consts = (self.eraA, self.eraB, self.eraC, self.mats,
+                      self.fstat, self.cgoff)
+        else:
+            consts = (self.adb, self.bdb, self.cmb, self.mats,
+                      self.fstat, self.cgoff)
         if self.has_visc:
             consts = consts + (self.visc,)
         if self.constrained:

@@ -205,8 +205,13 @@ class FusedStepBuilder:
             if sim.integrator not in ("euler_implicit_linearized", "hht"):
                 raise NotImplementedError(
                     f"fused step: integrator {sim.integrator}")
-            if sim.radiation != "convolution":
-                raise NotImplementedError("fused step: convolution radiation only")
+            if sim.radiation not in ("convolution", "era"):
+                # "era" composes with this kernel unchanged: the blocked-ERA
+                # far field is just a different producer for the fpre operand
+                # (stepper.run_blocked_fused); the in-kernel W_small lags are
+                # identical in both modes
+                raise NotImplementedError(
+                    "fused step: convolution/era radiation only")
             if getattr(sim, "const_mass", False):
                 # farm-scale const-mass systems take the batched XLA path
                 # (stepper._step_core fast branch): with no factorization in

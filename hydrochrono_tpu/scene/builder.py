@@ -54,7 +54,9 @@ class Case:
         return int(round(self.end_time / self.dt))
 
     def build_simulation(self, dtype=None, outputs=("pos", "quat", "lin_vel", "ang_vel"),
-                         block_size=None):
+                         block_size=None, radiation=None):
+        """radiation: optional override of the YAML per-body
+        radiation_calculation ("convolution" / "state_space" / "era")."""
         from hydrochrono_tpu.stepper import Simulation
 
         # YAML integrator selection (simulation_file integrator.type;
@@ -63,20 +65,27 @@ class Case:
         integ_type = str(integ_cfg.get("type", "")).lower()
         integrator = "hht" if integ_type == "hht" else "euler_implicit_linearized"
 
-        # per-body radiation_calculation: "state_space" switches the radiation
-        # model (declared but unimplemented in the reference, hydro_types.h:24)
-        radiation = "convolution"
-        if self.hydro_spec is not None and self.hydro_spec.bodies and all(
-            b.radiation_calculation == "state_space" for b in self.hydro_spec.bodies
-        ):
-            radiation = "state_space"
-            if integrator == "hht" or block_size:
-                self.warnings.append(
-                    "state_space radiation pairs with the per-step Euler path; "
-                    "ignoring HHT/block_size for this run"
-                )
-                integrator = "euler_implicit_linearized"
-                block_size = None
+        # per-body radiation_calculation: "state_space" switches to the
+        # BEMIO per-entry fits (declared but unimplemented in the reference,
+        # hydro_types.h:24); "era" switches to the shared-pole realization
+        # fitted from the RIRF itself (physics/era.py, beyond-reference —
+        # works for any h5, composes with HHT and the blocked fused kernel)
+        if radiation is None:
+            radiation = "convolution"
+            if self.hydro_spec is not None and self.hydro_spec.bodies:
+                modes = {b.radiation_calculation
+                         for b in self.hydro_spec.bodies}
+                if modes == {"state_space"}:
+                    radiation = "state_space"
+                elif modes == {"era"}:
+                    radiation = "era"
+        if radiation == "state_space" and (integrator == "hht" or block_size):
+            self.warnings.append(
+                "state_space radiation pairs with the per-step Euler "
+                "path; ignoring HHT/block_size for this run"
+            )
+            integrator = "euler_implicit_linearized"
+            block_size = None
 
         tapered = None
         if self.hydro_spec is not None and self.hydro_spec.convolution.mode in (

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from hydrochrono_tpu.io.bemio import HydroData
 from hydrochrono_tpu.ops.linalg import make_kkt_cache, solve_kkt, solve_kkt_refined, solve_spd
 from hydrochrono_tpu.ops.mxu import with_full_matmul
+from hydrochrono_tpu.physics import era
 from hydrochrono_tpu.physics import radiation as rad
 from hydrochrono_tpu.physics import statespace as ssr
 from hydrochrono_tpu.physics import waves as wv
@@ -136,7 +137,8 @@ class Simulation:
                  hht_alpha: float = -0.2, hht_iterations: int = 3,
                  radiation: str = "convolution",
                  const_mass: Optional[bool] = None,
-                 kkt_refine_iters: int = 2):
+                 kkt_refine_iters: int = 2,
+                 era_order: Optional[int] = None, era_tol: float = 1e-6):
         """block_size: enable the blocked far-field convolution (see
         physics/radiation.py) — the history buffer is then read once per
         `block_size` steps instead of every step. far_dtype optionally lowers
@@ -190,7 +192,7 @@ class Simulation:
         self.hht_iterations = int(hht_iterations)
         self.tapered_opts = tapered
         self.radiation = radiation
-        if radiation not in ("convolution", "state_space"):
+        if radiation not in ("convolution", "state_space", "era"):
             raise ValueError(f"unknown radiation model {radiation!r}")
         if radiation == "state_space" and block_size:
             # not a feature gap: blocking exists to amortize radiation
@@ -201,6 +203,11 @@ class Simulation:
                 "block_size has no effect with state-space radiation "
                 "(no history buffer to amortize); drop block_size"
             )
+        # era + block_size = the blocked-ERA hybrid: the far field (lags
+        # beyond the block) comes from the shared-pole state propagated
+        # once per block, the in-block lags stay EXACT (W_small/W_mid2d) —
+        # the ring buffer and the [tb, H-1, K, K] Hankel far kernel both
+        # disappear (physics/era.py)
 
         bodies = spec.bodies
         self.moving = [i for i, b in enumerate(bodies) if not b.fixed]
@@ -294,9 +301,10 @@ class Simulation:
                 wsmall = np.zeros((tb,) + W.shape[1:])
                 wsmall[: min(tb, H)] = W[: min(tb, H)]
                 const["W_small_rev"] = jnp.asarray(wsmall[::-1].copy(), self.dtype)
-                const["W_far"] = jnp.asarray(
-                    rad.build_hankel_far_kernel(W, tb), self.far_dtype
-                )
+                if radiation != "era":
+                    const["W_far"] = jnp.asarray(
+                        rad.build_hankel_far_kernel(W, tb), self.far_dtype
+                    )
                 # mid-field weights for the fused sub-block runner, flattened
                 # per sub-block position into [nsub, sub*K, tb*K] so the
                 # in-block contraction is ONE clean MXU matmul against the
@@ -320,6 +328,42 @@ class Simulation:
             else:
                 self.hist_len = H
             const["W_rev"] = jnp.asarray(W[::-1].copy(), self.dtype)
+
+            if radiation == "era":
+                # shared-pole realization of the SAME lag kernel the
+                # convolution would use (taper + masking folded into W
+                # already) — physics/era.py
+                fit = era.era_fit(W, order=era_order, tol=era_tol)
+                self.era_order = fit.order
+                self.era_markov_rel_err = fit.markov_rel_err
+                const["era_Ad"] = jnp.asarray(fit.Ad, self.dtype)
+                const["era_Bd"] = jnp.asarray(fit.Bd, self.dtype)
+                const["era_C"] = jnp.asarray(fit.C, self.dtype)
+                const["era_D"] = jnp.asarray(fit.D, self.dtype)
+                if block_size:
+                    # blocked-ERA far field: F_far[d] = C Ad^d z (z at the
+                    # block start), z' = Ad^tb z + sum_j Ad^{tb-1-j} Bd v[j]
+                    # — all host-precomputed f64 powers, flattened so each
+                    # is ONE matmul per block
+                    tbb, M = block_size, fit.order
+                    K6 = W.shape[1]
+                    Cblk = np.empty((tbb, K6, M))
+                    P = np.eye(M)
+                    for d in range(tbb):
+                        Cblk[d] = fit.C @ P
+                        P = P @ fit.Ad
+                    Abig = P  # Ad^tb
+                    Bblk = np.empty((tbb, M, K6))
+                    Q = fit.Bd.copy()
+                    for j in range(tbb - 1, -1, -1):
+                        Bblk[j] = Q
+                        Q = fit.Ad @ Q
+                    const["era_Cblk2d"] = jnp.asarray(
+                        Cblk.reshape(tbb * K6, M), self.dtype)
+                    const["era_Abig"] = jnp.asarray(Abig, self.dtype)
+                    const["era_Bblk2d"] = jnp.asarray(
+                        Bblk.transpose(1, 0, 2).reshape(M, tbb * K6),
+                        self.dtype)
 
             # A_inf padded to the full moving-body system (chloadaddedmass.cpp:34-42)
             ainf_sys = np.zeros((self.nv, self.nv))
@@ -910,6 +954,9 @@ class Simulation:
             vhist = jnp.zeros((1, 6 * self.n_hydro), self.dtype)
             ss = jnp.zeros((6 * self.n_hydro, 6 * self.n_hydro, self.ss_order),
                            self.dtype)
+        elif self.radiation == "era" and self.hydro is not None:
+            vhist = jnp.zeros((1, 6 * self.n_hydro), self.dtype)
+            ss = jnp.zeros((self.era_order,), self.dtype)
         else:
             vhist = jnp.zeros((self.hist_len, 6 * max(self.n_hydro, 1)), self.dtype)
             ss = jnp.zeros((0,), self.dtype)
@@ -1040,12 +1087,10 @@ class Simulation:
         update stay uniform across the batch; a per-instance traced index
         would turn them into per-instance gathers/scatters (measured 20x
         slower on TPU)."""
-        if self.hydro is not None and self.radiation == "state_space":
+        if self.hydro is not None and self.radiation in ("state_space", "era"):
             const = params["_const"]
             v6 = self._hydro_velocity(state)
-            f_rad, ss_new = ssr.ss_step_fused(
-                const["ss_Ad"], const["ss_Bd"], const["ss_C"],
-                const["ss_D"], state.ss, v6)
+            f_rad, ss_new = self._rad_ss_step(const, state.ss, v6)
             state = dataclasses.replace(state, ss=ss_new)
             return self._step_core(params, state, n, f_rad=f_rad)
         if self.hydro is not None:
@@ -1056,6 +1101,18 @@ class Simulation:
             )
             state = dataclasses.replace(state, vhist=vhist)
         return self._step_core(params, state, n)
+
+    def _rad_ss_step(self, const, ss_state, v6):
+        """(f_rad, new radiation state) for the history-free radiation
+        models — per-entry BEMIO fits ("state_space") or the shared-pole
+        ERA realization ("era", physics/era.py)."""
+        if self.radiation == "era":
+            return era.era_step_fused(
+                const["era_Ad"], const["era_Bd"], const["era_C"],
+                const["era_D"], ss_state, v6)
+        return ssr.ss_step_fused(
+            const["ss_Ad"], const["ss_Bd"], const["ss_C"],
+            const["ss_D"], ss_state, v6)
 
     def _assemble_mass(self, params, I_w):
         """M^ = blockdiag(m I3, I_world) + A_inf, [nv, nv]."""
@@ -1248,14 +1305,12 @@ class Simulation:
         # buffer (and hence the blocked far-field machinery) is identical to
         # the Euler path's.
         if self.hydro is not None:
-            if f_rad is None and self.radiation == "state_space":
+            if f_rad is None and self.radiation in ("state_space", "era"):
                 v6 = jnp.concatenate(
                     [jnp.concatenate([v_lin_p[s], v_ang_p[s]])
                      for s in self.hydro_slots]
                 ).reshape(-1)
-                f_rad, ss_new = ssr.ss_step_fused(
-                    const["ss_Ad"], const["ss_Bd"], const["ss_C"],
-                    const["ss_D"], state.ss, v6)
+                f_rad, ss_new = self._rad_ss_step(const, state.ss, v6)
                 state = dataclasses.replace(state, ss=ss_new)
             elif f_rad is None:
                 v6 = jnp.concatenate(
@@ -1457,7 +1512,8 @@ class Simulation:
         H2 = self.hist_len
         K = 6 * self.n_hydro
         const = params["_const"]
-        Hj = const["W_far"].shape[1]  # = H - 1
+        blocked_era = self.radiation == "era"
+        Hj = None if blocked_era else const["W_far"].shape[1]  # = H - 1
 
         irregular = self.wave_kind == "IrregularWaveParams"
         hht = self.integrator == "hht"
@@ -1467,12 +1523,16 @@ class Simulation:
             cache = (self._solver_cache(params, st)
                      if (self.refined_solver and not hht) else None)
 
-            # newest-first pre-block history: vold[j] = v[n0-1-j]
-            p0 = jnp.mod(n0, H2)
-            vold = jnp.roll(st.vhist[::-1], p0, axis=0)[:Hj]
-            f_far = rad.far_field_block(
-                const["W_far"], vold.astype(self.far_dtype)
-            ).astype(self.dtype)  # [tb, K]
+            if blocked_era:
+                # far field from the shared-pole state at the block start
+                f_far = (const["era_Cblk2d"] @ st.ss).reshape(tb, K)
+            else:
+                # newest-first pre-block history: vold[j] = v[n0-1-j]
+                p0 = jnp.mod(n0, H2)
+                vold = jnp.roll(st.vhist[::-1], p0, axis=0)[:Hj]
+                f_far = rad.far_field_block(
+                    const["W_far"], vold.astype(self.far_dtype)
+                ).astype(self.dtype)  # [tb, K]
 
             if irregular:
                 M = self._exc_window
@@ -1515,8 +1575,14 @@ class Simulation:
                 inner, (st, jnp.zeros((tb, K), self.dtype)),
                 jnp.arange(tb, dtype=jnp.int32),
             )
-            vhist = jax.lax.dynamic_update_slice_in_dim(st2.vhist, vblock, p0, axis=0)
-            st2 = dataclasses.replace(st2, vhist=vhist)
+            if blocked_era:
+                z2 = (const["era_Abig"] @ st.ss
+                      + const["era_Bblk2d"] @ vblock.reshape(tb * K))
+                st2 = dataclasses.replace(st2, ss=z2)
+            else:
+                vhist = jax.lax.dynamic_update_slice_in_dim(
+                    st2.vhist, vblock, p0, axis=0)
+                st2 = dataclasses.replace(st2, vhist=vhist)
             return st2, outs
 
         # remat per BLOCK: backward stores one State per block (sqrt-style
@@ -1563,7 +1629,7 @@ class Simulation:
         return self._farm_builder
 
     def farm_fused_supported(self) -> bool:
-        if not self.const_mass or self.radiation != "state_space":
+        if not self.const_mass or self.radiation not in ("state_space", "era"):
             return False
         try:
             self.farm_fused_builder()
@@ -1624,11 +1690,19 @@ class Simulation:
         K = 6 * self.n_hydro
         nm, nv, m = self.n_moving, self.nv, self.n_constraints
         const = params["_const"]
-        Hj = const["W_far"].shape[1]
+        blocked_era = self.radiation == "era"
+        Hj = None if blocked_era else const["W_far"].shape[1]
 
         B = states.pos.shape[0]
         sc0, vhist0 = b.pack_state(states)
         RB = sc0.shape[1]
+        rad0 = vhist0
+        if blocked_era:
+            # the radiation state is the shared-pole z [B, M] -> [M, RB*128]
+            # (carried in the vhist carry slot; there is no ring buffer)
+            Bp = RB * 128
+            selz = jnp.minimum(jnp.arange(Bp), B - 1)
+            rad0 = states.ss[selz].astype(self.dtype).T.reshape(-1, Bp)
         batched_entries = b.batched_entries(params)
         cvec = b.cvec(params, batched_entries)
         if batched_entries:
@@ -1820,12 +1894,17 @@ class Simulation:
         def block(carry, bi):
             sc, hc, mhv, vhist = carry
             n0 = bi * tb
-            p0 = jnp.mod(n0, H2)
-            vold = jnp.roll(vhist[::-1], p0, axis=0)[:Hj]  # [Hj, K, RB, 128]
-            f_far = jnp.einsum(
-                "djik,jkrl->dirl", const["W_far"],
-                vold.astype(self.far_dtype),
-            ).astype(self.dtype)
+            if blocked_era:
+                # [tb*K, M] @ [M, RB*128] — the whole block's far field in
+                # one small matmul from the shared-pole state
+                f_far = (const["era_Cblk2d"] @ vhist).reshape(tb, K, RB, 128)
+            else:
+                p0 = jnp.mod(n0, H2)
+                vold = jnp.roll(vhist[::-1], p0, axis=0)[:Hj]  # [Hj,K,RB,128]
+                f_far = jnp.einsum(
+                    "djik,jkrl->dirl", const["W_far"],
+                    vold.astype(self.far_dtype),
+                ).astype(self.dtype)
             f_exc = wave_block(n0)
 
             def inner(ic, d):
@@ -1932,22 +2011,31 @@ class Simulation:
                     inner, (sc, hc, mhv, vblock0),
                     jnp.arange(tb, dtype=jnp.int32),
                 )
-            vhist = jax.lax.dynamic_update_slice_in_dim(
-                vhist, vblock, p0, axis=0
-            )
+            if blocked_era:
+                vb2 = vblock.reshape(tb * K, RB * 128)
+                vhist = const["era_Abig"] @ vhist + const["era_Bblk2d"] @ vb2
+            else:
+                vhist = jax.lax.dynamic_update_slice_in_dim(
+                    vhist, vblock, p0, axis=0
+                )
             return (sc, hc, mhv, vhist), outs
 
         # warm-start carry for the in-kernel mooring Newton (cold-solved
         # once at the initial state)
         mhv0 = mooring_hv0(sc0) if moored else None
-        carry0 = (sc0, hc0, mhv0, vhist0)
+        carry0 = (sc0, hc0, mhv0, rad0)
         final_carry, traj = jax.lax.scan(
             block, carry0,
             start_block + jnp.arange(nblocks, dtype=jnp.int32),
         )
-        sc_f, hc_f, _, vhist_f = final_carry
+        sc_f, hc_f, _, rad_f = final_carry
 
-        final = b.unpack_state(sc_f, vhist_f, B, states.ss)
+        if blocked_era:
+            ss_f = rad_f.reshape(rad_f.shape[0], -1).T[:B].astype(
+                states.ss.dtype)
+            final = b.unpack_state(sc_f, vhist0, B, ss_f)
+        else:
+            final = b.unpack_state(sc_f, rad_f, B, states.ss)
         if hht:
             # write the final HHT carry back into State.hht [B, 2, nv]
             hht_f = hc_f.reshape(2 * nv, RB * 128).T[:B].reshape(B, 2, nv)

@@ -1,0 +1,160 @@
+"""Shared-pole ERA radiation (physics/era.py).
+
+Covers: exact recovery of a true low-order kernel, FIR-vs-ERA force
+equivalence on the real sphere kernel, the sphere-decay reference golden
+through the era mode, blocked-ERA (far field from the shared-pole state +
+exact in-block lags) on both the XLA and fused runners, HHT compatibility,
+and resume. Reference FIR being realized: hydro_forces.cpp:537-691.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hydrochrono_tpu.io.bemio import load_bemio_h5
+from hydrochrono_tpu.parallel.sharding import make_batched_states
+from hydrochrono_tpu.physics import radiation as rad
+from hydrochrono_tpu.physics.era import era_fit, fir_reference
+from hydrochrono_tpu.physics.system import Body, HydroAttachment, SystemSpec
+from hydrochrono_tpu.stepper import Simulation
+
+SPHERE_H5 = "/root/reference/demos/sphere/hydroData/sphere.h5"
+REF_DECAY = ("/root/reference/tests/regression/reference_data/sphere/"
+             "decay/hc_ref_sphere_decay.txt")
+
+
+def _modal_kernel(T=160, K=4, modes=3, seed=0):
+    """True low-order kernel: shared damped cosines, random residues."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(T) * 0.1
+    W = np.zeros((T, K, K))
+    for _ in range(modes):
+        w0 = rng.uniform(0.5, 2.5)
+        zeta = rng.uniform(0.2, 0.6)
+        R = rng.standard_normal((K, 1)) @ rng.standard_normal((1, K))
+        W += R[None] * (np.cos(w0 * t) * np.exp(-zeta * t))[:, None, None]
+    return W
+
+
+def test_era_exact_recovery_low_order():
+    W = _modal_kernel()
+    fit = era_fit(W, tol=1e-10)
+    # 3 complex pole pairs x rank-1 residues -> order 6
+    assert fit.order <= 8
+    assert fit.markov_rel_err < 1e-8
+
+
+def test_era_matches_fir_on_sphere_kernel():
+    hd = load_bemio_h5(SPHERE_H5, 1)
+    W = rad.resample_kernel_to_history(hd.rirf, hd.rirf_time, 0.015)
+    fit = era_fit(W, tol=1e-6)
+    rng = np.random.default_rng(3)
+    T = 400
+    vs = rng.standard_normal((T, W.shape[1]))
+    f_fir = fir_reference(W, vs)
+    z = np.zeros(fit.order)
+    f_era = np.zeros_like(f_fir)
+    for n in range(T):
+        f_era[n] = fit.C @ z + fit.D @ vs[n]
+        z = fit.Ad @ z + fit.Bd @ vs[n]
+    rel = np.linalg.norm(f_era - f_fir) / np.linalg.norm(f_fir)
+    assert rel < 1e-4, rel
+    # the realization must be discrete-time stable
+    assert np.abs(np.linalg.eigvals(fit.Ad)).max() <= 1.0 + 1e-12
+
+
+@pytest.fixture(scope="module")
+def sphere_spec():
+    hydro = load_bemio_h5(SPHERE_H5, 1)
+    return SystemSpec(
+        bodies=[Body("body1", 261.8e3, (0.0, 0.0, -1.0))],
+        hydro=HydroAttachment(hydro, [0]), gravity=(0.0, 0.0, -9.81))
+
+
+def test_era_sphere_decay_golden(sphere_spec):
+    """The era mode must pass the reference decay gates (1e-4 / 0.02)."""
+    ref = np.loadtxt(REF_DECAY, skiprows=1)
+    n = ref.shape[0]
+    sim = Simulation(sphere_spec, dt=0.015, dtype=jnp.float64,
+                     radiation="era", era_tol=1e-6)
+    assert sim.era_markov_rel_err < 1e-3
+    _, traj = jax.jit(lambda p: sim.run(n, params=p))(sim.params)
+    d = np.asarray(traj["pos"][:n, 0, 2]) - ref[:, 1]
+    assert np.linalg.norm(d) / n < 1e-4
+    assert np.abs(d).max() < 0.02
+
+
+def test_blocked_era_golden_and_fused_equivalence(sphere_spec):
+    ref = np.loadtxt(REF_DECAY, skiprows=1)
+    n = ref.shape[0]
+    sim = Simulation(sphere_spec, dt=0.015, dtype=jnp.float64,
+                     radiation="era", block_size=128, era_tol=1e-6)
+    _, traj = jax.jit(lambda p: sim.run(2688, params=p))(sim.params)
+    d = np.asarray(traj["pos"][:n, 0, 2]) - ref[:, 1]
+    assert np.linalg.norm(d) / n < 1e-4 and np.abs(d).max() < 0.02
+
+    # fused runner == XLA blocked runner (same blocked-era semantics)
+    simf = Simulation(sphere_spec, dt=0.015, dtype=jnp.float32,
+                      radiation="era", block_size=16, era_tol=1e-6)
+    st = make_batched_states(simf, 2)
+    _, t_x = jax.jit(jax.vmap(lambda s: simf.run(64, state=s)))(st)
+    f_f, t_f = simf.run_blocked_fused(64, st, interpret=True)
+    assert np.abs(np.asarray(t_x["pos"]) - np.asarray(t_f["pos"])).max() \
+        < 1e-5
+    assert np.isfinite(np.asarray(f_f.ss)).all()
+
+
+def test_blocked_era_fused_resume_bit_exact(sphere_spec):
+    """z rides State.ss, so a block-boundary resume is bit-exact."""
+    sim = Simulation(sphere_spec, dt=0.015, dtype=jnp.float32,
+                     radiation="era", block_size=16, era_tol=1e-4)
+    st = make_batched_states(sim, 2)
+    _, t_full = sim.run_blocked_fused(64, st, interpret=True)
+    mid, _ = sim.run_blocked_fused(32, st, interpret=True)
+    _, t_tail = sim.run_blocked_fused(32, mid, interpret=True,
+                                      start_step=32)
+    np.testing.assert_array_equal(
+        np.asarray(t_full["pos"][:, 32:]), np.asarray(t_tail["pos"]))
+
+
+def test_farm_fused_era_matches_xla(tmp_path):
+    """ERA farm production path: shared-mode synthetic kernel (the
+    physically-shaped generator form), fused farm kernel == vmapped XLA."""
+    from hydrochrono_tpu.io.synth import write_bemio_h5
+    from hydrochrono_tpu.models.builders import sphere_farm
+    from hydrochrono_tpu.physics.waves import IrregularWaveParams
+
+    h5 = str(tmp_path / "farm4_modal.h5")
+    write_bemio_h5(h5, 4, seed=5, shared_modes=3,
+                   cg_list=[np.array([0.0, 0.0, -2.0])] * 4,
+                   cb_list=[np.array([0.0, 0.0, -1.7])] * 4,
+                   disp_vol=[261.8] * 4, rirf_tmax=8.0, rirf_steps=161,
+                   n_freq=20)
+    wave = IrregularWaveParams(height=1.5, period=7.0, nfrequencies=30,
+                               ramp_duration=2.0)
+    sim = Simulation(sphere_farm(h5, nx=2, ny=2), dt=0.05, wave=wave,
+                     duration=10.0, dtype=jnp.float32, radiation="era",
+                     era_tol=1e-8)
+    # shared 3-mode rank-2 kernel -> true MIMO order 12 (+ a few marginal
+    # directions: the trapezoid end-weight breaks exact exponentiality)
+    assert sim.era_order <= 24, sim.era_order
+    assert sim.era_markov_rel_err < 5e-3
+    assert sim.farm_fused_supported()
+    st = make_batched_states(sim, 4)
+    _, t_x = jax.jit(jax.vmap(lambda s: sim.run(32, state=s)))(st)
+    _, t_f = sim.run_farm_fused(32, st, interpret=True, subblock=4)
+    assert np.abs(np.asarray(t_x["pos"]) - np.asarray(t_f["pos"])).max() \
+        < 1e-4
+
+
+def test_era_hht_close_to_convolution_hht(sphere_spec):
+    """HHT + era tracks HHT + exact convolution within the fit error."""
+    n = 600
+    kw = dict(dt=0.015, dtype=jnp.float64, integrator="hht")
+    sim_c = Simulation(sphere_spec, **kw)
+    sim_e = Simulation(sphere_spec, radiation="era", era_tol=1e-6, **kw)
+    _, tc = jax.jit(lambda p: sim_c.run(n, params=p))(sim_c.params)
+    _, te = jax.jit(lambda p: sim_e.run(n, params=p))(sim_e.params)
+    d = np.abs(np.asarray(tc["pos"][:, 0, 2]) - np.asarray(te["pos"][:, 0, 2]))
+    assert d.max() < 2e-4, d.max()

@@ -133,3 +133,34 @@ l2, li = np.linalg.norm(d)/n, np.abs(d).max()
 print(f"decay f32 FUSED bf16-far: L2={l2:.2e} Linf={li:.2e} "
       f"(gate margin {1e-4/max(l2,1e-300):.0f}x / {0.02/max(li,1e-300):.0f}x) "
       f"{'PASS' if (l2<=1e-4 and li<=0.02) else 'FAIL'}")
+
+# 7) ERA radiation gates (round 3 continuation): the shared-pole realization
+# (physics/era.py) on the production fused path — decay + all 10 IEA
+# reg-wave cases vs the same reference goldens. ERA is an approximation
+# mode (fit error ~1e-4 of the kernel), so the margins quantify fitness.
+sim_era = Simulation(spec, dt=0.015, dtype=jnp.float32, block_size=128,
+                     radiation="era", era_tol=1e-6)
+_, traj_e = jax.jit(lambda s, p: sim_era.run_blocked_fused(2688, s, params=p))(
+    make_batched_states(sim_era, 2), sim_era.params)
+zev = np.asarray(traj_e["pos"][0, :n, 0, 2], dtype=np.float64)
+d = zev - ref[:, 1]
+l2, li = np.linalg.norm(d)/n, np.abs(d).max()
+print(f"decay f32 FUSED ERA (M={sim_era.era_order}): L2={l2:.2e} Linf={li:.2e} "
+      f"(gate margin {1e-4/max(l2,1e-300):.0f}x / {0.02/max(li,1e-300):.0f}x) "
+      f"{'PASS' if (l2<=1e-4 and li<=0.02) else 'FAIL'}")
+
+sim3e = Simulation(spec2, dt=0.015, dtype=jnp.float32, block_size=128,
+                   radiation="era", era_tol=1e-6,
+                   wave=RegularWave(amplitude=np.asarray(AMPS),
+                                    omega=np.asarray(OMEGAS)))
+p3e = dict(sim3e.params)
+p3e["tsda_c"] = jnp.asarray(DAMP, jnp.float32)[:, None]
+_, traj3e = jax.jit(lambda s, p: sim3e.run_blocked_fused(n2, s, params=p))(
+    make_batched_states(sim3e, 10), p3e)
+z3e = np.asarray(traj3e["pos"][:, :, 0, 2], dtype=np.float64)
+for i in range(10):
+    refp = np.loadtxt(f'/root/reference/tests/regression/reference_data/sphere/reg_waves/hc_ref_sphere_reg_waves_{i+1}.txt', skiprows=5)
+    m = min(len(refp), n2)
+    d = z3e[i][:m] - refp[:m, 1]
+    l2, li = np.linalg.norm(d)/m, np.abs(d).max()
+    print(f"reg case {i+1} FUSED ERA:  L2={l2:.2e} Linf={li:.2e} {'PASS' if (l2<=1e-4 and li<=0.02) else 'FAIL'}")
