@@ -107,7 +107,7 @@ def main():
     # buffer disappear. Gated on the same reference goldens
     # (tools/tpu_golden_gates.py gate 7); falls back to the convolution
     # number on any failure.
-    rm3_era_rt, rm3_era_us, era_order = 0.0, 0.0, 0
+    rm3_era_rt, rm3_era_us, era_order, era_fit_err = 0.0, 0.0, 0, -1.0
     try:
         sim_e = Simulation(rm3(rm3_h5, pto_damping=1.2e6), dt=dt, wave=wave,
                            duration=2 * sim_t, dtype=jnp.float32,
@@ -123,6 +123,7 @@ def main():
             rm3_era_rt = n * dt / wall_era
             rm3_era_us = wall_era / n * 1e6
             era_order = sim_e.era_order
+            era_fit_err = sim_e.era_markov_rel_err
     except Exception as exc:  # noqa: BLE001
         print(f"# rm3 era bench failed: {exc}", file=sys.stderr)
     best_rt = max(rm3_rt, rm3_era_rt)
@@ -235,6 +236,7 @@ def main():
         "rm3_era_us_per_step": round(rm3_era_us, 2),
         "rm3_era_per_instance_realtime_factor": round(rm3_era_rt, 1),
         "rm3_era_order": era_order,
+        "rm3_era_kernel_fit_err": round(era_fit_err, 6),
         "rm3_achieved_tflops": round(achieved / 1e12, 2),
         "rm3_mfu_vs_bf16_peak": round(mfu, 4),
         "sphere_decay_sims_per_sec": round(sph_sims_s, 1),
