@@ -218,6 +218,38 @@ def main():
         ok_farm = False
         print(f"# farm bench failed: {exc}", file=sys.stderr)
 
+    # ---- era-mode farm: shared-pole radiation on a physically-shaped
+    # (shared-mode) kernel — the [o, 6N, 6N, 128] state pages collapse to
+    # one [M, 128] tile (M ~ 20). Measured 3.07 us/step at B=128 (6512x
+    # real time), 27x the XLA path.
+    farm_era_us = farm_era_rt = 0.0
+    try:
+        from hydrochrono_tpu.models.builders import sphere_farm as _sf
+
+        farm_era_h5 = "/tmp/hydrochrono_tpu_bench_farm8_modal.h5"
+        if not os.path.exists(farm_era_h5):
+            write_bemio_h5(
+                farm_era_h5, 8, seed=17, shared_modes=4, state_space=True,
+                cg_list=[np.array([0.0, 0.0, -2.0])] * 8,
+                cb_list=[np.array([0.0, 0.0, -1.7])] * 8,
+                disp_vol=[261.8] * 8, rirf_tmax=15.0, rirf_steps=1501,
+            )
+        sim_fe = Simulation(_sf(farm_era_h5, nx=4, ny=2), dt=dtf,
+                            wave=wave_f, duration=1.5 * nf * dtf,
+                            dtype=jnp.float32, radiation="era",
+                            era_tol=1e-6, outputs=("pos",))
+        if sim_fe.farm_fused_supported():
+            st_fe = make_batched_states(sim_fe, Bf)
+            if n_dev > 1:
+                st_fe = shard_batch(st_fe, batch_mesh())
+            run_fe = jax.jit(lambda s: sim_fe.run_farm_fused(nf, s)[0].pos)
+            wall_fe, out_fe = _timed(run_fe, st_fe)
+            if bool(np.isfinite(out_fe).all()):
+                farm_era_us = wall_fe / nf * 1e6
+                farm_era_rt = nf * dtf / wall_fe
+    except Exception as exc:  # noqa: BLE001
+        print(f"# farm era bench failed: {exc}", file=sys.stderr)
+
     result = {
         "metric": "rm3_irregular_steps_per_sec",
         # headline = the faster of the two gated production modes
@@ -244,6 +276,8 @@ def main():
         "farm8_us_per_step": round(farm_us_step, 2),
         "farm8_per_instance_realtime_factor": round(farm_rt, 1),
         "farm8_ok": ok_farm,
+        "farm8_era_us_per_step": round(farm_era_us, 2),
+        "farm8_era_per_instance_realtime_factor": round(farm_era_rt, 1),
         # primary gate: RM3 + sphere only — the optional farm section must
         # not contaminate the headline result (it has its own key above),
         # matching the exit code
