@@ -567,6 +567,9 @@ class Simulation:
             data = wv.build_irregular_wave(hd, wave, self.dt, self.duration,
                                            body_xy=body_xy)
             self.irr = data
+            # kept for sea-state grids (irregular_eta_grid): same resolved
+            # hydro + array-phasing geometry, different Hs/Tp/seed
+            self._wave_hd, self._body_xy = hd, body_xy
             # zero-pad the eta series so the per-step dynamic_slice window
             # stays in bounds for every step (jax clamps out-of-range starts,
             # which would silently misalign the window otherwise). Blocked
@@ -595,6 +598,40 @@ class Simulation:
                 params["_const"]["eh_kernel"] = jnp.asarray(eh, self.far_dtype)
         else:
             raise TypeError(f"unknown wave model {wave!r}")
+
+    def irregular_eta_grid(self, wave_list):
+        """Batched `params["irr_eta"]` replacement for a sea-state grid.
+
+        wave_list: IrregularWaveParams variants of this Simulation's wave —
+        same direction/spreading/eta-file settings (those shape the shared
+        excitation kernel), different height / period / seed (each entry's
+        `seed` may itself be an array -> its realizations are flattened into
+        the batch). Returns [B, Neta] ready for `run_blocked_fused` /
+        `run_batch({"irr_eta": ...})` — the standard way to produce a power
+        matrix over an (Hs, Tp) scatter grid in ONE device program.
+        """
+        if self.wave_kind != "IrregularWaveParams":
+            raise ValueError("irregular_eta_grid requires an irregular-wave "
+                             "Simulation")
+        etas = []
+        for w in wave_list:
+            if getattr(w, "spreading_exponent", None) is not None:
+                raise ValueError("sea-state grids with directional "
+                                 "spreading are not supported yet")
+            data = wv.build_irregular_wave(self._wave_hd, w, self.dt,
+                                           self.duration,
+                                           body_xy=self._body_xy)
+            e = np.asarray(data.eta)
+            etas.append(e if e.ndim == 2 else e[None])
+        eta = np.concatenate(etas, axis=0)  # [B, Neta]
+        M = self._exc_window
+        n_max = int(np.ceil(self.duration / self.dt)) + 2
+        need = n_max + M + (self.block_size or 0)
+        if eta.shape[-1] < need:
+            pad = need - eta.shape[-1]
+            eta = np.concatenate(
+                [eta, np.zeros(eta.shape[:-1] + (pad,))], axis=-1)
+        return jnp.asarray(eta, self.dtype)
 
     def _wave_force(self, params, n):
         """Excitation force [6*Nh] at step n (t = n*dt)."""
