@@ -97,6 +97,10 @@ def main(argv=None):
                          "(default ramp + 15%% of duration)")
     ap.add_argument("--era", action="store_true",
                     help="shared-pole ERA radiation (physics/era.py)")
+    ap.add_argument("--scatter", default=None,
+                    help="site scatter diagram CSV (same Hs/Tp grid, cell "
+                         "values = occurrence probability or hours/yr) -> "
+                         "annual energy production")
     ap.add_argument("--dtype", choices=["float32", "float64"], default=None)
     ap.add_argument("--out", default="power_matrix")
     args = ap.parse_args(argv)
@@ -200,6 +204,28 @@ def main(argv=None):
         plt.close(fig)
     except Exception as exc:  # noqa: BLE001 - plot is optional
         print(f"(png skipped: {exc})", file=sys.stderr)
+
+    if args.scatter:
+        # scatter CSV: same layout as power_matrix.csv (header row = Tp,
+        # first column = Hs); cells are occurrence probabilities (sum ~1)
+        # or hours per year (sum ~8766) — auto-detected by the total.
+        occ = np.loadtxt(args.scatter, delimiter=",", skiprows=1,
+                         usecols=range(1, len(tp_list) + 1))
+        occ = np.atleast_2d(occ)
+        if occ.shape != total.shape:
+            print(f"error: scatter grid {occ.shape} does not match the "
+                  f"power grid {total.shape}", file=sys.stderr)
+            return 2
+        hours = occ * 8766.0 if occ.sum() <= 1.5 else occ
+        aep_mwh = float((total * hours).sum() / 1e6)
+        mean_kw = float((total * hours).sum() / hours.sum() / 1e3) \
+            if hours.sum() else 0.0
+        print(f"AEP: {aep_mwh:.1f} MWh/yr (weighted mean {mean_kw:.2f} kW "
+              f"over {hours.sum():.0f} h)")
+        with open(os.path.join(args.out, "power_matrix.md"), "a") as f:
+            f.write(f"\n**AEP** (scatter `{args.scatter}`): "
+                    f"{aep_mwh:.1f} MWh/yr "
+                    f"(weighted mean {mean_kw:.2f} kW)\n")
 
     print(f"wrote {csv_path} (+ .md/.png)")
     return 0
