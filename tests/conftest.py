@@ -55,6 +55,7 @@ SLOW_TESTS = {
     "test_moordyn_yaml_end_to_end",
     "test_const_mass_constrained_rotating_jacobian",
     "test_remat_gradients_match",
+    "test_farm32_era_scale",
 }
 
 
