@@ -148,15 +148,25 @@ def _era_fit_impl(W, order, tol, max_order, power_iters, seed):
     ops = _HankelOps(Wm, p, q)
 
     cap = int(min(max_order if order is None else order, p * K, q * K))
-    sketch = min(cap + 24, q * K)
     rng = np.random.default_rng(seed)
-    Om = rng.standard_normal((q * K, sketch))
-    Y = ops.matmul(Om)
-    for _ in range(power_iters):
-        Y = ops.matmul(ops.rmatmul(Y))
-    Q, _ = np.linalg.qr(Y)
-    Z = ops.rmatmul(Q)  # [qK, sketch] = H0^T Q
-    Ub, S, Vt = np.linalg.svd(Z.T, full_matrices=False)
+    # adaptive sketch: physical kernels have modal order ~tens, so start
+    # small and escalate only if the singular-value tail hasn't dropped
+    # below tol inside the sketch (each matvec is O(nfft K^2 sketch) — a
+    # full-cap sketch costs minutes at farm-scale K for nothing)
+    sketch = min(64, cap + 24, q * K)
+    while True:
+        Om = rng.standard_normal((q * K, sketch))
+        Y = ops.matmul(Om)
+        for _ in range(power_iters):
+            Y = ops.matmul(ops.rmatmul(Y))
+        Q, _ = np.linalg.qr(Y)
+        Z = ops.rmatmul(Q)  # [qK, sketch] = H0^T Q
+        Ub, S, Vt = np.linalg.svd(Z.T, full_matrices=False)
+        tail_ok = (S[min(cap, len(S)) - 1] < tol * S[0]
+                   if order is None else len(S) >= min(order + 8, cap + 8))
+        if tail_ok or sketch >= min(cap + 24, q * K):
+            break
+        sketch = min(max(sketch * 4, cap // 2), cap + 24, q * K)
     U = Q @ Ub  # left singular vectors of H0
 
     if order is None:

@@ -16,7 +16,8 @@ from hydrochrono_tpu.io.bemio import load_bemio_h5
 from hydrochrono_tpu.parallel.sharding import make_batched_states
 from hydrochrono_tpu.physics import radiation as rad
 from hydrochrono_tpu.physics.era import era_fit, fir_reference
-from hydrochrono_tpu.physics.system import Body, HydroAttachment, SystemSpec
+from hydrochrono_tpu.physics.system import (
+    Body, HydroAttachment, Joint, SystemSpec, TSDA)
 from hydrochrono_tpu.stepper import Simulation
 
 SPHERE_H5 = "/root/reference/demos/sphere/hydroData/sphere.h5"
@@ -174,6 +175,37 @@ def test_farm32_era_scale(tmp_path):
     st = make_batched_states(sim, 2)
     final, traj = jax.jit(jax.vmap(lambda s: sim.run(8, state=s)))(st)
     assert np.isfinite(np.asarray(traj["pos"])).all()
+
+
+def test_era_gradient_matches_fd(sphere_spec):
+    """d(mean heave^2)/d(tsda_c) through the era scan path vs central FD —
+    the optimization surface works in era mode too."""
+    hydro = load_bemio_h5(SPHERE_H5, 1)
+    spec = SystemSpec(
+        bodies=[Body("body1", 261.8e3, (0.0, 0.0, -2.0)),
+                Body("ground", 999.0, (0.0, 0.0, -5.0), fixed=True)],
+        joints=[Joint("prismatic", 0, 1, location=(0.0, 0.0, -2.0),
+                      axis=(0.0, 0.0, 1.0))],
+        tsdas=[TSDA(0, 1, (0.0, 0.0, -2.0), (0.0, 0.0, -5.0),
+                    spring_coeff=0.0, damping_coeff=3e5)],
+        hydro=HydroAttachment(hydro, [0]), gravity=(0.0, 0.0, -9.81))
+    from hydrochrono_tpu.physics.waves import RegularWave
+
+    sim = Simulation(spec, dt=0.015, dtype=jnp.float64, radiation="era",
+                     era_tol=1e-5,
+                     wave=RegularWave(amplitude=0.5, omega=1.0))
+    n = 300
+
+    def loss(c):
+        p = dict(sim.params)
+        p["tsda_c"] = jnp.asarray([c])
+        _, traj = sim.run(n, params=p)
+        return jnp.mean(traj["pos"][:, 0, 2] ** 2)
+
+    g = jax.grad(loss)(3e5)
+    eps = 1e0
+    fd = (loss(3e5 + eps) - loss(3e5 - eps)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-5)
 
 
 def test_era_hht_close_to_convolution_hht(sphere_spec):
