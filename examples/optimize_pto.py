@@ -50,13 +50,12 @@ H5 = os.path.join(DATA, "sphere/hydroData/sphere.h5")
 
 
 def radiation_coeffs_at(hd, omega):
-    """A(w), B(w) from the radiation IRF (Ogilvie): B = int K cos(wt) dt,
-    A = A_inf - (1/w) int K sin(wt) dt. Heave-heave entry."""
-    t = hd.rirf_time
-    K = hd.rirf[2, 2]  # heave-heave kernel (already rho-scaled)
-    B = np.trapezoid(K * np.cos(omega * t), t)
-    A = hd.inf_added_mass[2, 2] - np.trapezoid(K * np.sin(omega * t), t) / omega
-    return A, B
+    """Heave-heave A(w), B(w) via the shared Ogilvie transform
+    (physics/freqdomain.radiation_coeffs — also the FD solver's source)."""
+    from hydrochrono_tpu.physics.freqdomain import radiation_coeffs
+
+    A, B = radiation_coeffs(hd, [omega])
+    return float(A[0, 2, 2]), float(B[0, 2, 2])
 
 
 def theoretical_optimum(hd, mass, omega):

@@ -25,6 +25,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def fourier_amplitude(t: np.ndarray, y: np.ndarray, omega: float,
                       window_frac: float = 0.5):
@@ -85,25 +87,77 @@ def rao_from_sweep_dir(sweep_dir: str, body: str = "body1", channel: str = "posi
     return np.asarray(rows), by_heading
 
 
+def rao_freq_domain(case_dir: str, periods: np.ndarray, component: int = 2,
+                    body_slot: int = 0, direction: float = 0.0):
+    """Direct frequency-domain RAO for a YAML case (no time stepping).
+
+    Solves the linear seakeeping problem at each period via
+    physics/freqdomain.py (autodiff-linearized forces + Ogilvie-transformed
+    radiation kernel) — milliseconds for a full curve where the reference
+    needs one simulation per period. Returns rows (T, rao, phase) for the
+    requested DOF of `body_slot`, plus the mean-PTO-power curve (W per m^2
+    of wave amplitude)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # host analysis tool
+    jax.config.update("jax_enable_x64", True)
+
+    from hydrochrono_tpu.physics import freqdomain as fd
+    from hydrochrono_tpu.scene.builder import build_case
+
+    case = build_case(case_dir)
+    sim = case.build_simulation()
+    omegas = 2.0 * np.pi / np.asarray(periods, np.float64)
+    resp = fd.solve_response(sim, omegas, direction=direction)
+    k = body_slot * 6 + component
+    rows = np.stack([np.asarray(periods, np.float64),
+                     resp.rao[:, k], resp.phase[:, k]], axis=-1)
+    return rows, resp.mean_pto_power()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("sweep_dir", help="directory containing period_* exports")
+    p.add_argument("sweep_dir", help="directory containing period_* exports, "
+                                     "or a YAML case dir with --freq-domain")
     p.add_argument("--body", default="body1")
     p.add_argument("--channel", default="position")
     p.add_argument("--component", type=int, default=2)
     p.add_argument("--amplitude", type=float, default=1.0, help="wave amplitude")
     p.add_argument("--plot", help="write a PNG RAO curve here")
+    p.add_argument("--freq-domain", action="store_true",
+                   help="treat sweep_dir as a YAML case and solve the RAO "
+                        "directly in the frequency domain "
+                        "(physics/freqdomain.py) — no time stepping")
+    p.add_argument("--periods", default="3:20:35",
+                   help="min:max:n period grid for --freq-domain")
+    p.add_argument("--direction", type=float, default=0.0,
+                   help="wave heading (deg) for --freq-domain")
     args = p.parse_args(argv)
 
-    rao, by_heading = rao_from_sweep_dir(
-        args.sweep_dir, args.body, args.channel, args.component,
-        args.amplitude)
-    if rao.size == 0:
-        print("no sweep results found")
-        return 2
-    key = "direction_deg" if by_heading else "period_s"
-    for T, r, ph in rao:
-        print(json.dumps({key: T, "rao": r, "phase_rad": ph}))
+    if args.freq_domain:
+        lo, hi, np_ = args.periods.split(":")
+        periods = np.linspace(float(lo), float(hi), int(np_))
+        try:
+            rao, power = rao_freq_domain(args.sweep_dir, periods,
+                                         component=args.component,
+                                         direction=args.direction)
+        except (FileNotFoundError, ValueError) as exc:
+            print(f"freq-domain solve failed: {exc}", file=sys.stderr)
+            return 2
+        by_heading = False
+        for (T, r, ph), pw in zip(rao, power):
+            print(json.dumps({"period_s": round(T, 4), "rao": r,
+                              "phase_rad": ph, "mean_pto_power_w": pw}))
+    else:
+        rao, by_heading = rao_from_sweep_dir(
+            args.sweep_dir, args.body, args.channel, args.component,
+            args.amplitude)
+        if rao.size == 0:
+            print("no sweep results found")
+            return 2
+        key = "direction_deg" if by_heading else "period_s"
+        for T, r, ph in rao:
+            print(json.dumps({key: T, "rao": r, "phase_rad": ph}))
 
     if args.plot:
         import matplotlib
