@@ -9,16 +9,22 @@ stiffness shifts every natural frequency, and was exactly the farm-kernel
 vs XLA-path divergence chased down in round 3.
 
 Policy:
-- Every f32 matmul on the physics path is pinned to HIGHEST via `FULL`.
-  These contractions are small ([6N, 6N] solves, [N, 6, 6] restoring,
-  order-2 state-space); the extra MXU passes are invisible next to the
-  surrounding work.
-- The radiation-history contractions (far-field Hankel matmul, mid-field
-  slab matmul, excitation windows) honor the existing `far_dtype` knob:
-  f32 operands get HIGHEST (true f32 — the accuracy the knob always
-  claimed), bf16 operands keep the single-pass fast path (bf16 inputs
-  are exact in one pass, so HIGHEST costs nothing there). Use
-  `radiation_precision(dtype)`.
+- Every f32 matmul on the physics/solver path is pinned to HIGHEST via
+  `FULL`. These contractions are small ([6N, 6N] solves, [N, 6, 6]
+  restoring) or feed a recursion whose error compounds (the ERA/state-
+  space advance z <- Ad z + B v over 10^4+ steps), so the extra MXU
+  passes are either invisible or load-bearing.
+- The radiation/excitation HISTORY contractions (far-field Hankel
+  matmul, mid-field slab matmul, in-block intra, excitation windows) run
+  at the TPU default — ONE bf16 MXU pass with f32 accumulation — via
+  `radiation_precision()`. These are MEMORYLESS dots of past velocities
+  (no error recursion), they are where the conv-path FLOPs live, and the
+  strictly-worse configuration (bf16 OPERANDS, the `far_dtype` knob) was
+  measured passing every reference golden gate with 429x/707x margins
+  (tools/tpu_golden_gates.py gate 6). Pinning them to HIGHEST was
+  measured costing 2.1x on the whole RM3 fused step (14.2 vs ~6.6
+  us/step at B=512 — the late-round-3 "degraded chip" conv numbers were
+  actually this pin).
 
 Note bf16 operands + HIGHEST is still a single exact pass — the pass
 multiplication only applies to f32 inputs — so it is always safe to pass
@@ -27,16 +33,25 @@ multiplication only applies to f32 inputs — so it is always safe to pass
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 FULL = jax.lax.Precision.HIGHEST
 
+_RAD = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("HYDROCHRONO_RADIATION_PRECISION", "default").lower()]
 
-def radiation_precision(dtype):
-    """Precision for the radiation/excitation history contractions."""
-    # bf16 inputs: one MXU pass is exact, HIGHEST adds nothing; f32
-    # inputs: HIGHEST restores true f32 (default would silently be bf16).
-    return FULL
+
+def radiation_precision(dtype=None):
+    """Precision for the memoryless radiation/excitation history
+    contractions (see module policy). Override with
+    HYDROCHRONO_RADIATION_PRECISION={default,high,highest} for an exact-
+    f32 history convolution at ~3x/6x the far-field cost."""
+    return _RAD
 
 
 def with_full_matmul(fn):

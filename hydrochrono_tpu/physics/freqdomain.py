@@ -93,6 +93,18 @@ def linearize(sim, state=None) -> LinearizedSystem:
             "(no steady-state small-motion model); remove the motor or use "
             "the time domain")
     params = sim.params
+    # wave-sweep batching (reg_*/irr_eta) is harmless — the FD excitation is
+    # rebuilt from the coefficient tables — but a swept STRUCTURAL param
+    # would silently produce batched force Jacobians
+    _structural = ("mass", "tsda_k", "tsda_c", "rsda_k", "rsda_c",
+                   "visc_lin", "visc_quad")
+    base_ndim = sim._param_base_ndim()
+    if any(k in params and np.ndim(params[k]) > base_ndim[k]
+           for k in _structural):
+        raise ValueError(
+            "frequency-domain linearization needs unbatched structural "
+            "parameters (mass/TSDA/RSDA/viscous sweeps detected); "
+            "linearize per sweep point instead")
     const = params["_const"]
     st = sim.init_state(params) if state is None else state
     pos0 = jnp.asarray(st.pos)

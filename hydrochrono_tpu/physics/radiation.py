@@ -38,7 +38,7 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
-from hydrochrono_tpu.ops.mxu import FULL
+from hydrochrono_tpu.ops.mxu import FULL, radiation_precision
 
 from hydrochrono_tpu.io.bemio import trapezoid_widths
 
@@ -200,10 +200,10 @@ def build_hankel_far_kernel(W: np.ndarray, block: int) -> np.ndarray:
 
 def far_field_block(Wfar: jnp.ndarray, vold: jnp.ndarray) -> jnp.ndarray:
     """F_far [..., T_b, K] from newest-first old history vold [..., Hj, K]."""
-    # FULL is free for bf16 operands (one exact pass) and restores true
-    # f32 for f32 operands — the TPU default would be one bf16 pass for
-    # BOTH (ops/mxu.py)
-    return jnp.einsum("djik,...jk->...di", Wfar, vold, precision=FULL)
+    # memoryless history dot: single-pass precision by policy (ops/mxu.py —
+    # golden-gated; HIGHEST here measured 2.1x on the whole fused step)
+    return jnp.einsum("djik,...jk->...di", Wfar, vold,
+                      precision=radiation_precision())
 
 
 def build_hankel_excitation(E: np.ndarray, block: int) -> np.ndarray:
@@ -223,10 +223,12 @@ def build_hankel_excitation(E: np.ndarray, block: int) -> np.ndarray:
 
 def excitation_block(EH: jnp.ndarray, eta_window: jnp.ndarray) -> jnp.ndarray:
     """F_exc [..., T_b, K] for the block from eta window [..., M+T_b-1]."""
-    return jnp.einsum("djk,...j->...dk", EH, eta_window, precision=FULL)
+    return jnp.einsum("djk,...j->...dk", EH, eta_window,
+                      precision=radiation_precision())
 
 
 def excitation_block_spread(EH: jnp.ndarray, eta_windows: jnp.ndarray) -> jnp.ndarray:
     """Directional seas: per-heading Hankel kernels EH [H, T_b, M+T_b-1, K]
     against per-heading eta windows [..., H, M+T_b-1], summed over H."""
-    return jnp.einsum("hdjk,...hj->...dk", EH, eta_windows, precision=FULL)
+    return jnp.einsum("hdjk,...hj->...dk", EH, eta_windows,
+                      precision=radiation_precision())

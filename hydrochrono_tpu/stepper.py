@@ -45,7 +45,7 @@ import jax.numpy as jnp
 
 from hydrochrono_tpu.io.bemio import HydroData
 from hydrochrono_tpu.ops.linalg import make_kkt_cache, solve_kkt, solve_kkt_refined, solve_spd
-from hydrochrono_tpu.ops.mxu import with_full_matmul
+from hydrochrono_tpu.ops.mxu import radiation_precision, with_full_matmul
 from hydrochrono_tpu.physics import era
 from hydrochrono_tpu.physics import radiation as rad
 from hydrochrono_tpu.physics import statespace as ssr
@@ -1595,7 +1595,8 @@ class Simulation:
                 )
                 # intra-block radiation: rows past d are zero in vblock
                 wd = jnp.roll(const["W_small_rev"], d + 1, axis=0)
-                f_intra = jnp.einsum("mij,mj->i", wd, vblock)
+                f_intra = jnp.einsum("mij,mj->i", wd, vblock,
+                                     precision=radiation_precision())
                 f_rad = f_far[d] + f_intra
                 if hht:
                     f_wave = (f_exc[d] if irregular
@@ -1938,9 +1939,12 @@ class Simulation:
             else:
                 p0 = jnp.mod(n0, H2)
                 vold = jnp.roll(vhist[::-1], p0, axis=0)[:Hj]  # [Hj,K,RB,128]
+                # the hot matmul of the conv path — memoryless history dot,
+                # single-pass precision by policy (ops/mxu.py)
                 f_far = jnp.einsum(
                     "djik,jkrl->dirl", const["W_far"],
                     vold.astype(self.far_dtype),
+                    precision=radiation_precision(),
                 ).astype(self.dtype)
             f_exc = wave_block(n0)
 
@@ -1951,7 +1955,8 @@ class Simulation:
                     vblock, v6[None], d, axis=0
                 )
                 wd = jnp.roll(Wsr, d + 1, axis=0)
-                f_intra = jnp.einsum("mij,mjrl->irl", wd, vblock)
+                f_intra = jnp.einsum("mij,mjrl->irl", wd, vblock,
+                                     precision=radiation_precision())
                 fxd = -f_far[d] - f_intra
                 if f_exc is not None:
                     fe = f_exc[d]
@@ -1986,7 +1991,9 @@ class Simulation:
                     # einsum whose transposes dominated the step cost
                     c, W2d = xs
                     base = c * subblock
-                    f_mid = (W2d @ vblock).reshape(subblock, K, RB, 128)
+                    f_mid = jnp.matmul(
+                        W2d, vblock, precision=radiation_precision(),
+                    ).reshape(subblock, K, RB, 128)
                 else:
                     c = xs
                     base = c * subblock
@@ -1994,7 +2001,8 @@ class Simulation:
                         jnp.arange(tb)[None, :] - base
                         - jnp.arange(subblock)[:, None] - 1, tb)
                     Wg = Wsr[idxm]  # [sub, tb, K, K]
-                    f_mid = jnp.einsum("emij,mjrl->eirl", Wg, vblock)
+                    f_mid = jnp.einsum("emij,mjrl->eirl", Wg, vblock,
+                                       precision=radiation_precision())
                 fpre = -jax.lax.dynamic_slice_in_dim(f_far, base, subblock,
                                                      axis=0) - f_mid
                 if f_exc is not None:
