@@ -46,6 +46,21 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
             # host risks SIGILL (observed 'prefer-no-scatter' feature
             # mismatch warnings). Cache only the expensive TPU programs.
             return None
+        # Key the cache directory on the backend's platform/libtpu build:
+        # an AOT executable serialized under one libtpu is a *fatal*
+        # runtime error when reloaded under another (observed as the
+        # MULTICHIP_r03 "libtpu version mismatch" crash). A version bump
+        # must mean a cold cache, never a poisoned one.
+        try:
+            import hashlib
+
+            import jax.extend.backend as jeb
+
+            ver = jeb.get_backend().platform_version
+            path = os.path.join(
+                path, hashlib.sha256(ver.encode()).hexdigest()[:12])
+        except Exception:
+            pass
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything that took >=1 s to compile, regardless of size —
