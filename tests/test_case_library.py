@@ -35,8 +35,8 @@ def test_case_library_end_to_end(tmp_path):
     # moored variant activating the reference's declared moordyn block)
     for case in ("rm3/decay", "rm3/irregular", "rm3/nonlinear", "rm3/moored",
                  "rm3/viscous", "oswec/decay", "f3of/decay",
-                 "deepcwind/decay", "farm/decay", "farm/rail",
-                 "farm/spread"):
+                 "deepcwind/decay", "deepcwind/moored_irregular",
+                 "farm/decay", "farm/rail", "farm/spread"):
         assert case in out.stdout, f"case {case} not discovered"
-    assert out.stdout.count("PASS") >= 11, out.stdout
+    assert out.stdout.count("PASS") >= 12, out.stdout
     assert "FAIL" not in out.stdout and "ERROR" not in out.stdout, out.stdout
