@@ -336,6 +336,24 @@ class Simulation:
                 fit = era.era_fit(W, order=era_order, tol=era_tol)
                 self.era_order = fit.order
                 self.era_markov_rel_err = fit.markov_rel_err
+                # a poor realization silently degrades the radiation
+                # physics — every user path must hear about it. Threshold:
+                # real kernels that pass every golden gate fit to ~1e-4
+                # (sphere: 9.3e-5 at tol 1e-6) while non-realizable kernels
+                # land at >=7e-3 (random farm kernels, DEVNOTES r3), so warn
+                # at 1e-3 — or 100x a deliberately loosened era_tol.
+                warn_at = max(100.0 * era_tol, 1e-3)
+                if fit.markov_rel_err > warn_at:
+                    import warnings as _warnings
+
+                    _warnings.warn(
+                        f"ERA radiation fit is poor: order {fit.order}, "
+                        f"Markov relative error {fit.markov_rel_err:.2e} "
+                        f"(> {warn_at:.0e}). The realized kernel deviates "
+                        "from the exact convolution kernel for this system; "
+                        "prefer the default convolution radiation, or raise "
+                        "era_order/era_tol deliberately.",
+                        RuntimeWarning, stacklevel=2)
                 const["era_Ad"] = jnp.asarray(fit.Ad, self.dtype)
                 const["era_Bd"] = jnp.asarray(fit.Bd, self.dtype)
                 const["era_C"] = jnp.asarray(fit.C, self.dtype)

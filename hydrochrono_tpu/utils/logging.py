@@ -4,12 +4,15 @@ A compact re-design of the reference logging subsystem
 (src/utils/logging.cpp + logger_backend.cpp, docs/logging_internals.md):
 leveled console+file logging, aligned info lines, section boxes, progress
 bar, and warning collection for a unified warnings block at the end of a run.
-The reference's stdout/stderr stream interception is unnecessary here — we
-own every print site.
+`capture_third_party` re-creates the reference's stream interception
+(logging.cpp:406-541): Python `warnings`, stdlib `logging` records, and raw
+C-level stderr writes (libtpu/XLA spew) are collected into the same
+warnings list so a run ends with ONE unified warnings block.
 """
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import sys
 import time
@@ -152,6 +155,93 @@ class Logger:
                     f"{parts}\n")
             self._file.close()
             self._file = None
+
+
+@contextlib.contextmanager
+def capture_third_party(logger: Logger, stderr_fd: bool = True):
+    """Collect third-party diagnostics into `logger.warnings` for the run.
+
+    Reference parity: src/utils/logging.cpp:406-541 intercepts stray
+    stdout/stderr streams into the logging subsystem so the user sees one
+    unified warnings block instead of raw spew. Three channels here:
+
+      1. the Python ``warnings`` module (e.g. the ERA fit-quality
+         RuntimeWarning from stepper.py),
+      2. stdlib ``logging`` records at WARNING+ (jax emits through these),
+      3. raw writes to file descriptor 2 — libtpu / XLA / absl C++ output
+         that bypasses every Python hook (captured via dup2 into a temp
+         file, restored and harvested on exit; ``stderr_fd=False`` skips
+         this process-global step, e.g. under pytest's own capture).
+
+    Captured lines surface ONLY in the end-of-run warnings block; nothing
+    is double-printed mid-run. On abnormal exit the fd is restored before
+    the interpreter prints the traceback, so crashes stay visible.
+    """
+    import logging as _pylog
+    import warnings as _warnings
+
+    # --- channel 1: warnings module ---
+    prev_show = _warnings.showwarning
+
+    def _show(message, category, filename, lineno, file=None, line=None):
+        logger.warnings.append(f"{category.__name__}: {message}")
+        logger.counts["warning"] = logger.counts.get("warning", 0) + 1
+
+    # --- channel 2: stdlib logging ---
+    class _Handler(_pylog.Handler):
+        def emit(self, record):
+            try:
+                logger.warnings.append(
+                    f"{record.name}: {record.getMessage()}")
+            except Exception:
+                pass
+
+    handler = _Handler(level=_pylog.WARNING)
+    root = _pylog.getLogger()
+    prev_root_level = root.level
+
+    # --- channel 3: raw fd 2 ---
+    import os
+    import tempfile
+
+    saved_fd = spool = None
+    if stderr_fd:
+        try:
+            saved_fd = os.dup(2)
+            spool = tempfile.TemporaryFile(prefix="hctpu_stderr_")
+            sys.stderr.flush()
+            os.dup2(spool.fileno(), 2)
+        except OSError:
+            saved_fd = spool = None
+
+    prev_filters = _warnings.filters[:]
+    _warnings.showwarning = _show
+    _warnings.simplefilter("always")
+    root.addHandler(handler)
+    try:
+        yield
+    finally:
+        _warnings.showwarning = prev_show
+        _warnings.filters[:] = prev_filters
+        root.removeHandler(handler)
+        root.setLevel(prev_root_level)
+        if saved_fd is not None:
+            try:
+                sys.stderr.flush()
+                os.dup2(saved_fd, 2)
+                os.close(saved_fd)
+                spool.seek(0)
+                raw = spool.read().decode("utf-8", "replace")
+                spool.close()
+                lines = [ln.strip() for ln in raw.splitlines() if ln.strip()]
+                MAX = 40
+                for ln in lines[:MAX]:
+                    logger.warnings.append(f"[stderr] {ln}")
+                if len(lines) > MAX:
+                    logger.warnings.append(
+                        f"[stderr] ... (+{len(lines) - MAX} more lines)")
+            except OSError:
+                pass
 
 
 _global: Optional[Logger] = None

@@ -101,3 +101,30 @@ def test_log_rotation_and_stats(tmp_path):
         assert os.path.getsize(f) <= 600 + 200  # one line of slack
     # stats footer lands in the final file
     assert "STATS" in open(logf).read()
+
+
+def test_capture_third_party_channels(tmp_path):
+    """Third-party diagnostics land in the unified warnings block
+    (reference stream interception, src/utils/logging.cpp:406-541):
+    Python warnings, stdlib-logging records, and raw fd-2 writes."""
+    import logging as pylog
+    import os
+    import warnings
+
+    from hydrochrono_tpu.utils.logging import (
+        Logger, LoggingConfig, capture_third_party)
+
+    log = Logger(LoggingConfig(), stream=open(os.devnull, "w"))
+    prev_filters = warnings.filters[:]
+    with capture_third_party(log, stderr_fd=True):
+        warnings.warn("era fit went sideways", RuntimeWarning)
+        pylog.getLogger("jax._src.xla_bridge").warning("libtpu skew")
+        os.write(2, b"E0000 absl-style spew from C++\n")
+    joined = "\n".join(log.warnings)
+    assert "era fit went sideways" in joined
+    assert "libtpu skew" in joined
+    assert "[stderr] E0000 absl-style spew" in joined
+    # the interpreter's warning filters are restored, not reset
+    assert warnings.filters == prev_filters
+    # and raw stderr works again after the context
+    os.write(2, b"")
