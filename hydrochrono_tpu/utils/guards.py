@@ -25,6 +25,11 @@ class GuardReport:
     diverged: bool
     diverged_at_chunk: Optional[int]
     state_dump: Optional[dict]
+    # max |C(q)| observed over the run (None when unmonitored): the
+    # const-mass fast path solves against the t=0 constraint Jacobian, so
+    # rotating-joint systems accumulate position-level drift the user must
+    # see (stepper.Simulation.constraint_drift)
+    max_constraint_drift: Optional[float] = None
 
 
 def dump_body_states(sim, state) -> dict:
@@ -46,7 +51,8 @@ def run_guarded(sim, num_steps: int, state=None, params=None, chunk: int = 500,
                 checkpoint_path: Optional[str] = None, checkpoint_every: int = 0,
                 progress: Optional[Callable[[float], None]] = None,
                 collect: bool = True,
-                on_chunk: Optional[Callable] = None):
+                on_chunk: Optional[Callable] = None,
+                drift_tol: float = 1e-3):
     """Run in host-checked chunks; stop early on non-finite states.
 
     Returns (final_state, trajectory-or-None, GuardReport). The trajectory is
@@ -66,6 +72,14 @@ def run_guarded(sim, num_steps: int, state=None, params=None, chunk: int = 500,
         if checkpoint_every:
             checkpoint_every = -(-checkpoint_every // tb) * tb
 
+    # constraint-drift monitor: only the const-mass fast path can drift
+    # (its KKT solve refines against the frozen t=0 Jacobian); exact-solve
+    # paths hold |C| at stabilization level and need no per-chunk check
+    monitor_drift = bool(getattr(sim, "const_mass", False)
+                         and getattr(sim, "has_constraints", False))
+    drift_max = 0.0 if monitor_drift else None
+    drift_warned = False
+
     chunks = []
     done = 0
     n_chunks = -(-num_steps // chunk)
@@ -78,9 +92,28 @@ def run_guarded(sim, num_steps: int, state=None, params=None, chunk: int = 500,
             report = GuardReport(
                 completed_steps=done, diverged=True, diverged_at_chunk=ci,
                 state_dump=dump_body_states(sim, state),
+                max_constraint_drift=drift_max,
             )
             out = _concat(chunks) if (collect and chunks) else None
             return state, out, report
+        if monitor_drift:
+            d = sim.constraint_drift(traj, params=params)
+            if d is not None:
+                drift_max = max(drift_max, float(np.max(d)))
+                if drift_max > drift_tol and not drift_warned:
+                    drift_warned = True
+                    import warnings
+
+                    warnings.warn(
+                        f"constraint drift |C(q)| reached {drift_max:.2e} "
+                        f"(> {drift_tol:.0e}) under const_mass=True after "
+                        f"step {done + this}: the refined KKT solve against "
+                        "the t=0 Jacobian is not converging at this swing "
+                        f"amplitude. Raise kkt_refine_iters (currently "
+                        f"{getattr(sim, 'kkt_refine_iters', '?')}; measured "
+                        "iters 2/4/8 -> 5e-3/1e-4/4e-8 max drift) or run "
+                        "with const_mass=False.", RuntimeWarning,
+                        stacklevel=2)
         state = new_state
         done += this
         if collect:
@@ -95,7 +128,8 @@ def run_guarded(sim, num_steps: int, state=None, params=None, chunk: int = 500,
             progress(done / num_steps)
 
     out = _concat(chunks) if collect else None
-    return state, out, GuardReport(done, False, None, None)
+    return state, out, GuardReport(done, False, None, None,
+                                   max_constraint_drift=drift_max)
 
 
 def _concat(chunks):
