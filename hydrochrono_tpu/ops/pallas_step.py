@@ -648,7 +648,7 @@ class FusedStepBuilder:
             dx = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + 1e-30)
             H, V = catenary_newton_core(
                 dx, d[2], c1(f"m{i}_L0"), c1(f"m{i}_w"), c1(f"m{i}_ea"),
-                self.moor_seabed[i], (mhv[2 * i], mhv[2 * i + 1]), iters=6)
+                self.moor_seabed[i], (mhv[2 * i], mhv[2 * i + 1]), iters=10)
             inv = 1.0 / jnp.maximum(dx, 1e-9)
             f = [-H * d[0] * inv, -H * d[1] * inv, -V]
             tau = _cross3(rloc, f)

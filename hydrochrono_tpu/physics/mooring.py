@@ -294,7 +294,41 @@ def _asinh_log(x):
     return jnp.sign(x) * jnp.log(ax + jnp.sqrt(ax * ax + 1.0))
 
 
-def catenary_newton_core(xf, zf, L, w, EA, seabed, hv0, iters: int = 6):
+def _hang_length(zf, w, EA):
+    """Suspended length of a vertically hanging line reaching height zf,
+    including elastic stretch: zf = Ls + w Ls^2 / (2 EA)  (tension grows
+    linearly from 0 at the touchdown point to w Ls at the fairlead)."""
+    # stable quadratic root: Ls = 2 zf / (1 + sqrt(1 + 2 w zf / EA))
+    zp = jnp.maximum(zf, 0.0)
+    return 2.0 * zp / (1.0 + jnp.sqrt(1.0 + 2.0 * w * zp / EA))
+
+
+def _grounded_slack(xf, zf, L, w, EA, seabed):
+    """True where the quasi-static equations have NO root: with more line
+    than the taut-grounded geometry needs (xf < L - Ls_hang), the physical
+    configuration is a vertical hang at the fairlead with the surplus line
+    slack on the seabed — H = 0, V = w Ls_hang. Newton chases a nonexistent
+    root there and must be branched out (the pre-fix solver returned ~1e7 N
+    phantom tensions in exactly this regime)."""
+    Ls = _hang_length(zf, w, EA)
+    return jnp.logical_and(seabed, xf < L - Ls), Ls
+
+
+def _touchdown_start(xf, zf, L, w, Hmin):
+    """Cold start for the slack touchdown regime (seabed, chord < L,
+    xf > L - zf): suspended length from the chord identity
+    Ls^2 = (xf - (L - Ls))^2 + zf^2  =>  Ls = ((L-xf)^2 + zf^2)/(2(L-xf)),
+    horizontal tension from the parabolic sag of the suspended span.
+    The Jonkman sag start assumes a fully suspended line and lands orders
+    of magnitude high on H here, outside Newton's basin."""
+    a = jnp.maximum(L - xf, 1e-9 * L)
+    Ls0 = jnp.clip((a * a + zf * zf) / (2.0 * a), jnp.maximum(zf, 0.0), L)
+    s0 = jnp.maximum(xf - (L - Ls0), 0.0)
+    H0 = jnp.maximum(w * s0 * s0 / (2.0 * jnp.maximum(zf, 1e-9 * L)), Hmin)
+    return H0, w * Ls0
+
+
+def catenary_newton_core(xf, zf, L, w, EA, seabed, hv0, iters: int = 10):
     """Warm-started fixed-iteration damped Newton for the quasi-static
     catenary, with ANALYTIC 2x2 Jacobians and log-form asinh — every op
     lowers in Mosaic, so this exact routine runs INSIDE the fused Pallas
@@ -306,8 +340,28 @@ def catenary_newton_core(xf, zf, L, w, EA, seabed, hv0, iters: int = 6):
     """
     Hmin = 1e-6 * w * L
     xf_safe = jnp.maximum(xf, 1e-6 * L)
+    seabed_arr = jnp.logical_and(jnp.ones_like(xf_safe) > 0, seabed)
+    gs, Ls_hang = _grounded_slack(xf_safe, zf, L, w, EA, seabed_arr)
     H = jnp.maximum(hv0[0], Hmin)
     V = hv0[1]
+    # entering the touchdown regime from a grounded-slack carry (H pinned
+    # at Hmin) leaves Newton outside its basin — reseat the start there
+    td = jnp.logical_and(seabed_arr, jnp.logical_not(gs))
+    reseed = jnp.logical_and(td, H < 4.0 * Hmin)
+    H0_td, V0_td = _touchdown_start(xf_safe, zf, L, w, Hmin)
+    H = jnp.where(reseed, H0_td, H)
+    V = jnp.where(reseed, V0_td, V)
+    # snap-load reseed: across the slack->taut transition H grows ~4
+    # decades per metre of fairlead travel, so a slack-side carry is out
+    # of basin at storm-speed steps. When the carried tension is far below
+    # the straight-line elastic tension, restart from the taut seed.
+    chord = jnp.sqrt(xf_safe * xf_safe + zf * zf)
+    T_el = EA * (chord / L - 1.0)  # negative when slack
+    T_car = jnp.sqrt(H * H + V * V)
+    snap = T_car < 0.25 * T_el  # implies chord > L by a margin
+    T0 = jnp.maximum(T_el, w * L)
+    H = jnp.where(snap, T0 * xf_safe / chord, H)
+    V = jnp.where(snap, T0 * zf / chord + 0.5 * w * L, V)
     inv_w = 1.0 / w
     LEA = L / EA
     for _ in range(iters):
@@ -342,12 +396,17 @@ def catenary_newton_core(xf, zf, L, w, EA, seabed, hv0, iters: int = 6):
         det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
         dh = (d * r1 - b * r2) / det
         dv = (a * r2 - c * r1) / det
-        # damped step, H kept positive (matching catenary_hv._newton_step)
-        Hn = jnp.maximum(H - dh, 0.1 * H)
+        # multiplicatively clamped step [0.1H, 10H]: unbounded upward jumps
+        # near the H->0 touchdown edge threw Newton onto the phantom
+        # elastic-stretch branch (H ~ 1e7 N), matching catenary_hv
+        Hn = jnp.clip(H - dh, 0.1 * H, 10.0 * H)
         Vn = V - dv
         Vn = jnp.where(seabed, jnp.maximum(Vn, Hmin), Vn)
-        H = jnp.maximum(Hn, Hmin)
-        V = Vn
+        Vn = jnp.clip(Vn, V - w * L - jnp.abs(V), V + w * L + jnp.abs(V))
+        # freeze grounded-slack elements at their exact closed form: the
+        # residual has no root there and iterating it diverges
+        H = jnp.where(gs, Hmin, jnp.maximum(Hn, Hmin))
+        V = jnp.where(gs, w * Ls_hang, Vn)
     return H, V
 
 
@@ -380,22 +439,42 @@ def catenary_hv(xf, zf, L, w, EA, seabed=True, iters: int = 24, hv0=None):
 
     Hmin = 1e-6 * w * L
     xf_safe = jnp.maximum(xf, 1e-6 * L)
+    gs, Ls_hang = _grounded_slack(xf_safe, zf, L, w, EA, seabed)
 
     shape = jnp.broadcast_shapes(xf_safe.shape, zf.shape, L.shape, w.shape,
                                  EA.shape, seabed.shape)
     ones = jnp.ones(shape, dtype)
     zeros = jnp.zeros(shape, dtype)
 
+    slack = L * L > zf * zf + xf_safe * xf_safe
+    touchdown = jnp.logical_and(seabed, jnp.logical_and(
+        slack, jnp.logical_not(gs)))
+    H0_td, V0_td = _touchdown_start(xf_safe, zf, L, w, Hmin)
     if hv0 is not None:
         # warm start (e.g. the previous time step's solution carried through
-        # a scan) — Newton re-converges in a few iterations
-        H0 = jnp.broadcast_to(jnp.maximum(jnp.asarray(hv0[0], dtype), Hmin),
+        # a scan) — Newton re-converges in a few iterations. A grounded-slack
+        # carry (H pinned at Hmin) entering the touchdown regime is reseated
+        # on the touchdown start (Newton's basin does not reach down to Hmin).
+        Hw = jnp.broadcast_to(jnp.maximum(jnp.asarray(hv0[0], dtype), Hmin),
                               shape)
-        V0 = jnp.broadcast_to(jnp.asarray(hv0[1], dtype), shape)
+        Vw = jnp.broadcast_to(jnp.asarray(hv0[1], dtype), shape)
+        reseed = jnp.logical_and(touchdown, Hw < 4.0 * Hmin)
+        H0 = jnp.where(reseed, H0_td, Hw)
+        V0 = jnp.where(reseed, V0_td, Vw)
+        # snap-load reseed (see catenary_newton_core): a slack-side carry
+        # is out of basin across a fast slack->taut transition
+        chordw = jnp.sqrt(xf_safe * xf_safe + zf * zf)
+        T_el = EA * (chordw / L - 1.0)
+        snap = jnp.sqrt(H0 * H0 + V0 * V0) < 0.25 * T_el
+        T0w = jnp.maximum(T_el, w * L)
+        H0 = jnp.where(snap, T0w * xf_safe / chordw, H0)
+        V0 = jnp.where(snap, T0w * zf / chordw + 0.5 * w * L, V0)
     else:
         # Jonkman starting values: catenary parameter from the inextensible
-        # sag estimate, taut fallback when the chord exceeds L
-        slack = L * L > zf * zf + xf_safe * xf_safe
+        # sag estimate, taut fallback when the chord exceeds L. In the slack
+        # touchdown regime the sag start assumes a fully suspended line and
+        # lands orders of magnitude high on H — use the touchdown-aware
+        # start instead (pre-fix this diverged across most of the regime).
         lam = jnp.where(
             slack,
             jnp.sqrt(jnp.maximum(3.0 * ((L * L - zf * zf) / (xf_safe * xf_safe)
@@ -405,10 +484,31 @@ def catenary_hv(xf, zf, L, w, EA, seabed=True, iters: int = 24, hv0=None):
         H0 = jnp.broadcast_to(jnp.maximum(jnp.abs(w * xf_safe / (2.0 * lam)),
                                           Hmin), shape)
         V0 = jnp.broadcast_to(0.5 * w * (zf / jnp.tanh(lam) + L), shape)
+        H0 = jnp.where(touchdown, H0_td, H0)
+        V0 = jnp.where(touchdown, V0_td, V0)
+        # taut start (chord >= L): the sag-based start lands orders of
+        # magnitude low on H once elastic stretch dominates — seed from the
+        # straight-line elastic tension instead (weight-floored), with the
+        # fairlead carrying ~half the line weight vertically
+        chord = jnp.sqrt(xf_safe * xf_safe + zf * zf)
+        taut = chord >= L
+        T0 = jnp.maximum(EA * (chord / L - 1.0), w * L)
+        H0 = jnp.where(taut, T0 * xf_safe / chord, H0)
+        V0 = jnp.where(taut, T0 * zf / chord + 0.5 * w * L, V0)
+    H0 = jnp.where(gs, Hmin * ones, H0)
+    V0 = jnp.where(gs, w * Ls_hang * ones, V0)
 
     def residual(hv):
         x, z = _profile(hv[0], hv[1], L, w, EA, seabed)
-        return (x - xf_safe, z - zf)
+        # grounded-slack regime: the profile equations have no root (any
+        # xf < L - Ls_hang maps to the same vertical-hang configuration);
+        # substitute the well-posed vertical-hang system so the root is
+        # exact and custom_root's implicit gradients stay meaningful:
+        #   H = Hmin,  zf = V/w + V^2/(2 EA w)
+        r1 = jnp.where(gs, hv[0] - Hmin, x - xf_safe)
+        r2 = jnp.where(gs, hv[1] / w + hv[1] * hv[1] / (2.0 * EA * w) - zf,
+                       z - zf)
+        return (r1, r2)
 
     def _jac2(f, hv):
         """Elementwise 2x2 Jacobian of f at hv via two unit-tangent jvps."""
@@ -424,10 +524,14 @@ def catenary_hv(xf, zf, L, w, EA, seabed=True, iters: int = 24, hv0=None):
     def _newton_step(f, hv):
         (r1, r2), (a, b, c, d) = _jac2(f, hv)
         dh, dv = _apply_inv(a, b, c, d, r1, r2)
-        # damped step, H kept positive (asinh(V/H) needs H > 0)
-        Hn = jnp.maximum(hv[0] - dh, 0.1 * hv[0])
+        # multiplicatively clamped step [0.1H, 10H]: unbounded upward jumps
+        # near the H->0 touchdown edge threw Newton onto the phantom
+        # elastic-stretch branch (H ~ 1e7 N with metre-scale residuals)
+        Hn = jnp.clip(hv[0] - dh, 0.1 * hv[0], 10.0 * hv[0])
         Vn = hv[1] - dv
         Vn = jnp.where(seabed, jnp.maximum(Vn, Hmin), Vn)
+        Vn = jnp.clip(Vn, hv[1] - w * L - jnp.abs(hv[1]),
+                      hv[1] + w * L + jnp.abs(hv[1]))
         return (jnp.maximum(Hn, Hmin), Vn)
 
     # residual tolerance: 1e-6 of the line length resolves tensions far
@@ -441,7 +545,7 @@ def catenary_hv(xf, zf, L, w, EA, seabed=True, iters: int = 24, hv0=None):
 
         # Convergence polish (ADVICE r2, medium): the fixed-iteration loop
         # can leave slack-to-taut transitions unconverged (the fused
-        # production path warm-starts with iters=6). Keep iterating while
+        # production path warm-starts with iters=10). Keep iterating while
         # any element's relative residual exceeds tol, up to 64 extra
         # Newton steps. custom_root never differentiates through solve, so
         # the while_loop is jit/vmap/scan/grad-safe.
