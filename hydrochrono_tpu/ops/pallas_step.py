@@ -143,35 +143,44 @@ def _rot_matrix(q):
 # ---------------------------------------------------------------------------
 
 def _chol(A, n):
+    """Unrolled Cholesky with reciprocal diagonals: one rsqrt per pivot
+    replaces the O(n^2 + n*nc) per-element divides in the factor+solve
+    (divides cost ~10x a multiply on the VPU and dominated the fused
+    step body — measured on the whole-run kernel round 4). Returns L with
+    L[i][i] = sqrt(d) and the cached inverse diagonal Linv[i] = 1/sqrt(d)."""
     L = [[None] * n for _ in range(n)]
+    Linv = [None] * n
     for i in range(n):
         for j in range(i + 1):
             s = A[i][j]
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(s)
+                r = jax.lax.rsqrt(s)
+                Linv[i] = r
+                L[i][j] = s * r  # sqrt(s) without a second transcendental
             else:
-                L[i][j] = s / L[j][j]
-    return L
+                L[i][j] = s * Linv[j]
+    return L, Linv
 
 
-def _chol_solve_cols(L, b, n, nc):
+def _chol_solve_cols(LLinv, b, n, nc):
     """Solve A x = b for A = L L^T; b is [n][nc] with None structural zeros."""
+    L, Linv = LLinv
     y = [[None] * nc for _ in range(n)]
     for i in range(n):
         for c in range(nc):
             s = b[i][c]
             for k in range(i):
                 s = _ssub(s, _smul(L[i][k], y[k][c]))
-            y[i][c] = None if s is None else s / L[i][i]
+            y[i][c] = None if s is None else s * Linv[i]
     x = [[None] * nc for _ in range(n)]
     for i in reversed(range(n)):
         for c in range(nc):
             s = y[i][c]
             for k in range(i + 1, n):
                 s = _ssub(s, _smul(L[k][i], x[k][c]))
-            x[i][c] = None if s is None else s / L[i][i]
+            x[i][c] = None if s is None else s * Linv[i]
     return x
 
 
@@ -418,6 +427,12 @@ class FusedStepBuilder:
             ms = self.max_substep
             reg("wsub", ms * self.K * self.K,
                 lambda p, ms=ms: p["_const"]["W_small_rev"][::-1][:ms].reshape(-1))
+        # ERA lag-0 feedthrough D for the whole-run kernel's in-kernel
+        # radiation (make_fused_wholerun): frad = D v + C z, row MACs from
+        # SMEM (K x K is tiny; the C z / state-advance terms ride the MXU)
+        if sim.hydro is not None and sim.radiation == "era":
+            reg("erad", self.K * self.K,
+                lambda p: p["_const"]["era_D"].reshape(-1))
 
         self._off = off
         self._fetch = fetch
@@ -1454,6 +1469,288 @@ class FusedStepBuilder:
             args.append(sc)
             return call(*args)
 
+        return fn
+
+    def make_fused_wholerun(self, RB, sub, nchunks, interpret=False,
+                            idx_map=None, has_fexc=True,
+                            sc_span=None, ex_span=None):
+        """Whole-run kernel for ERA radiation: grid = (batch tile, time
+        chunk), `sub` statically-unrolled steps per grid step, the ENTIRE
+        time loop inside one pallas_call.
+
+        The per-dispatch blocked runner pays, per sub-block: a kernel
+        dispatch, the [sub, K, RB, 128] fpre DMA round trip, XLA glue
+        (dynamic slices, scan carry traffic) and separate mid-/far-field
+        matmul dispatches. Here radiation is the shared-pole ERA
+        realization evaluated IN-KERNEL every step — frad = D v + C z (D
+        row-MACs from SMEM, C z on the MXU) and z <- Ad z + Bd v (MXU) —
+        so the carried state (sc rows, HHT carry, mooring warm starts, z)
+        stays VMEM-resident across the whole sweep and only the compact
+        excitation series streams in (trajectory rows stream out). Same
+        design as the farm whole-run kernel (ops/pallas_farm.py, measured
+        ~4x its per-dispatch form), generalized to the full step body:
+        rotating constraint Jacobians, time-varying world inertia, unrolled
+        Cholesky KKT, HHT, moorings, TSDA/RSDA curves.
+
+        Pure per-step ERA matches the XLA path `Simulation(radiation="era",
+        block_size=None)` (stepper._step -> era.era_step_fused), NOT the
+        blocked FIR+ERA hybrid — equivalence gated in tests/test_wholerun.py.
+
+        sc_span/ex_span: contiguous (lo, hi) row ranges of the state /
+        extra rows to STREAM per step (None = all / none for ex_span) —
+        broadcasting and writing unrequested rows costs both VPU glue and
+        HBM bandwidth every step, so the runner passes the minimal span
+        covering its output keys.
+
+        Returns fn(cvec, sc, z, fexc, bvec=None, hc=None, mhv=None) ->
+        (sc_f, [hc_f,] [mhv_f,] z_f, traj [nchunks, sub, span, RB, L]
+        [, extra [nchunks, sub, span, RB, L]]).
+        """
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        if self.sim.radiation != "era" or self.sim.hydro is None:
+            raise NotImplementedError("whole-run kernel requires ERA radiation")
+        CS, CE, K = self.CS, self.CE, self.K
+        RT = 8 if RB % 8 == 0 else RB
+        grid = (RB // RT, nchunks)
+        has_bv = bool(idx_map)
+        hht = self.hht
+        moored = self.n_moor > 0
+        CH = 2 * self.nv
+        CM = self.CM
+        idx_map = idx_map or {}
+        NB = max(len(set(idx_map.values())), 1)
+        doff = self._off["erad"]
+        sc_lo, sc_hi = sc_span if sc_span is not None else (0, CS)
+        has_ex = ex_span is not None
+        ex_lo, ex_hi = ex_span if has_ex else (0, 0)
+
+        M = self.sim.era_order
+        Mp = max(8, -(-M // 8) * 8)   # sublane-pad the state
+        Kp = max(8, -(-K // 8) * 8)   # sublane-pad the force rows
+        self.era_Mp, self.era_Kp = Mp, Kp
+
+        v6_idx = []
+        for sl in self.sim.hydro_slots:
+            v6_idx.extend([self.il(sl, k) for k in range(3)])
+            v6_idx.extend([self.ia(sl, k) for k in range(3)])
+
+        dtype = self.dtype
+        prec = jax.lax.Precision.HIGHEST  # era recursion compounds error
+        import os as _os
+        ab = tuple(_os.environ.get(
+            "HYDROCHRONO_WHOLERUN_ABLATE", "").split(","))  # perf triage
+
+        def kernel(cref, *rest):
+            rest = list(rest)
+            bv = rest.pop(0)[...] if has_bv else None
+
+            def C(i):
+                j = idx_map.get(i)
+                return cref[i] if j is None else bv[j]
+
+            eAref = rest.pop(0)              # (Mp, Mp)
+            eBref = rest.pop(0)              # (Mp, Kp)
+            eCref = rest.pop(0)              # (Kp, Mp)
+            fexc = rest.pop(0)[0] if has_fexc else None  # (sub, K, 1)
+            hcin = rest.pop(0) if hht else None
+            mvin = rest.pop(0) if moored else None
+            scin = rest.pop(0)
+            zin = rest.pop(0)
+            scoref = rest.pop(0)
+            hcoref = rest.pop(0) if hht else None
+            mvoref = rest.pop(0) if moored else None
+            zoref = rest.pop(0)
+            trajref = rest.pop(0)
+            exref = rest.pop(0) if has_ex else None
+
+            tc = pl.program_id(1)
+
+            @pl.when(tc == 0)
+            def _init():  # new batch tile: load the carried state
+                scoref[...] = scin[...]
+                zoref[...] = zin[...]
+                if hht:
+                    hcoref[...] = hcin[...]
+                if moored:
+                    mvoref[...] = mvin[...]
+
+            sc = scoref[...]
+            sc_rows = [sc[i] for i in range(CS)]
+            hc_rows = None
+            if hht:
+                hc = hcoref[...]
+                hc_rows = [hc[i] for i in range(CH)]
+            mhv_rows = None
+            if moored:
+                mv = mvoref[...]
+                mhv_rows = [mv[i] for i in range(CM)]
+
+            zpad = ([jnp.zeros((Kp - K, LANE), dtype)] if Kp > K else [])
+            fpad = ([jnp.zeros((Kp - K, 1), dtype)] if Kp > K else [])
+            for e in range(sub):
+                # ---- in-kernel ERA radiation: frad = D v + C z ----------
+                v6 = [sc_rows[i] for i in v6_idx]  # K rows of (RT, LANE)
+                # excitation folds into the per-r (f_exc - C z) arrays
+                # BEFORE the row slicing: Mosaic has no dual sublane+lane
+                # broadcast, so the (Kp,1)->(Kp,LANE) lane broadcast must
+                # combine with materialized data, never be re-sliced
+                feb = None
+                if fexc is not None:
+                    feb = jnp.broadcast_to(
+                        jnp.concatenate([fexc[e]] + fpad, axis=0),
+                        (Kp, LANE))
+                # z lives in the VMEM out-block and is updated IN PLACE per
+                # r-slice: holding RT (Mp, LANE) arrays as SSA values across
+                # the unrolled step body spills catastrophically (measured
+                # ~100x) — each slice is loaded, advanced, stored before the
+                # step body runs
+                if "era" in ab:
+                    fcz_r = [(feb - 0.0 if feb is not None
+                              else jnp.zeros((Kp, LANE), dtype))
+                             for _ in range(RT)]
+                else:
+                    fcz_r = []
+                    for r in range(RT):
+                        v6r = jnp.concatenate(
+                            [row[r:r + 1] for row in v6] + zpad, axis=0)
+                        zr = zoref[r]
+                        czr = jnp.dot(eCref[...], zr, precision=prec,
+                                      preferred_element_type=dtype)
+                        fcz_r.append(feb - czr if feb is not None else -czr)
+                        zoref[r] = (jnp.dot(eAref[...], zr, precision=prec,
+                                            preferred_element_type=dtype)
+                                    + jnp.dot(eBref[...], v6r, precision=prec,
+                                              preferred_element_type=dtype))
+                fcz = jnp.stack(fcz_r, axis=1)  # (Kp, RT, LANE)
+                fx = []
+                for i in range(K):
+                    acc = fcz[i]
+                    for k in range(K):
+                        acc = acc - C(doff + i * K + k) * v6[k]
+                    fx.append(acc)
+                if "step" in ab:
+                    # bypass the solve: trivial damped integrate (triage)
+                    sc_rows = [r * 0.999 for r in sc_rows]
+                    extra = [fx[0] for _ in range(CE)]
+                    trajref[0, e] = _bstack(sc_rows[sc_lo:sc_hi],
+                                            sc.shape[1:], dtype)
+                    if has_ex:
+                        exref[0, e] = _bstack(extra[ex_lo:ex_hi],
+                                              sc.shape[1:], dtype)
+                    continue
+
+                # ---- the general step body (shared with the other kernels)
+                if hht:
+                    if moored:
+                        sc_rows, hc_rows, extra, mhv_rows = self.step_rows_hht(
+                            C, sc_rows, hc_rows, fx, mhv_rows)
+                    else:
+                        sc_rows, hc_rows, extra = self.step_rows_hht(
+                            C, sc_rows, hc_rows, fx)
+                else:
+                    if moored:
+                        sc_rows, extra, mhv_rows = self.step_rows(
+                            C, sc_rows, fx, mhv_rows)
+                    else:
+                        sc_rows, extra = self.step_rows(C, sc_rows, fx)
+                trajref[0, e] = _bstack(sc_rows[sc_lo:sc_hi],
+                                        sc.shape[1:], dtype)
+                if has_ex:
+                    exref[0, e] = _bstack(extra[ex_lo:ex_hi],
+                                          sc.shape[1:], dtype)
+
+            scoref[...] = _bstack(sc_rows, sc.shape[1:], dtype)
+            if hht:
+                hcoref[...] = _bstack(hc_rows, sc.shape[1:], dtype)
+            if moored:
+                mvoref[...] = _bstack(mhv_rows, sc.shape[1:], dtype)
+
+        def cspec(*dims):
+            # constants: fetched once per call
+            return pl.BlockSpec(dims, lambda g, tc: (0,) * len(dims),
+                                memory_space=pltpu.VMEM)
+
+        def sspec(c):
+            # carried state rows: revisited across the time sweep
+            return pl.BlockSpec((c, RT, LANE), lambda g, tc: (0, g, 0),
+                                memory_space=pltpu.VMEM)
+
+        zspec = pl.BlockSpec((RT, Mp, LANE), lambda g, tc: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+        def tspec(*dims):
+            # streamed per time chunk
+            return pl.BlockSpec((1,) + dims,
+                                lambda g, tc: (tc,) + (0,) * (len(dims) - 2)
+                                + (g, 0),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        if has_bv:
+            in_specs.append(sspec(NB))
+        in_specs += [cspec(Mp, Mp), cspec(Mp, Kp), cspec(Kp, Mp)]
+        if has_fexc:
+            in_specs.append(pl.BlockSpec(
+                (1, sub, K, 1), lambda g, tc: (tc, 0, 0, 0),
+                memory_space=pltpu.VMEM))
+        if hht:
+            in_specs.append(sspec(CH))
+        if moored:
+            in_specs.append(sspec(CM))
+        in_specs += [sspec(CS), zspec]
+
+        f = dtype
+        out_specs = [sspec(CS)]
+        out_shape = [jax.ShapeDtypeStruct((CS, RB, LANE), f)]
+        if hht:
+            out_specs.append(sspec(CH))
+            out_shape.append(jax.ShapeDtypeStruct((CH, RB, LANE), f))
+        if moored:
+            out_specs.append(sspec(CM))
+            out_shape.append(jax.ShapeDtypeStruct((CM, RB, LANE), f))
+        out_specs.append(zspec)
+        out_shape.append(jax.ShapeDtypeStruct((RB, Mp, LANE), f))
+        out_specs.append(tspec(sub, sc_hi - sc_lo, RT, LANE))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (nchunks, sub, sc_hi - sc_lo, RB, LANE), f))
+        if has_ex:
+            out_specs.append(tspec(sub, ex_hi - ex_lo, RT, LANE))
+            out_shape.append(jax.ShapeDtypeStruct(
+                (nchunks, sub, ex_hi - ex_lo, RB, LANE), f))
+        call = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, interpret=interpret,
+        )
+
+        def era_ops(params):
+            """Padded (eraA, eraB, eraC) matmul operands for this kernel."""
+            c = params["_const"]
+            eA = jnp.zeros((Mp, Mp), f).at[:M, :M].set(
+                jnp.asarray(c["era_Ad"], f))
+            eB = jnp.zeros((Mp, Kp), f).at[:M, :K].set(
+                jnp.asarray(c["era_Bd"], f))
+            eC = jnp.zeros((Kp, Mp), f).at[:K, :M].set(
+                jnp.asarray(c["era_C"], f))
+            return eA, eB, eC
+
+        def fn(cvec, sc, z, fexc=None, bvec=None, hc=None, mhv=None,
+               era_consts=None):
+            args = [cvec]
+            if has_bv:
+                args.append(bvec)
+            args.extend(era_consts)
+            if has_fexc:
+                args.append(fexc)
+            if hht:
+                args.append(hc)
+            if moored:
+                args.append(mhv)
+            args += [sc, z]
+            return call(*args)
+
+        fn.era_ops = era_ops
         return fn
 
 

@@ -1736,6 +1736,246 @@ class Simulation:
             num_steps, states, params=params, interpret=interpret,
             subblock=subblock, start_step=start_step)
 
+    def _fused_hc0(self, states: State, params, RB: int, start_step: int):
+        """Initial/resumed HHT carry rows [2nv, RB, 128] for the fused
+        kernels (run_blocked_fused / run_fused_era)."""
+        B = states.pos.shape[0]
+        nv = self.nv
+        K = 6 * self.n_hydro
+        if start_step != 0 and states.hht.size != 0:
+            # resume: the saved per-instance carry rides in State.hht
+            # [B, 2, nv] — blocked-HHT resume is bit-exact (round 3)
+            hc_flat = states.hht.reshape(B, 2 * nv).astype(self.dtype)
+        else:
+            # initial HHT carry per instance: a0 = 0, f0 = F(initial
+            # state) with zero radiation (stepper._hht_carry0), vmapped
+            # over the batch (and over any per-instance params leaves).
+            # Batched leaves are detected against the leaf's canonical
+            # UNBATCHED rank — sim.params itself may already carry sweep
+            # batches (the builder stores period-sweep reg_* params
+            # batched), so comparing against self.params would miss them.
+            f_rad0 = jnp.zeros((K,), self.dtype)
+            base_ndim = self._param_base_ndim()
+            axes = {}
+            for k2, v2 in params.items():
+                axes[k2] = (0 if (k2 in base_ndim and hasattr(v2, "ndim")
+                                  and v2.ndim > base_ndim[k2]) else None)
+            f0 = jax.vmap(
+                lambda st, p: self._forces(p, st, jnp.int32(0),
+                                           f_rad=f_rad0)[0],
+                in_axes=(0, axes),
+            )(states, params)  # [B, nv]
+            hc_flat = jnp.concatenate(
+                [jnp.zeros_like(f0), f0.astype(self.dtype)], axis=1)
+        Bp = RB * 128
+        sel0 = jnp.minimum(jnp.arange(Bp), B - 1)
+        return hc_flat[sel0].T.reshape(2 * nv, RB, 128)
+
+    def _fused_mhv0(self, params, sc0, RB: int):
+        """Cold catenary solve at the initial state -> the fused kernels'
+        warm-start carry rows [2*nl, RB, 128] (H_i, V_i interleaved).
+        Subsequent steps re-solve IN-KERNEL warm-started
+        (pallas_step._mooring_wrench / catenary_newton_core)."""
+        from hydrochrono_tpu.ops.pallas_step import _quat_rotate
+        from hydrochrono_tpu.physics import mooring as moorphys
+
+        b = self.fused_builder()
+        mc = params["_const"]["moor"]
+        nl = len(self.moor_slots)
+
+        def _bc(x):  # [nl] line constant -> broadcast vs [nl, RB, 128]
+            return x[:, None, None]
+
+        posc = [jnp.stack([sc0[b.ip(s, k)] for s in self.moor_slots])
+                for k in range(3)]   # 3 x [nl, RB, 128]
+        quatc = [jnp.stack([sc0[b.iq(s, k)] for s in self.moor_slots])
+                 for k in range(4)]  # 4 x [nl, RB, 128]
+        loc = [_bc(mc["local"][:, k]) for k in range(3)]
+        rloc = _quat_rotate(quatc, loc)
+        d0 = posc[0] + rloc[0] - _bc(mc["anchor"][:, 0])
+        d1 = posc[1] + rloc[1] - _bc(mc["anchor"][:, 1])
+        d2 = posc[2] + rloc[2] - _bc(mc["anchor"][:, 2])
+        dx = jnp.sqrt(d0 * d0 + d1 * d1 + 1e-30)
+        H, V = moorphys.catenary_hv(
+            dx, d2, _bc(mc["L0"]), _bc(mc["w"]), _bc(mc["ea"]),
+            _bc(mc["seabed"]), iters=24,
+        )
+        # interleave rows: [H_0, V_0, H_1, V_1, ...]
+        hv = jnp.stack([H, V], axis=1)  # [nl, 2, RB, 128]
+        return hv.reshape(2 * nl, RB, 128).astype(self.dtype)
+
+    def fused_wholerun_supported(self) -> bool:
+        """The whole-run ERA kernel covers what the fused step kernel
+        covers, minus per-instance wave forcing (batched eta / regular-wave
+        sweeps stream per-instance [RB, 128] forcing, which the whole-run
+        design does not carry)."""
+        if self.radiation != "era" or self.hydro is None:
+            return False
+        try:
+            self.fused_builder()
+        except NotImplementedError:
+            return False
+        if self.wave_kind == "IrregularWaveParams" and \
+                self.params["irr_eta"].ndim > (2 if self.wave_spread else 1):
+            return False
+        if self.wave_kind == "RegularWave" and \
+                self.params["reg_mag"].ndim > 1:
+            return False
+        return True
+
+    @with_full_matmul
+    def run_fused_era(self, num_steps: int, states: State, params=None,
+                      interpret: Optional[bool] = None,
+                      subblock: Optional[int] = None,
+                      start_step: int = 0):
+        """Whole-run fused ERA runner: the ENTIRE time loop inside one
+        pallas_call (pallas_step.make_fused_wholerun), radiation evaluated
+        in-kernel per step from the shared-pole state. Equivalent to
+        vmap(run) for `Simulation(radiation="era", block_size=None)` — the
+        pure per-step ERA model (gated in tests/test_wholerun.py), NOT the
+        blocked FIR+ERA hybrid. Returns (final State [B, ...],
+        traj dict [B, T, ...]).
+        """
+        if params is None:
+            params = self.params
+        if self.radiation != "era" or self.hydro is None:
+            raise NotImplementedError("run_fused_era requires ERA radiation")
+        b = self.fused_builder()
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        hht = self.integrator == "hht"
+        moored = self.spec.moorings is not None
+        nm, nv, m = self.n_moving, self.nv, self.n_constraints
+        K = 6 * self.n_hydro
+        M = self.era_order
+
+        B = states.pos.shape[0]
+        sc0, vhist0 = b.pack_state(states)
+        RB = sc0.shape[1]
+        Bp = RB * 128
+
+        # radiation state z [B, M] -> [RB, Mp, 128]
+        Mp = max(8, -(-M // 8) * 8)
+        selz = jnp.minimum(jnp.arange(Bp), B - 1)
+        zf = states.ss[selz].astype(self.dtype)  # [Bp, M]
+        z0 = jnp.zeros((Bp, Mp), self.dtype).at[:, :M].set(zf)
+        z0 = z0.reshape(RB, 128, Mp).transpose(0, 2, 1)  # [RB, Mp, 128]
+
+        batched_entries = b.batched_entries(params)
+        cvec = b.cvec(params, batched_entries)
+        if batched_entries:
+            bvec, idx_map = b.bvec(params, batched_entries, RB)
+        else:
+            bvec, idx_map = None, None
+
+        hc0 = self._fused_hc0(states, params, RB, start_step) if hht else None
+        mhv0 = self._fused_mhv0(params, sc0, RB) if moored else None
+
+        # excitation series [T, K]: t-only dependent (per-instance wave
+        # forcing is the per-dispatch runner's job — fused_wholerun_supported)
+        has_fexc = self.wave_kind != "NoWave"
+        if has_fexc:
+            # HHT evaluates the (frozen) excitation at t+h (stepper._step_hht)
+            steps = (start_step + (1 if hht else 0)
+                     + jnp.arange(num_steps, dtype=jnp.int32))
+            fexc_all = jax.vmap(lambda n: self._wave_force(params, n))(steps)
+            fexc_all = fexc_all.astype(self.dtype)  # [T, K]
+            if fexc_all.ndim != 2:
+                raise NotImplementedError(
+                    "run_fused_era: per-instance wave forcing unsupported")
+
+        sub = subblock or (8 if not interpret else 4)
+        sub = min(sub, num_steps)
+        nfull = num_steps // sub
+        rem = num_steps - nfull * sub
+
+        keys = [k for k in ("pos", "quat", "lin_vel", "ang_vel", "acc",
+                            "lambda", "tsda")
+                if k in self.outputs or k == "pos"]
+        if "tsda" in keys and not self.spec.tsdas:
+            keys.remove("tsda")
+        row_slices = {
+            "pos": (0, nm * 3, (nm, 3)),
+            "quat": (nm * 3, nm * 7, (nm, 4)),
+            "lin_vel": (nm * 7, nm * 10, (nm, 3)),
+            "ang_vel": (nm * 10, nm * 13, (nm, 3)),
+            "acc": (None, (0, nv), (nm, 6)),
+            "lambda": (None, (nv, nv + m), (m,)),
+            "tsda": (None, (nv + m, b.CE), (len(self.spec.tsdas), 4)),
+        }
+
+        # minimal contiguous row spans covering the requested keys: the
+        # kernel broadcasts + streams ONLY these rows per step
+        sc_keys = [k for k in keys if row_slices[k][0] is not None]
+        ex_keys = [k for k in keys if row_slices[k][0] is None]
+        sc_span = (min(row_slices[k][0] for k in sc_keys),
+                   max(row_slices[k][1] for k in sc_keys))
+        ex_span = ((min(row_slices[k][1][0] for k in ex_keys),
+                    max(row_slices[k][1][1] for k in ex_keys))
+                   if ex_keys else None)
+
+        carry = [sc0, hc0, mhv0, z0]
+        trajs, extras = [], []
+        for (s_, nch, off) in (((sub, nfull, 0),) if rem == 0
+                               else ((sub, nfull, 0),
+                                     (rem, 1, nfull * sub))):
+            if nch == 0:
+                continue
+            call = b.make_fused_wholerun(RB, s_, nch, interpret=interpret,
+                                         idx_map=idx_map, has_fexc=has_fexc,
+                                         sc_span=sc_span, ex_span=ex_span)
+            era_consts = call.era_ops(params)
+            fexc = None
+            if has_fexc:
+                fexc = fexc_all[off:off + nch * s_].reshape(nch, s_, K, 1)
+            outs = list(call(cvec, carry[0], carry[3], fexc=fexc, bvec=bvec,
+                             hc=carry[1], mhv=carry[2],
+                             era_consts=era_consts))
+            carry[0] = outs.pop(0)
+            if hht:
+                carry[1] = outs.pop(0)
+            if moored:
+                carry[2] = outs.pop(0)
+            carry[3] = outs.pop(0)
+            trajs.append(outs.pop(0))
+            if ex_span is not None:
+                extras.append(outs.pop(0))
+
+        sc_f, hc_f, _, z_f = carry
+        ss_f = z_f.transpose(0, 2, 1).reshape(Bp, Mp)[:, :M][:B].astype(
+            states.ss.dtype)
+        final = b.unpack_state(sc_f, vhist0, B, ss_f)
+        if hht:
+            hht_f = hc_f.reshape(2 * nv, Bp).T[:B].reshape(B, 2, nv)
+            final = dataclasses.replace(final, hht=hht_f)
+
+        # [nchunks, sub, C, RB, 128] pieces -> {key: [B, T, ...]}
+        # view-reshape to [T, rows, Bp] then ONE axis move — an arbitrary
+        # 5-axis permute here lowered to a pathological XLA transpose
+        # (measured 630 us/step against the kernel's 4.2)
+        def assemble(lo, hi, shape, from_extra):
+            parts = []
+            for tr in (extras if from_extra else trajs):
+                nch, s_ = tr.shape[0], tr.shape[1]
+                rows = hi - lo
+                x = tr[:, :, lo:hi]  # [nch, s, rows, RB, 128]
+                x = x.reshape(nch * s_, rows, Bp)  # pure view
+                parts.append(jnp.moveaxis(x, -1, 0))  # [Bp, T, rows]
+            x = jnp.concatenate(parts, axis=1)[:B]
+            return x.reshape((B, x.shape[1]) + shape)
+
+        traj = {}
+        for k in keys:
+            spec_k = row_slices[k]
+            if spec_k[0] is None:
+                lo, hi = spec_k[1]
+                traj[k] = assemble(lo - ex_span[0], hi - ex_span[0],
+                                   spec_k[2], True)
+            else:
+                traj[k] = assemble(spec_k[0] - sc_span[0],
+                                   spec_k[1] - sc_span[0], spec_k[2], False)
+        return final, traj
+
     @with_full_matmul
     def run_blocked_fused(self, num_steps: int, states: State, params=None,
                           interpret: Optional[bool] = None,
@@ -1796,36 +2036,7 @@ class Simulation:
         else:
             bvec, idx_map = None, None
 
-        hc0 = None
-        if hht:
-            if start_step != 0 and states.hht.size != 0:
-                # resume: the saved per-instance carry rides in State.hht
-                # [B, 2, nv] — blocked-HHT resume is bit-exact (round 3)
-                hc_flat = states.hht.reshape(B, 2 * nv).astype(self.dtype)
-            else:
-                # initial HHT carry per instance: a0 = 0, f0 = F(initial
-                # state) with zero radiation (stepper._hht_carry0), vmapped
-                # over the batch (and over any per-instance params leaves).
-                # Batched leaves are detected against the leaf's canonical
-                # UNBATCHED rank — sim.params itself may already carry sweep
-                # batches (the builder stores period-sweep reg_* params
-                # batched), so comparing against self.params would miss them.
-                f_rad0 = jnp.zeros((K,), self.dtype)
-                base_ndim = self._param_base_ndim()
-                axes = {}
-                for k2, v2 in params.items():
-                    axes[k2] = (0 if (k2 in base_ndim and hasattr(v2, "ndim")
-                                      and v2.ndim > base_ndim[k2]) else None)
-                f0 = jax.vmap(
-                    lambda st, p: self._forces(p, st, jnp.int32(0),
-                                               f_rad=f_rad0)[0],
-                    in_axes=(0, axes),
-                )(states, params)  # [B, nv]
-                hc_flat = jnp.concatenate(
-                    [jnp.zeros_like(f0), f0.astype(self.dtype)], axis=1)
-            Bp = RB * 128
-            sel0 = jnp.minimum(jnp.arange(Bp), B - 1)
-            hc0 = hc_flat[sel0].T.reshape(2 * nv, RB, 128)
+        hc0 = self._fused_hc0(states, params, RB, start_step) if hht else None
         if subblock is None:
             # multi-step kernel: amortizes dispatch on TPU (~2x at B=512);
             # sub=8 keeps the unrolled Mosaic op count moderate. Interpret
@@ -1854,39 +2065,6 @@ class Simulation:
             ])
             for s in self.hydro_slots
         ]).astype(np.int32)
-
-        if moored:
-            from hydrochrono_tpu.ops.pallas_step import _quat_rotate
-            from hydrochrono_tpu.physics import mooring as moorphys
-
-            mc = const["moor"]
-            nl = len(self.moor_slots)
-
-            def _bc(x):  # [nl] line constant -> broadcast vs [nl, RB, 128]
-                return x[:, None, None]
-
-            def mooring_hv0(sc):
-                """Cold catenary solve at the initial state -> the kernel's
-                warm-start carry rows [2*nl, RB, 128] (H_i, V_i interleaved).
-                Subsequent steps re-solve IN-KERNEL warm-started
-                (pallas_step._mooring_wrench / catenary_newton_core)."""
-                posc = [jnp.stack([sc[b.ip(s, k)] for s in self.moor_slots])
-                        for k in range(3)]   # 3 x [nl, RB, 128]
-                quatc = [jnp.stack([sc[b.iq(s, k)] for s in self.moor_slots])
-                         for k in range(4)]  # 4 x [nl, RB, 128]
-                loc = [_bc(mc["local"][:, k]) for k in range(3)]
-                rloc = _quat_rotate(quatc, loc)
-                d0 = posc[0] + rloc[0] - _bc(mc["anchor"][:, 0])
-                d1 = posc[1] + rloc[1] - _bc(mc["anchor"][:, 1])
-                d2 = posc[2] + rloc[2] - _bc(mc["anchor"][:, 2])
-                dx = jnp.sqrt(d0 * d0 + d1 * d1 + 1e-30)
-                H, V = moorphys.catenary_hv(
-                    dx, d2, _bc(mc["L0"]), _bc(mc["w"]), _bc(mc["ea"]),
-                    _bc(mc["seabed"]), iters=24,
-                )
-                # interleave rows: [H_0, V_0, H_1, V_1, ...]
-                hv = jnp.stack([H, V], axis=1)  # [nl, 2, RB, 128]
-                return hv.reshape(2 * nl, RB, 128).astype(self.dtype)
 
         irregular = self.wave_kind == "IrregularWaveParams"
         regular = self.wave_kind == "RegularWave"
@@ -2115,7 +2293,7 @@ class Simulation:
 
         # warm-start carry for the in-kernel mooring Newton (cold-solved
         # once at the initial state)
-        mhv0 = mooring_hv0(sc0) if moored else None
+        mhv0 = self._fused_mhv0(params, sc0, RB) if moored else None
         carry0 = (sc0, hc0, mhv0, rad0)
         final_carry, traj = jax.lax.scan(
             block, carry0,

@@ -24,11 +24,30 @@ import pytest  # noqa: E402
 
 REFERENCE = "/root/reference"
 
-# Quick-tier marking: `pytest -m 'not slow'` runs the suite in ~3-5 min
-# (vs ~30 min full). Regenerate this list from `pytest --durations=40`;
-# everything >= ~20 s lands here (interpret-mode fused-kernel equivalence
-# tests, subprocess harnesses, long goldens).
+# Quick-tier marking: `pytest -m 'not slow'` targets < 10 measured minutes
+# (re-timed round 4: ~9-10 min clean, ~30 min for the full suite).
+# Regenerate this list from `pytest --durations=50`; everything >= ~20 s
+# clean lands here (interpret-mode fused-kernel equivalence tests,
+# subprocess harnesses, long goldens). Run the full tier (no -m filter)
+# at least once per round and record the result in DEVNOTES.md.
 SLOW_TESTS = {
+    # round-4 re-tier (VERDICT r3 item 9): measured top offenders
+    "test_const_mass_hht_matches_general",
+    "test_farm_fused_sharded_matches_unsharded",
+    "test_mooring_snap_load_fused_matches_xla",
+    "test_const_mass_constrained_matches_general",
+    "test_snap_load_warm_core_tracks_polished",
+    "test_era_gradient_matches_fd",
+    "test_dryrun_multichip_hermetic",
+    "test_constraint_drift_monitor",
+    "test_farm_fused_constrained_matches_xla",
+    "test_farm_fused_matches_xla",
+    "test_const_mass_auto_enables_and_matches_general",
+    "test_catenary_slack_taut_sweep_converges",
+    "test_two_body_coupled_radiation_matches_oracle",
+    "test_wholerun_era_irregular_matches_xla",
+    "test_wholerun_era_hht",
+    "test_wholerun_era_moored",
     "test_fused_hht_subblock_regular",
     "test_fused_subblock_kernel_matches",
     "test_fused_hht_irregular",
