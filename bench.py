@@ -104,10 +104,15 @@ def main():
 
     # RM3 with ERA radiation (shared-pole realization of the same lag
     # kernel, physics/era.py): the far-field Hankel matmul and the ring
-    # buffer disappear. Gated on the same reference goldens
-    # (tools/tpu_golden_gates.py gate 7); falls back to the convolution
-    # number on any failure.
+    # buffer disappear. Preferred execution = the whole-run fused kernel
+    # (stepper.run_fused_era: the ENTIRE time loop in one pallas_call,
+    # radiation in-kernel; measured 4.17 vs 4.92 us/step blocked, round 4);
+    # falls back to the per-dispatch blocked runner, then to the
+    # convolution number, on any failure. Gated on the same reference
+    # goldens (tools/tpu_golden_gates.py gates 7/9).
     rm3_era_rt, rm3_era_us, era_order, era_fit_err = 0.0, 0.0, 0, -1.0
+    rm3_era_mode = "none"
+    sim_e = None
     try:
         sim_e = Simulation(rm3(rm3_h5, pto_damping=1.2e6), dt=dt, wave=wave,
                            duration=2 * sim_t, dtype=jnp.float32,
@@ -116,17 +121,52 @@ def main():
         states_e = make_batched_states(sim_e, B)
         if n_dev > 1:
             states_e = shard_batch(states_e, batch_mesh())
-        run_e = jax.jit(
-            lambda s, p: sim_e.run_blocked_fused(n, s, params=p)[0].pos)
-        wall_era, out_e = _timed(run_e, states_e, sim_e.params)
+        wall_era, out_e = 0.0, np.asarray([np.nan])
+        if n_dev == 1 and sim_e.fused_wholerun_supported():
+            try:
+                run_w = jax.jit(lambda s: sim_e.run_fused_era(n, s)[0].pos)
+                wall_era, out_e = _timed(run_w, states_e)
+                rm3_era_mode = "wholerun"
+            except Exception as exc:  # noqa: BLE001
+                print(f"# rm3 era wholerun failed ({exc}); blocked fallback",
+                      file=sys.stderr)
+        if not bool(np.isfinite(out_e).all()):
+            run_e = jax.jit(
+                lambda s, p: sim_e.run_blocked_fused(n, s, params=p)[0].pos)
+            wall_era, out_e = _timed(run_e, states_e, sim_e.params)
+            rm3_era_mode = "blocked"
         if bool(np.isfinite(out_e).all()):
             rm3_era_rt = n * dt / wall_era
             rm3_era_us = wall_era / n * 1e6
             era_order = sim_e.era_order
             era_fit_err = sim_e.era_markov_rel_err
+        else:
+            rm3_era_mode = "none"
     except Exception as exc:  # noqa: BLE001
         print(f"# rm3 era bench failed: {exc}", file=sys.stderr)
     best_rt = max(rm3_rt, rm3_era_rt)
+
+    # ---- B=4096 aggregate-throughput entry (single chip): the standing
+    # large-batch number (VERDICT r3 item 5). Compiles its own program —
+    # skip with BENCH_SKIP_B4096=1 if compile budget is tight.
+    rm3_b4096_steps_s = rm3_b4096_us = 0.0
+    if (sim_e is not None and rm3_era_rt > 0.0 and n_dev == 1
+            and os.environ.get("BENCH_SKIP_B4096") != "1"):
+        try:
+            B4 = 4096
+            n4 = n // 4  # quarter horizon: same steady-state rate, less wall
+            states4 = make_batched_states(sim_e, B4)
+            if rm3_era_mode == "wholerun":
+                run4 = jax.jit(lambda s: sim_e.run_fused_era(n4, s)[0].pos)
+            else:
+                run4 = jax.jit(
+                    lambda s: sim_e.run_blocked_fused(n4, s)[0].pos)
+            wall4, out4 = _timed(run4, states4)
+            if bool(np.isfinite(out4).all()):
+                rm3_b4096_steps_s = B4 * n4 / wall4
+                rm3_b4096_us = wall4 / n4 * 1e6
+        except Exception as exc:  # noqa: BLE001
+            print(f"# rm3 B=4096 bench failed: {exc}", file=sys.stderr)
 
     # ---------------- sphere decay (secondary) ----------------
     sph_h5 = "/root/reference/demos/sphere/hydroData/sphere.h5"
@@ -161,7 +201,13 @@ def main():
     # nv = 48 coupled DOFs (the reference caps at 3 bodies): const-mass
     # inverse-apply solve + state-space radiation (no history buffer), the
     # batched XLA path. SURVEY §2.5 TP-row capability measurement.
-    farm_h5 = "/tmp/hydrochrono_tpu_bench_farm8.h5"
+    # Apples-to-apples (VERDICT r3 weak 4): BOTH farm radiation modes run
+    # on the SAME shared-pole (shared_modes=4) coefficient file — the
+    # legacy per-entry-random file ERA cannot fit (true order ~2*(6N)^2,
+    # DEVNOTES round 3). r1-r3 farm8_us_per_step was measured on the
+    # legacy file; same kernel resolution/physics scale, so numbers stay
+    # comparable.
+    farm_h5 = "/tmp/hydrochrono_tpu_bench_farm8_modal.h5"
     ok_farm = True
     farm_us_step = farm_rt = 0.0
     try:
@@ -169,7 +215,7 @@ def main():
 
         if not os.path.exists(farm_h5):
             write_bemio_h5(
-                farm_h5, 8, seed=17, state_space=True,
+                farm_h5, 8, seed=17, shared_modes=4, state_space=True,
                 cg_list=[np.array([0.0, 0.0, -2.0])] * 8,
                 cb_list=[np.array([0.0, 0.0, -1.7])] * 8,
                 disp_vol=[261.8] * 8,
@@ -183,10 +229,17 @@ def main():
         # runs measure the ~30 ms host round-trip floor, not compute
         # (measured: 15.6 us/step at nf=2048 vs 4.2 at nf=16384, B=128)
         nf = 16384
+        # EXACT radiation baseline on the shared file: blocked convolution
+        # through the batched XLA const-mass path. (The per-entry
+        # state-space farm kernel r1-r3 measured here ran on the legacy
+        # random-kernel file whose fits are order-2; the shared-mode file's
+        # per-entry order is 8, whose [o,o,nv,nv,LANE] pages exceed VMEM at
+        # nv=48 — the collapse of exactly those pages to one [M,LANE] tile
+        # is WHY the ERA design below wins.)
         sim_f = Simulation(sphere_farm(farm_h5, nx=4, ny=2), dt=dtf,
                            wave=wave_f, duration=1.5 * nf * dtf,
-                           dtype=jnp.float32, radiation="state_space",
-                           outputs=("pos",))
+                           dtype=jnp.float32, radiation="convolution",
+                           block_size=128, outputs=("pos",))
         assert sim_f.const_mass and sim_f.nv == 48
         st_f = make_batched_states(sim_f, Bf)
         if n_dev > 1:
@@ -194,23 +247,7 @@ def main():
 
             st_f = shard_batch(st_f, batch_mesh())
         run_xla = jax.jit(jax.vmap(lambda s: sim_f.run(nf, state=s)[0].pos))
-        if sim_f.farm_fused_supported():
-            # fused farm kernel (ops/pallas_farm.py): ~4.9x the XLA path
-            # at B=128 on v5e (15.7 vs 76.5 us/step). Works sharded too
-            # (tests/test_sharding.py::test_farm_fused_sharded_matches_
-            # unsharded). Fall back to the XLA farm path if the kernel
-            # fails to compile/run on this chip — a slower farm number
-            # beats a missing one.
-            try:
-                run_f = jax.jit(
-                    lambda s: sim_f.run_farm_fused(nf, s)[0].pos)
-                wall_farm, out_f = _timed(run_f, st_f)
-            except Exception as exc:  # noqa: BLE001
-                print(f"# farm fused kernel failed ({exc}); XLA fallback",
-                      file=sys.stderr)
-                wall_farm, out_f = _timed(run_xla, st_f)
-        else:
-            wall_farm, out_f = _timed(run_xla, st_f)
+        wall_farm, out_f = _timed(run_xla, st_f)
         ok_farm = bool(np.isfinite(out_f).all())
         farm_us_step = wall_farm / nf * 1e6
         farm_rt = nf * dtf / wall_farm
@@ -267,14 +304,23 @@ def main():
         "rm3_us_per_step": round(wall_rm3 / n * 1e6, 2),
         "rm3_era_us_per_step": round(rm3_era_us, 2),
         "rm3_era_per_instance_realtime_factor": round(rm3_era_rt, 1),
+        "rm3_era_exec": rm3_era_mode,
         "rm3_era_order": era_order,
         "rm3_era_kernel_fit_err": round(era_fit_err, 6),
+        "rm3_b4096_inst_steps_per_sec": round(rm3_b4096_steps_s, 0),
+        "rm3_b4096_us_per_step": round(rm3_b4096_us, 2),
         "rm3_achieved_tflops": round(achieved / 1e12, 2),
         "rm3_mfu_vs_bf16_peak": round(mfu, 4),
         "sphere_decay_sims_per_sec": round(sph_sims_s, 1),
         "sphere_per_instance_realtime_factor": round(sph_rt, 1),
         "farm8_us_per_step": round(farm_us_step, 2),
         "farm8_per_instance_realtime_factor": round(farm_rt, 1),
+        # same file for BOTH farm rows since r4 (apples-to-apples): farm8 =
+        # exact blocked convolution (XLA const-mass), farm8_era = fused
+        # whole-run shared-pole kernel. r1-r3's farm8 was the per-entry
+        # state-space fused kernel on a different (legacy) file.
+        "farm8_file": "shared_modes",
+        "farm8_radiation": "convolution_exact",
         "farm8_ok": ok_farm,
         "farm8_era_us_per_step": round(farm_era_us, 2),
         "farm8_era_per_instance_realtime_factor": round(farm_era_rt, 1),

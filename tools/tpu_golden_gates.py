@@ -164,3 +164,34 @@ for i in range(10):
     d = z3e[i][:m] - refp[:m, 1]
     l2, li = np.linalg.norm(d)/m, np.abs(d).max()
     print(f"reg case {i+1} FUSED ERA:  L2={l2:.2e} Linf={li:.2e} {'PASS' if (l2<=1e-4 and li<=0.02) else 'FAIL'}")
+
+# 8) WHOLE-RUN fused ERA kernel gates (round 4): the entire time loop in
+# one pallas_call (stepper.run_fused_era) vs the same reference goldens —
+# sphere decay (NoWave, no excitation stream) and IEA reg-wave case 5.
+assert sim_era.fused_wholerun_supported()
+_, traj_w = jax.jit(lambda s: sim_era.run_fused_era(2688, s))(
+    make_batched_states(sim_era, 2))
+zw = np.asarray(traj_w["pos"][0, :n, 0, 2], dtype=np.float64)
+d = zw - ref[:, 1]
+l2, li = np.linalg.norm(d)/n, np.abs(d).max()
+print(f"decay f32 WHOLERUN ERA (M={sim_era.era_order}): L2={l2:.2e} "
+      f"Linf={li:.2e} (gate margin {1e-4/max(l2,1e-300):.0f}x / "
+      f"{0.02/max(li,1e-300):.0f}x) "
+      f"{'PASS' if (l2<=1e-4 and li<=0.02) else 'FAIL'}")
+
+i5 = 4  # IEA case 5 (mid-resonance)
+sim_w5 = Simulation(spec2, dt=0.015, dtype=jnp.float32,
+                    radiation="era", era_tol=1e-6,
+                    wave=RegularWave(amplitude=AMPS[i5], omega=OMEGAS[i5]))
+p5 = dict(sim_w5.params)
+p5["tsda_c"] = jnp.asarray([DAMP[i5]], jnp.float32)
+assert sim_w5.fused_wholerun_supported()
+_, traj_w5 = jax.jit(lambda s: sim_w5.run_fused_era(n2, s, params=p5))(
+    make_batched_states(sim_w5, 2))
+zw5 = np.asarray(traj_w5["pos"][0, :, 0, 2], dtype=np.float64)
+refp = np.loadtxt(f'/root/reference/tests/regression/reference_data/sphere/reg_waves/hc_ref_sphere_reg_waves_{i5+1}.txt', skiprows=5)
+m = min(len(refp), n2)
+d = zw5[:m] - refp[:m, 1]
+l2, li = np.linalg.norm(d)/m, np.abs(d).max()
+print(f"reg case {i5+1} WHOLERUN ERA: L2={l2:.2e} Linf={li:.2e} "
+      f"{'PASS' if (l2<=1e-4 and li<=0.02) else 'FAIL'}")
