@@ -323,6 +323,12 @@ def run_case(args, log) -> int:
             jax.config.update("jax_enable_x64", True)
 
     outputs = ("pos", "quat", "lin_vel", "ang_vel", "acc", "lambda", "tsda")
+    if (case.system.moorings is not None
+            and getattr(case.system.moorings, "dynamics", "quasi_static")
+            == "lumped_mass"):
+        # dynamic lines: export the in-step tension channel (the exporter's
+        # quasi-static pose reconstruction would be the wrong physics)
+        outputs = outputs + ("moor_tension",)
     block_size = args.block_size
     if (block_size is None and jax.default_backend() == "tpu"
             and not args.no_fused and case.hydro_spec is not None

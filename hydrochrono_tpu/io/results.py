@@ -597,16 +597,28 @@ def _export_results_impl(case, traj, times, fname, wall_time_s,
             from hydrochrono_tpu.physics.rotations import quat_rotate
 
             mc = sim.params["_const"]["moor"]
+            dyn_ten = (np.asarray(traj["moor_tension"])
+                       if getattr(sim, "moor_dynamic", False)
+                       and "moor_tension" in traj else None)
             for i, ml in enumerate(moorings.lines):
                 _v(f"mooring line discovered: line{i + 1}")
                 g = f.require_group(f"results/model/moorings/line{i + 1}")
                 g.attrs.update({
-                    "time_ref": "/results/time/time", "type": "quasi-static",
+                    "time_ref": "/results/time/time",
+                    "type": ("lumped-mass-dynamic" if dyn_ten is not None
+                             else "quasi-static"),
                     "units_force": "N", "frame": "world",
                     "unstretched_length_m": float(ml.length),
                     "weight_per_m_N": float(ml.weight_per_m),
                     "ea_N": float(ml.ea),
                 })
+                if dyn_ten is not None:
+                    # dynamic lines: the in-step fairlead tension channel
+                    # (physics/mooring_dynamic.line_tensions) — the
+                    # quasi-static pose reconstruction below would be the
+                    # wrong physics for snap loads / line inertia
+                    g.create_dataset("tension_mag", data=dyn_ten[:, i])
+                    continue
                 s = sim.moor_slots[i]
                 pq = jnp_.asarray(pos[:, s]), jnp_.asarray(quat[:, s])
                 pf = pq[0] + quat_rotate(pq[1], mc["local"][i][None, :])

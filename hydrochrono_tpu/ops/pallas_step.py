@@ -1473,7 +1473,7 @@ class FusedStepBuilder:
 
     def make_fused_wholerun(self, RB, sub, nchunks, interpret=False,
                             idx_map=None, has_fexc=True,
-                            sc_span=None, ex_span=None):
+                            sc_span=None, ex_span=None, inner=1):
         """Whole-run kernel for ERA radiation: grid = (batch tile, time
         chunk), `sub` statically-unrolled steps per grid step, the ENTIRE
         time loop inside one pallas_call.
@@ -1502,6 +1502,19 @@ class FusedStepBuilder:
         HBM bandwidth every step, so the runner passes the minimal span
         covering its output keys.
 
+        inner: time chunks processed PER GRID STEP via an in-kernel
+        fori_loop (must divide nchunks). Motivation was amortizing the
+        ~21 us per-grid-iteration sequencing floor measured on a NULL
+        kernel with this block structure; MEASURED RESULT (round 4, RM3
+        era B=512): inner=1 4.42 us/step, inner=2 4.46, inner=8 5.19 —
+        in the real kernel that floor is already hidden behind compute
+        (Mosaic double-buffers the streamed fexc/traj blocks across grid
+        steps), and the dynamic in-loop indexing of those windows costs
+        more than it saves. inner=1 (the default) traces bit-identically
+        to the pre-inner kernel; >1 is kept for re-testing on future
+        shapes/toolchains and is covered by the interpret-mode
+        equivalence tests (n=11 -> nchunks=5 picks inner=5).
+
         Returns fn(cvec, sc, z, fexc, bvec=None, hc=None, mhv=None) ->
         (sc_f, [hc_f,] [mhv_f,] z_f, traj [nchunks, sub, span, RB, L]
         [, extra [nchunks, sub, span, RB, L]]).
@@ -1513,7 +1526,9 @@ class FusedStepBuilder:
             raise NotImplementedError("whole-run kernel requires ERA radiation")
         CS, CE, K = self.CS, self.CE, self.K
         RT = 8 if RB % 8 == 0 else RB
-        grid = (RB // RT, nchunks)
+        if nchunks % inner:
+            raise ValueError(f"inner={inner} must divide nchunks={nchunks}")
+        grid = (RB // RT, nchunks // inner)
         has_bv = bool(idx_map)
         hht = self.hht
         moored = self.n_moor > 0
@@ -1541,6 +1556,20 @@ class FusedStepBuilder:
         import os as _os
         ab = tuple(_os.environ.get(
             "HYDROCHRONO_WHOLERUN_ABLATE", "").split(","))  # perf triage
+        # Excitation residency: the per-chunk (sub, K, 1) fexc window is a
+        # TINY streamed DMA whose fixed issue cost is per-grid-step
+        # overhead. Keeping the WHOLE forcing sequence VMEM-resident
+        # (constant index map -> fetched once) removes it — BUT the
+        # (nchunks, sub, K, 1) array's minor dim of 1 is lane-padded x128
+        # in VMEM (bench RM3: 485 KB logical -> ~80 MB physical, a
+        # measured scoped-vmem OOM), so the auto policy budgets the PADDED
+        # footprint and real-length runs stream; tiny runs (and the
+        # interpret-mode equivalence tests) still exercise the resident
+        # path. Env HYDROCHRONO_WHOLERUN_FEXC=resident/stream overrides.
+        fexc_mode = _os.environ.get("HYDROCHRONO_WHOLERUN_FEXC", "auto")
+        fexc_bytes = nchunks * sub * K * 128 * np.dtype(dtype).itemsize
+        fexc_resident = has_fexc and fexc_mode != "stream" and (
+            fexc_mode == "resident" or fexc_bytes <= (2 << 20))
 
         def kernel(cref, *rest):
             rest = list(rest)
@@ -1553,7 +1582,7 @@ class FusedStepBuilder:
             eAref = rest.pop(0)              # (Mp, Mp)
             eBref = rest.pop(0)              # (Mp, Kp)
             eCref = rest.pop(0)              # (Kp, Mp)
-            fexc = rest.pop(0)[0] if has_fexc else None  # (sub, K, 1)
+            fexcref = rest.pop(0) if has_fexc else None  # (inner, sub, K, 1)
             hcin = rest.pop(0) if hht else None
             mvin = rest.pop(0) if moored else None
             scin = rest.pop(0)
@@ -1576,96 +1605,134 @@ class FusedStepBuilder:
                 if moored:
                     mvoref[...] = mvin[...]
 
-            sc = scoref[...]
-            sc_rows = [sc[i] for i in range(CS)]
-            hc_rows = None
-            if hht:
-                hc = hcoref[...]
-                hc_rows = [hc[i] for i in range(CH)]
-            mhv_rows = None
-            if moored:
-                mv = mvoref[...]
-                mhv_rows = [mv[i] for i in range(CM)]
+            def tstore(ref, j, e, val):
+                # chunk-j store: static fast path when inner == 1
+                if isinstance(j, int):
+                    ref[j, e] = val
+                else:
+                    ref[pl.ds(j, 1), e] = val[None]
 
             zpad = ([jnp.zeros((Kp - K, LANE), dtype)] if Kp > K else [])
             fpad = ([jnp.zeros((Kp - K, 1), dtype)] if Kp > K else [])
-            for e in range(sub):
-                # ---- in-kernel ERA radiation: frad = D v + C z ----------
-                v6 = [sc_rows[i] for i in v6_idx]  # K rows of (RT, LANE)
-                # excitation folds into the per-r (f_exc - C z) arrays
-                # BEFORE the row slicing: Mosaic has no dual sublane+lane
-                # broadcast, so the (Kp,1)->(Kp,LANE) lane broadcast must
-                # combine with materialized data, never be re-sliced
-                feb = None
-                if fexc is not None:
-                    feb = jnp.broadcast_to(
-                        jnp.concatenate([fexc[e]] + fpad, axis=0),
-                        (Kp, LANE))
-                # z lives in the VMEM out-block and is updated IN PLACE per
-                # r-slice: holding RT (Mp, LANE) arrays as SSA values across
-                # the unrolled step body spills catastrophically (measured
-                # ~100x) — each slice is loaded, advanced, stored before the
-                # step body runs
-                if "era" in ab:
-                    fcz_r = [(feb - 0.0 if feb is not None
-                              else jnp.zeros((Kp, LANE), dtype))
-                             for _ in range(RT)]
-                else:
-                    fcz_r = []
-                    for r in range(RT):
-                        v6r = jnp.concatenate(
-                            [row[r:r + 1] for row in v6] + zpad, axis=0)
-                        zr = zoref[r]
-                        czr = jnp.dot(eCref[...], zr, precision=prec,
-                                      preferred_element_type=dtype)
-                        fcz_r.append(feb - czr if feb is not None else -czr)
-                        zoref[r] = (jnp.dot(eAref[...], zr, precision=prec,
-                                            preferred_element_type=dtype)
-                                    + jnp.dot(eBref[...], v6r, precision=prec,
-                                              preferred_element_type=dtype))
-                fcz = jnp.stack(fcz_r, axis=1)  # (Kp, RT, LANE)
-                fx = []
-                for i in range(K):
-                    acc = fcz[i]
-                    for k in range(K):
-                        acc = acc - C(doff + i * K + k) * v6[k]
-                    fx.append(acc)
-                if "step" in ab:
-                    # bypass the solve: trivial damped integrate (triage)
-                    sc_rows = [r * 0.999 for r in sc_rows]
-                    extra = [fx[0] for _ in range(CE)]
-                    trajref[0, e] = _bstack(sc_rows[sc_lo:sc_hi],
-                                            sc.shape[1:], dtype)
-                    if has_ex:
-                        exref[0, e] = _bstack(extra[ex_lo:ex_hi],
-                                              sc.shape[1:], dtype)
-                    continue
 
-                # ---- the general step body (shared with the other kernels)
+            def chunk_body(j):
+                # per-chunk excitation window: dynamic index into the
+                # VMEM-resident full sequence, or a slice of the streamed
+                # super-chunk block
+                if fexcref is None:
+                    fexc = None
+                elif fexc_resident:
+                    fexc = fexcref[pl.ds(tc * inner + j, 1)][0]
+                elif isinstance(j, int):
+                    fexc = fexcref[j]                       # (sub, K, 1)
+                else:
+                    fexc = fexcref[pl.ds(j, 1)][0]
+                # carried state: load from the out-blocks (written by _init
+                # on the first chunk of each batch tile, then by the
+                # previous chunk) — same per-chunk load/store the one-chunk
+                # grid-step form paid
+                sc = scoref[...]
+                sc_rows = [sc[i] for i in range(CS)]
+                hc_rows = None
                 if hht:
-                    if moored:
-                        sc_rows, hc_rows, extra, mhv_rows = self.step_rows_hht(
-                            C, sc_rows, hc_rows, fx, mhv_rows)
-                    else:
-                        sc_rows, hc_rows, extra = self.step_rows_hht(
-                            C, sc_rows, hc_rows, fx)
-                else:
-                    if moored:
-                        sc_rows, extra, mhv_rows = self.step_rows(
-                            C, sc_rows, fx, mhv_rows)
-                    else:
-                        sc_rows, extra = self.step_rows(C, sc_rows, fx)
-                trajref[0, e] = _bstack(sc_rows[sc_lo:sc_hi],
-                                        sc.shape[1:], dtype)
-                if has_ex:
-                    exref[0, e] = _bstack(extra[ex_lo:ex_hi],
-                                          sc.shape[1:], dtype)
+                    hc = hcoref[...]
+                    hc_rows = [hc[i] for i in range(CH)]
+                mhv_rows = None
+                if moored:
+                    mv = mvoref[...]
+                    mhv_rows = [mv[i] for i in range(CM)]
 
-            scoref[...] = _bstack(sc_rows, sc.shape[1:], dtype)
-            if hht:
-                hcoref[...] = _bstack(hc_rows, sc.shape[1:], dtype)
-            if moored:
-                mvoref[...] = _bstack(mhv_rows, sc.shape[1:], dtype)
+                for e in range(sub):
+                    # ---- in-kernel ERA radiation: frad = D v + C z ------
+                    v6 = [sc_rows[i] for i in v6_idx]  # K rows of (RT, LANE)
+                    # excitation folds into the per-r (f_exc - C z) arrays
+                    # BEFORE the row slicing: Mosaic has no dual
+                    # sublane+lane broadcast, so the (Kp,1)->(Kp,LANE) lane
+                    # broadcast must combine with materialized data, never
+                    # be re-sliced
+                    feb = None
+                    if fexc is not None:
+                        feb = jnp.broadcast_to(
+                            jnp.concatenate([fexc[e]] + fpad, axis=0),
+                            (Kp, LANE))
+                    # z lives in the VMEM out-block and is updated IN PLACE
+                    # per r-slice: holding RT (Mp, LANE) arrays as SSA
+                    # values across the unrolled step body spills
+                    # catastrophically (measured ~100x) — each slice is
+                    # loaded, advanced, stored before the step body runs
+                    if "era" in ab:
+                        fcz_r = [(feb - 0.0 if feb is not None
+                                  else jnp.zeros((Kp, LANE), dtype))
+                                 for _ in range(RT)]
+                    else:
+                        fcz_r = []
+                        for r in range(RT):
+                            v6r = jnp.concatenate(
+                                [row[r:r + 1] for row in v6] + zpad, axis=0)
+                            zr = zoref[r]
+                            czr = jnp.dot(eCref[...], zr, precision=prec,
+                                          preferred_element_type=dtype)
+                            fcz_r.append(feb - czr if feb is not None
+                                         else -czr)
+                            zoref[r] = (
+                                jnp.dot(eAref[...], zr, precision=prec,
+                                        preferred_element_type=dtype)
+                                + jnp.dot(eBref[...], v6r, precision=prec,
+                                          preferred_element_type=dtype))
+                    fcz = jnp.stack(fcz_r, axis=1)  # (Kp, RT, LANE)
+                    fx = []
+                    for i in range(K):
+                        acc = fcz[i]
+                        for k in range(K):
+                            acc = acc - C(doff + i * K + k) * v6[k]
+                        fx.append(acc)
+                    if "step" in ab:
+                        # bypass the solve: trivial damped integrate (triage)
+                        sc_rows = [r * 0.999 for r in sc_rows]
+                        extra = [fx[0] for _ in range(CE)]
+                        tstore(trajref, j, e, _bstack(
+                            sc_rows[sc_lo:sc_hi], sc.shape[1:], dtype))
+                        if has_ex:
+                            tstore(exref, j, e, _bstack(
+                                extra[ex_lo:ex_hi], sc.shape[1:], dtype))
+                        continue
+
+                    # ---- the general step body (shared with the other
+                    # kernels)
+                    if hht:
+                        if moored:
+                            sc_rows, hc_rows, extra, mhv_rows = \
+                                self.step_rows_hht(
+                                    C, sc_rows, hc_rows, fx, mhv_rows)
+                        else:
+                            sc_rows, hc_rows, extra = self.step_rows_hht(
+                                C, sc_rows, hc_rows, fx)
+                    else:
+                        if moored:
+                            sc_rows, extra, mhv_rows = self.step_rows(
+                                C, sc_rows, fx, mhv_rows)
+                        else:
+                            sc_rows, extra = self.step_rows(C, sc_rows, fx)
+                    tstore(trajref, j, e, _bstack(
+                        sc_rows[sc_lo:sc_hi], sc.shape[1:], dtype))
+                    if has_ex:
+                        tstore(exref, j, e, _bstack(
+                            extra[ex_lo:ex_hi], sc.shape[1:], dtype))
+
+                scoref[...] = _bstack(sc_rows, sc.shape[1:], dtype)
+                if hht:
+                    hcoref[...] = _bstack(hc_rows, sc.shape[1:], dtype)
+                if moored:
+                    mvoref[...] = _bstack(mhv_rows, sc.shape[1:], dtype)
+
+            if inner == 1:
+                chunk_body(0)
+            else:
+                def _loop(j, carry):
+                    chunk_body(j)
+                    return carry
+
+                jax.lax.fori_loop(0, inner, _loop, 0)
 
         def cspec(*dims):
             # constants: fetched once per call
@@ -1681,8 +1748,8 @@ class FusedStepBuilder:
                              memory_space=pltpu.VMEM)
 
         def tspec(*dims):
-            # streamed per time chunk
-            return pl.BlockSpec((1,) + dims,
+            # streamed per grid step: a super-chunk of `inner` time chunks
+            return pl.BlockSpec((inner,) + dims,
                                 lambda g, tc: (tc,) + (0,) * (len(dims) - 2)
                                 + (g, 0),
                                 memory_space=pltpu.VMEM)
@@ -1692,9 +1759,14 @@ class FusedStepBuilder:
             in_specs.append(sspec(NB))
         in_specs += [cspec(Mp, Mp), cspec(Mp, Kp), cspec(Kp, Mp)]
         if has_fexc:
-            in_specs.append(pl.BlockSpec(
-                (1, sub, K, 1), lambda g, tc: (tc, 0, 0, 0),
-                memory_space=pltpu.VMEM))
+            if fexc_resident:
+                in_specs.append(pl.BlockSpec(
+                    (nchunks, sub, K, 1), lambda g, tc: (0, 0, 0, 0),
+                    memory_space=pltpu.VMEM))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    (inner, sub, K, 1), lambda g, tc: (tc, 0, 0, 0),
+                    memory_space=pltpu.VMEM))
         if hht:
             in_specs.append(sspec(CH))
         if moored:

@@ -51,11 +51,28 @@ class MooringLine:
     # "body": fairlead given in the body frame relative to the body reference
     # point (the MoorDyn file convention for Vessel/Body attachments)
     fairlead_frame: str = "world"
+    # --- dynamic (lumped-mass) line properties; consumed only when the
+    # spec's dynamics == "lumped_mass" (physics/mooring_dynamic.py) ---
+    mass_per_m: float = 0.0        # structural mass per length [kg/m]
+    #                                (0 = back-solve from weight_per_m)
+    diam: float = 0.0              # volume-equivalent diameter [m]
+    nsegs: int = 0                 # lumped-mass segments (0 = default 20)
+    ba: float = -0.8               # internal damping [N s]; negative =
+    #                                |ba| x segment-critical (MoorDyn BA)
+    cdn: float = 1.6               # normal drag coefficient
+    cdt: float = 0.05              # tangential drag coefficient
+    can: float = 1.0               # normal added-mass coefficient
+    cat: float = 0.0               # tangential added-mass coefficient
 
 
 @dataclasses.dataclass(frozen=True)
 class MooringSpec:
     lines: Sequence[MooringLine]
+    # "quasi_static" (default, catenary_hv below) or "lumped_mass"
+    # (dynamic lines, physics/mooring_dynamic.py)
+    dynamics: str = "quasi_static"
+    # DynamicLineOptions keyword overrides (water_depth/kb/cb/substeps/...)
+    dyn_options: Optional[dict] = None
 
 
 # ---------------------------------------------------------------------------
@@ -81,14 +98,15 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
     Options rows may override `rho`, `g` and set `wtrdpth` (used only to mark
     fixed anchors near the seabed as touchdown-capable).
     """
-    types = {}       # name -> (diam, mass_per_m, ea)
+    types = {}       # name -> (diam, mass_per_m, ea, ba)
     points = {}      # id -> (attach_kind, body_idx_or_None, xyz)
-    lines_rows = []  # (type_name, idA, idB, unstretched_length)
+    lines_rows = []  # (type_name, idA, idB, unstretched_length, nsegs)
     options = {}
     # LINES column positions; default = v2 order (ID Type AttachA AttachB
     # UnstrLen ...), overridden from the section's header row when present
-    # (v1 orders the columns Line Type UnstrLen [NumSegs] NodeAnch NodeFair)
-    lines_cols = {"len": 4, "a": 2, "b": 3}
+    # (v1 orders the columns Line Type UnstrLen [NumSegs] NodeAnch NodeFair).
+    # "segs" stays None unless a NumSegs header column names its position.
+    lines_cols = {"len": 4, "a": 2, "b": 3, "segs": None}
 
     section = None
     expect_header = True
@@ -148,6 +166,8 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
                             lines_cols["a"] = ci
                         elif "NODEFAIR" in tu or "ATTACHB" in tu:
                             lines_cols["b"] = ci
+                        elif "NUMSEG" in tu or "NSEG" in tu:
+                            lines_cols["segs"] = ci
                 continue
             expect_header = False
             if section == "types" and len(toks) >= 4:
@@ -155,7 +175,14 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
                 diam = float(toks[1])
                 mass_per_m = float(toks[2])
                 ea = _parse_stiffness(toks[3])
-                types[name] = (diam, mass_per_m, ea)
+                # column 5 in both v1 and v2 is the internal damping BA
+                # (N s; negative = damping ratio) — consumed by the
+                # dynamic lumped-mass model, ignored quasi-statically
+                try:
+                    ba = float(toks[4]) if len(toks) >= 5 else -0.8
+                except ValueError:
+                    ba = -0.8
+                types[name] = (diam, mass_per_m, ea, ba)
             elif section == "points" and len(toks) >= 5:
                 pid = int(float(toks[0]))
                 attach = toks[1].lower()
@@ -202,8 +229,14 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
                         f"mooring line row {line!r}: attachment ids "
                         f"({toks[c['a']]}, {toks[c['b']]}) do not resolve "
                         f"to declared point ids {sorted(points)}")
+                nseg = 0
+                if c["segs"] is not None and len(toks) > c["segs"]:
+                    try:
+                        nseg = int(float(toks[c["segs"]]))
+                    except ValueError:
+                        nseg = 0
                 lines_rows.append((toks[1], ida, idb,
-                                   float(toks[c["len"]])))
+                                   float(toks[c["len"]]), nseg))
             elif section == "options" and len(toks) >= 2:
                 try:
                     options[toks[1].lower()] = float(toks[0])
@@ -215,11 +248,11 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
     depth = options.get("wtrdpth")
 
     out = []
-    for type_name, ida, idb, L0 in lines_rows:
+    for type_name, ida, idb, L0, nseg in lines_rows:
         if type_name not in types:
             raise ValueError(f"mooring line references unknown type "
                              f"'{type_name}'")
-        diam, mass_per_m, ea = types[type_name]
+        diam, mass_per_m, ea, ba = types[type_name]
         w = (mass_per_m - rho * np.pi / 4.0 * diam * diam) * g
         if w <= 0:
             raise ValueError(
@@ -245,10 +278,20 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
             # MoorDyn convention: Vessel/Body point coordinates are given in
             # the body frame relative to the body reference point
             fairlead_frame="body",
+            mass_per_m=mass_per_m, diam=diam, nsegs=nseg, ba=ba,
         ))
     if not out:
         raise ValueError(f"no mooring lines found in {path}")
-    return MooringSpec(lines=tuple(out))
+    dyn_opts = {}
+    if depth is not None:
+        dyn_opts["water_depth"] = abs(float(depth))
+    if "kb" in options:
+        dyn_opts["kb"] = float(options["kb"])
+    if "cb" in options:
+        dyn_opts["cb"] = float(options["cb"])
+    dyn_opts["rho"] = rho
+    dyn_opts["g"] = g
+    return MooringSpec(lines=tuple(out), dyn_options=dyn_opts)
 
 
 def _parse_stiffness(tok: str) -> float:

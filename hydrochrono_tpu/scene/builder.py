@@ -167,7 +167,27 @@ def _build_moorings(moordyn: dict, hydro_file: str, name_to_idx: dict,
         _dc.replace(ln, body=name_to_idx[body_names[ln.body]])
         for ln in spec.lines
     )
-    return moor.MooringSpec(lines=lines)
+    # dynamic lumped-mass lines (physics/mooring_dynamic.py): the block's
+    # `dynamics: lumped_mass` switches the model; optional nsegs/substeps/
+    # water_depth/kb/cb override the file-derived defaults
+    dynamics = str(moordyn.get("dynamics", "quasi_static")).lower()
+    if dynamics in ("lumped_mass", "dynamic", "moordyn"):
+        dynamics = "lumped_mass"
+        if moordyn.get("nsegs"):
+            lines = tuple(_dc.replace(ln, nsegs=int(moordyn["nsegs"]))
+                          for ln in lines)
+        opts = dict(spec.dyn_options or {})
+        for k in ("water_depth", "kb", "cb", "substeps", "cfl",
+                  "max_substeps"):
+            if moordyn.get(k) is not None:
+                opts[k] = moordyn[k]
+        return moor.MooringSpec(lines=lines, dynamics="lumped_mass",
+                                dyn_options=opts)
+    elif dynamics not in ("quasi_static", "quasistatic", "catenary"):
+        warnings.append(
+            f"moordyn dynamics '{moordyn.get('dynamics')}' unknown; "
+            "using quasi_static")
+    return moor.MooringSpec(lines=lines, dyn_options=spec.dyn_options)
 
 
 def build_case(setup_path: Optional[str] = None, *, model_file: Optional[str] = None,

@@ -37,6 +37,7 @@ sweeps (hydro_yaml_parser.cpp:409-524) become one batched device program.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import numpy as np
@@ -78,11 +79,16 @@ class State:
     # bit-exactly (previously the carry was re-initialized per chunk).
     hht: jnp.ndarray = dataclasses.field(
         default_factory=lambda: jnp.zeros((0,)))
+    # dynamic lumped-mass mooring node states [nl, N+1, 6] (pos ++ vel,
+    # physics/mooring_dynamic.py) — [0] for quasi-static/no moorings
+    moor: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0,)))
 
 
 jax.tree_util.register_dataclass(
     State,
-    data_fields=["pos", "quat", "lin_vel", "ang_vel", "vhist", "ss", "hht"],
+    data_fields=["pos", "quat", "lin_vel", "ang_vel", "vhist", "ss", "hht",
+                 "moor"],
     meta_fields=[],
 )
 
@@ -953,6 +959,31 @@ class Simulation:
                 "ea": jnp.asarray(eas, self.dtype),
                 "seabed": jnp.asarray(seabeds, bool),
             }
+            # dynamic lumped-mass lines (physics/mooring_dynamic.py):
+            # static meta stays on self (segment/substep counts steer the
+            # compiled structure), arrays ride params["_const"], and the
+            # initial node state — the quasi-static profile at t0 — is
+            # frozen host-side for init_state
+            self.moor_dynamic = (
+                getattr(spec.moorings, "dynamics", "quasi_static")
+                == "lumped_mass")
+            if self.moor_dynamic:
+                from hydrochrono_tpu.physics import mooring_dynamic as mdyn
+
+                opts = mdyn.DynamicLineOptions(
+                    **(getattr(spec.moorings, "dyn_options", None) or {}))
+                anc = np.stack(anchors)
+                self.moor_dyn_meta, const["moor_dyn"] = \
+                    mdyn.build_dynamic_consts(spec.moorings, anc, self.dt,
+                                              opts, dtype=self.dtype)
+                pf0 = np.stack([
+                    self._initial_pose(ml.body)[0]
+                    + _rot_np(self._initial_pose(ml.body)[1]) @ loc
+                    for ml, loc in zip(spec.moorings.lines, locals_)])
+                self._moor_nodes0 = mdyn.init_line_nodes(
+                    {**self.moor_dyn_meta, **const["moor_dyn"]}, pf0)
+        else:
+            self.moor_dynamic = False
 
     def _tsda_state(self, idx, const, pos, quat, lin_vel, ang_vel):
         """Geometry of TSDA `idx`: (P1, P2, L, Ldot, dhat, pb1, pb2, L0)."""
@@ -1045,8 +1076,11 @@ class Simulation:
         else:
             vhist = jnp.zeros((self.hist_len, 6 * max(self.n_hydro, 1)), self.dtype)
             ss = jnp.zeros((0,), self.dtype)
+        moor = (jnp.asarray(self._moor_nodes0, self.dtype)
+                if self.moor_dynamic else jnp.zeros((0,), self.dtype))
         st = State(pos=pos, quat=quat, lin_vel=zeros3, ang_vel=zeros3,
-                   vhist=vhist, ss=ss, hht=jnp.zeros((0,), self.dtype))
+                   vhist=vhist, ss=ss, hht=jnp.zeros((0,), self.dtype),
+                   moor=moor)
         if self.integrator == "hht":
             # sweep-batched params (builder-stored reg_* sweeps, batched
             # masses, ...) would crash the unbatched force evaluation —
@@ -1085,7 +1119,7 @@ class Simulation:
         ]
         return jnp.concatenate(rows)
 
-    def _forces_mech(self, params, pos, quat, lv, av):
+    def _forces_mech(self, params, pos, quat, lv, av, moor_nodes=None):
         """Gravity + gyroscopic + spring-damper forces (state-dependent)."""
         const = params["_const"]
         F = jnp.zeros((self.n_moving, 6), self.dtype)
@@ -1101,7 +1135,11 @@ class Simulation:
         if self.spec.tsdas or self.spec.rsdas:
             F = F + self._element_forces(params, const, pos, quat, lv, av)
         if self.spec.moorings is not None:
-            F = F + self._mooring_forces(const, pos, quat)
+            if self.moor_dynamic:
+                F = F + self._mooring_forces_dynamic(
+                    const, pos, quat, lv, av, moor_nodes)
+            else:
+                F = F + self._mooring_forces(const, pos, quat)
         return F, I_w
 
     def _mooring_forces(self, const, pos, quat):
@@ -1131,6 +1169,46 @@ class Simulation:
             F = F.at[s * 6 + 3 : s * 6 + 6].add(tau[i])
         return F
 
+    def _fairlead_kinematics(self, const, pos, quat, lv=None, av=None):
+        """World fairlead positions [nl, 3] (and velocities when lv/av are
+        given) for every mooring line."""
+        mc = const["moor"]
+        sel = jnp.asarray(self.moor_slots)
+        rl = quat_rotate(quat[sel], mc["local"])
+        pf = pos[sel] + rl
+        if lv is None:
+            return pf, rl, None
+        vf = lv[sel] + jnp.cross(av[sel], rl)
+        return pf, rl, vf
+
+    def _mooring_forces_dynamic(self, const, pos, quat, lv, av, moor_nodes):
+        """Fairlead wrenches from the dynamic lumped-mass line model
+        (physics/mooring_dynamic.py): the last segment evaluated against
+        the CURRENT body pose with the neighbor node frozen — the
+        loose-coupling force the body integrator iterates against."""
+        from hydrochrono_tpu.physics import mooring_dynamic as mdyn
+
+        md = {**self.moor_dyn_meta, **const["moor_dyn"]}
+        pf, rl, vf = self._fairlead_kinematics(const, pos, quat, lv, av)
+        f = mdyn.fairlead_force(md, moor_nodes, pf, vf)
+        tau = jnp.cross(rl, f)
+        F = jnp.zeros((self.nv,), self.dtype)
+        for i, s in enumerate(self.moor_slots):
+            F = F.at[s * 6 : s * 6 + 3].add(f[i])
+            F = F.at[s * 6 + 3 : s * 6 + 6].add(tau[i])
+        return F
+
+    def _advance_moor_nodes(self, const, state, pos_new, quat_new):
+        """Post-step staggered update of the dynamic line nodes: sweep the
+        fairlead linearly from the old to the new body pose and substep
+        the lines (physics/mooring_dynamic.advance_lines)."""
+        from hydrochrono_tpu.physics import mooring_dynamic as mdyn
+
+        md = {**self.moor_dyn_meta, **const["moor_dyn"]}
+        pf0, _, _ = self._fairlead_kinematics(const, state.pos, state.quat)
+        pf1, _, _ = self._fairlead_kinematics(const, pos_new, quat_new)
+        return mdyn.advance_lines(md, state.moor, pf0, pf1, self.dt)
+
     def _hydrostatic(self, params, pos, quat):
         """Hydrostatic+buoyancy 6-force of the hydro bodies, [6*Nh]."""
         const = params["_const"]
@@ -1153,7 +1231,8 @@ class Simulation:
         """Total generalized force [nv] at the current state/time."""
         const = params["_const"]
         pos, quat = state.pos, state.quat
-        F, I_w = self._forces_mech(params, pos, quat, state.lin_vel, state.ang_vel)
+        F, I_w = self._forces_mech(params, pos, quat, state.lin_vel,
+                                   state.ang_vel, moor_nodes=state.moor)
 
         if self.hydro is not None:
             f_hs = self._hydrostatic(params, pos, quat)
@@ -1186,6 +1265,31 @@ class Simulation:
             )
             state = dataclasses.replace(state, vhist=vhist)
         return self._step_core(params, state, n)
+
+    def _finish_step_state(self, const, state, pos_new, quat_new,
+                           lin_new, ang_new):
+        """New State after an integrator step, including the staggered
+        dynamic-mooring node advance (no-op otherwise)."""
+        new_state = dataclasses.replace(
+            state, pos=pos_new, quat=quat_new,
+            lin_vel=lin_new, ang_vel=ang_new,
+        )
+        if self.moor_dynamic:
+            new_state = dataclasses.replace(
+                new_state, moor=self._advance_moor_nodes(
+                    const, state, pos_new, quat_new))
+        return new_state
+
+    def _moor_out(self, const, full_out, new_state):
+        """Add the per-line fairlead tension output channel [nl] when
+        requested (`outputs=("moor_tension", ...)`, dynamic lines only)."""
+        if self.moor_dynamic and "moor_tension" in self.outputs:
+            from hydrochrono_tpu.physics import mooring_dynamic as mdyn
+
+            md = {**self.moor_dyn_meta, **const["moor_dyn"]}
+            full_out["moor_tension"] = mdyn.line_tensions(
+                md, new_state.moor)[0]
+        return full_out
 
     def _rad_ss_step(self, const, ss_state, v6):
         """(f_rad, new radiation state) for the history-free radiation
@@ -1263,10 +1367,8 @@ class Simulation:
             lin_new, ang_new = vr[:, :3], vr[:, 3:]
             pos_new = state.pos + h * lin_new
             quat_new = quat_integrate(state.quat, ang_new, h)
-            new_state = dataclasses.replace(
-                state, pos=pos_new, quat=quat_new,
-                lin_vel=lin_new, ang_vel=ang_new,
-            )
+            new_state = self._finish_step_state(
+                const, state, pos_new, quat_new, lin_new, ang_new)
             full_out = {
                 "pos": pos_new, "quat": quat_new,
                 "lin_vel": lin_new, "ang_vel": ang_new,
@@ -1277,6 +1379,7 @@ class Simulation:
                 full_out["tsda"] = self._tsda_outputs(
                     params, const, pos_new, quat_new, lin_new, ang_new
                 )
+            full_out = self._moor_out(const, full_out, new_state)
             out = {k: val for k, val in full_out.items()
                    if k in self.outputs or k in ("pos",)}
             return new_state, out
@@ -1307,9 +1410,8 @@ class Simulation:
         pos_new = state.pos + h * lin_new
         quat_new = quat_integrate(state.quat, ang_new, h)
 
-        new_state = dataclasses.replace(
-            state, pos=pos_new, quat=quat_new, lin_vel=lin_new, ang_vel=ang_new,
-        )
+        new_state = self._finish_step_state(
+            const, state, pos_new, quat_new, lin_new, ang_new)
         full_out = {
             "pos": pos_new,
             "quat": quat_new,
@@ -1323,6 +1425,7 @@ class Simulation:
                 params, const, pos_new, quat_new, lin_new, ang_new
             )
 
+        full_out = self._moor_out(const, full_out, new_state)
         out = {k: val for k, val in full_out.items()
                if k in self.outputs or k in ("pos",)}
         return new_state, out
@@ -1427,7 +1530,8 @@ class Simulation:
 
         def force_at(a):
             pos, quat, lin, ang = kinematics(a)
-            F, I_w = self._forces_mech(params, pos, quat, lin, ang)
+            F, I_w = self._forces_mech(params, pos, quat, lin, ang,
+                                       moor_nodes=state.moor)
             if f_hydro is not None:
                 F = self._scatter_hydro(F, f_hydro)
             return F, I_w, pos, quat
@@ -1483,7 +1587,8 @@ class Simulation:
 
         pos_new, quat_new, lin_new, ang_new = kinematics(a)
         new_state = dataclasses.replace(
-            state, pos=pos_new, quat=quat_new, lin_vel=lin_new, ang_vel=ang_new,
+            self._finish_step_state(const, state, pos_new, quat_new,
+                                    lin_new, ang_new),
             hht=jnp.stack([a, f_new]),
         )
         full_out = {
@@ -1502,6 +1607,7 @@ class Simulation:
             full_out["tsda"] = self._tsda_outputs(
                 params, const, pos_new, quat_new, lin_new, ang_new
             )
+        full_out = self._moor_out(const, full_out, new_state)
         out = {k: v for k, v in full_out.items() if k in self.outputs or k == "pos"}
         return new_state, out
 
@@ -1689,6 +1795,12 @@ class Simulation:
     def fused_builder(self):
         """Build (and cache) the fused Pallas step builder; raises
         NotImplementedError for unsupported configurations."""
+        if self.moor_dynamic:
+            # the lumped-mass line substep loop carries [nl, N+1, 6] node
+            # state — per-step XLA is the production path for it (the
+            # in-kernel form would spend its VMEM on line nodes)
+            raise NotImplementedError(
+                "dynamic (lumped-mass) mooring runs on the XLA scan path")
         if getattr(self, "_fused_builder", None) is None:
             from hydrochrono_tpu.ops.pallas_step import FusedStepBuilder
 
@@ -1716,6 +1828,8 @@ class Simulation:
 
     def farm_fused_supported(self) -> bool:
         if not self.const_mass or self.radiation not in ("state_space", "era"):
+            return False
+        if self.moor_dynamic:
             return False
         try:
             self.farm_fused_builder()
@@ -1914,6 +2028,17 @@ class Simulation:
                     max(row_slices[k][1][1] for k in ex_keys))
                    if ex_keys else None)
 
+        # chunks per grid step (in-kernel fori_loop over the time chunks).
+        # MEASURED DEAD END at default shapes (round 4, B=512 RM3 era):
+        # inner=1 4.42 us/step, inner=2 4.46, inner=8 5.19 — the ~21 us
+        # null-kernel sequencing floor is already hidden behind compute in
+        # the real kernel (Mosaic double-buffers the streamed blocks across
+        # grid steps), while the dynamic in-loop indexing of the fexc/traj
+        # windows costs real time per chunk. Default stays 1 (bit-identical
+        # trace to the pre-inner kernel); the knob remains for re-testing
+        # on future shapes/toolchains.
+        inner_target = int(os.environ.get("HYDROCHRONO_WHOLERUN_INNER", "1"))
+
         carry = [sc0, hc0, mhv0, z0]
         trajs, extras = [], []
         for (s_, nch, off) in (((sub, nfull, 0),) if rem == 0
@@ -1921,9 +2046,12 @@ class Simulation:
                                      (rem, 1, nfull * sub))):
             if nch == 0:
                 continue
+            inner = next(d for d in range(min(inner_target, nch), 0, -1)
+                         if nch % d == 0)
             call = b.make_fused_wholerun(RB, s_, nch, interpret=interpret,
                                          idx_map=idx_map, has_fexc=has_fexc,
-                                         sc_span=sc_span, ex_span=ex_span)
+                                         sc_span=sc_span, ex_span=ex_span,
+                                         inner=inner)
             era_consts = call.era_ops(params)
             fexc = None
             if has_fexc:

@@ -46,6 +46,7 @@ SLOW_TESTS = {
     "test_catenary_slack_taut_sweep_converges",
     "test_two_body_coupled_radiation_matches_oracle",
     "test_wholerun_era_irregular_matches_xla",
+    "test_wholerun_era_inner_chunks",
     "test_wholerun_era_hht",
     "test_wholerun_era_moored",
     "test_fused_hht_subblock_regular",

@@ -97,6 +97,17 @@ def test_wholerun_era_decay_nowave(modal_h5):
     assert float(np.abs(np.asarray(fin.ss)).max()) > 0.0
 
 
+def test_wholerun_era_inner_chunks(modal_h5, monkeypatch):
+    # the in-kernel fori_loop over time chunks (inner > 1): dynamic
+    # fexc-window loads + traj-window stores — a measured perf dead end
+    # at default shapes (kernel docstring) but kept as a knob, so keep
+    # the dynamic-indexing path equivalence-gated
+    monkeypatch.setenv("HYDROCHRONO_WHOLERUN_INNER", "4")
+    sim = Simulation(_spec(modal_h5), dt=0.02, radiation="era",
+                     era_tol=1e-8, outputs=("pos", "lin_vel"))
+    _compare(sim, 8)        # nchunks=4 -> inner=4 (one grid step)
+
+
 def test_wholerun_era_hht(modal_h5):
     wave = IrregularWaveParams(height=2.0, period=8.0, nfrequencies=60,
                                ramp_duration=2.0)
