@@ -210,7 +210,7 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
                         return None
                     return int(v) if float(int(v)) == v else None
                 c = dict(lines_cols)
-                if c == {"len": 4, "a": 2, "b": 3}:
+                if (c["len"], c["a"], c["b"]) == (4, 2, 3):
                     # Headerless row: decide v1 vs v2 column order by which
                     # interpretation's attach columns resolve to declared
                     # point ids (ADVICE r2 — an integer UnstrLen like '850'
@@ -221,8 +221,8 @@ def parse_moordyn_file(path: str, body_names: Sequence[str],
                              and _pid(toks[4]) in points)
                     frac = "." in toks[2] or "e" in toks[2].lower()
                     if v1_ok and (not v2_ok or frac):
-                        # v1-style: UnstrLen comes third
-                        c = {"len": 2, "a": 3, "b": 4}
+                        # v1-style: UnstrLen comes third (no NumSegs column)
+                        c = {"len": 2, "a": 3, "b": 4, "segs": None}
                 ida, idb = _pid(toks[c["a"]]), _pid(toks[c["b"]])
                 if ida not in points or idb not in points:
                     raise ValueError(

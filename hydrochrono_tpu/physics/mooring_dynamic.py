@@ -65,18 +65,19 @@ class DynamicLineOptions:
     g: float = 9.81
 
 
-def _line_dynamic_fields(ln) -> dict:
+def _line_dynamic_fields(ln, rho: float = 1025.0, g: float = 9.81) -> dict:
     """Dynamic per-line properties with MoorDyn-flavoured defaults.
 
     `mass_per_m`/`diam` come from the LINE TYPES table when the spec was
     parsed from a MoorDyn file; a programmatically built MooringLine that
     only knows the net submerged weight gets a consistent structural mass
-    back-solved at neutral displacement (diam -> 0: mass = w/g).
+    back-solved at neutral displacement (diam -> 0: mass = w/g), using the
+    SAME rho/g the weight was computed with (ADVICE r4).
     """
     diam = float(getattr(ln, "diam", 0.0) or 0.0)
     mass = float(getattr(ln, "mass_per_m", 0.0) or 0.0)
     if mass <= 0.0:
-        mass = ln.weight_per_m / 9.81 + 1025.0 * np.pi / 4.0 * diam * diam
+        mass = ln.weight_per_m / g + rho * np.pi / 4.0 * diam * diam
     return {
         "diam": diam,
         "mass_per_m": mass,
@@ -106,7 +107,7 @@ def build_dynamic_consts(spec, anchors: np.ndarray, dt: float,
     """
     opts = options or DynamicLineOptions()
     nl = len(spec.lines)
-    dyn = [_line_dynamic_fields(ln) for ln in spec.lines]
+    dyn = [_line_dynamic_fields(ln, opts.rho, opts.g) for ln in spec.lines]
     nsegs = [d["nsegs"] if d["nsegs"] > 0 else 20 for d in dyn]
     if len(set(nsegs)) != 1:
         raise ValueError(
@@ -208,7 +209,11 @@ def init_line_nodes(consts: dict, pf0: np.ndarray) -> np.ndarray:
     t1 = (V0 + wc * s_up) / Hc
     t0 = V0 / Hc
     asinh = np.arcsinh
-    x_prof = (Lb + (Hc / wc) * (asinh(t1) - asinh(t0))
+    # grounded span (s < Lb): the line lies ALONG the seabed under tension
+    # ~H, so x ~= s (+ elastic stretch) — NOT at the touchdown point Lb
+    # (ADVICE r4: mapping every grounded node to x=Lb collapsed them into
+    # zero-length segments and snapped segment 0 by ~Lb on the first step)
+    x_prof = (np.minimum(s, Lb) + (Hc / wc) * (asinh(t1) - asinh(t0))
               + Hc * s / EAc)
     z_prof = ((Hc / wc) * (np.sqrt(1 + t1 * t1) - np.sqrt(1 + t0 * t0))
               + (V0 * s_up + 0.5 * wc * s_up * s_up) / EAc)
@@ -228,6 +233,52 @@ def init_line_nodes(consts: dict, pf0: np.ndarray) -> np.ndarray:
     out = np.zeros((nl, N + 1, 6))
     out[:, :, :3] = pos
     return out
+
+
+def init_line_nodes_jax(consts: dict, pf0: jnp.ndarray) -> jnp.ndarray:
+    """Traceable twin of init_line_nodes: node states [.., nl, N+1, 6] on
+    the quasi-static profile for fairleads pf0 [.., nl, 3]. Runs under
+    jit/vmap/grad (catenary_hv is custom_root-differentiable), so the
+    stepper can re-seed line state from the ACTUAL body pose at run start
+    — the MoorDyn "IC generation" role: a user who displaces the body
+    after init_state must not hand the first step a fairlead segment
+    stretched by the whole offset. Keep the profile math in sync with the
+    float64 host version above (init_state precision path)."""
+    anchors = consts["anchor"]
+    N = consts["N"]
+    L = consts["lseg"] * N
+    w, EA = consts["w"], consts["EA"]
+
+    d = pf0 - anchors
+    xf = jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2) + 1e-12
+    zf = d[..., 2]
+    H, V = qs.catenary_hv(xf, zf, L, w, EA, jnp.ones(xf.shape, bool))
+    H = jnp.maximum(H, 1e-8 * w * L)
+    Va = V - w * L
+
+    s = jnp.linspace(0.0, 1.0, N + 1, dtype=pf0.dtype) * L[..., None]
+    Hc, Vac, wc, Lc, EAc = (a[..., None] for a in (H, Va, w, L, EA))
+    Lb = jnp.clip(-Vac / wc, 0.0, Lc)
+    s_up = jnp.maximum(s - Lb, 0.0)
+    V0 = jnp.maximum(Vac, 0.0)
+    t1 = (V0 + wc * s_up) / Hc
+    t0 = V0 / Hc
+    x_prof = (jnp.minimum(s, Lb)
+              + (Hc / wc) * (jnp.arcsinh(t1) - jnp.arcsinh(t0))
+              + Hc * s / EAc)
+    z_prof = ((Hc / wc) * (jnp.sqrt(1 + t1 * t1) - jnp.sqrt(1 + t0 * t0))
+              + (V0 * s_up + 0.5 * wc * s_up * s_up) / EAc)
+    frac = s / Lc
+    x_prof = x_prof + (xf[..., None] - x_prof[..., -1:]) * frac
+    z_prof = z_prof + (zf[..., None] - z_prof[..., -1:]) * frac
+    e_h = d[..., :2] / xf[..., None]
+    pos = jnp.stack([
+        anchors[..., None, 0] + x_prof * e_h[..., None, 0],
+        anchors[..., None, 1] + x_prof * e_h[..., None, 1],
+        anchors[..., None, 2] + z_prof,
+    ], axis=-1)
+    pos = pos.at[..., -1, :].set(pf0)
+    return jnp.concatenate([pos, jnp.zeros_like(pos)], axis=-1)
 
 
 # ---------------------------------------------------------------------------
