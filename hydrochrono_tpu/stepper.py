@@ -875,8 +875,14 @@ class Simulation:
         lead = pos.shape[:-2]
         p = pos.reshape((-1,) + pos.shape[-2:])
         q = quat.reshape((-1,) + quat.shape[-2:])
-        c = jax.jit(jax.vmap(lambda pp, qq: jnp.abs(
-            self._constraint_residual(const, pp, qq)).max()))(p, q)
+        # one cached jit: run_guarded calls this per chunk — a fresh lambda
+        # per call would retrace the residual eval every chunk (ADVICE r4)
+        if getattr(self, "_drift_eval", None) is None:
+            self._drift_eval = jax.jit(jax.vmap(
+                lambda cc, pp, qq: jnp.abs(
+                    self._constraint_residual(cc, pp, qq)).max(),
+                in_axes=(None, 0, 0)))
+        c = self._drift_eval(const, p, q)
         return np.asarray(c).reshape(lead)
 
     # ------------------------------------------------------------------
@@ -1208,6 +1214,27 @@ class Simulation:
         pf0, _, _ = self._fairlead_kinematics(const, state.pos, state.quat)
         pf1, _, _ = self._fairlead_kinematics(const, pos_new, quat_new)
         return mdyn.advance_lines(md, state.moor, pf0, pf1, self.dt)
+
+    def _reseed_moor_nodes(self, params, state):
+        """Run-start IC consistency for dynamic lines (the MoorDyn "IC
+        generation" role): any line whose stored fairlead node does not sit
+        on the body's ACTUAL fairlead — e.g. the user displaced the body
+        after init_state — is re-seeded onto the quasi-static profile at
+        the current pose. Otherwise the first step would see the last
+        segment stretched by the whole offset (EA * offset/lseg snap
+        loads). Traceable (catenary custom_root), per-line select, and a
+        no-op bitwise on consistent state, so checkpoint/resume stays
+        bit-exact."""
+        from hydrochrono_tpu.physics import mooring_dynamic as mdyn
+
+        const = params["_const"]
+        md = {**self.moor_dyn_meta, **const["moor_dyn"]}
+        pf, _, _ = self._fairlead_kinematics(const, state.pos, state.quat)
+        err2 = jnp.sum((state.moor[..., -1, :3] - pf) ** 2, axis=-1)
+        ok = err2 < jnp.asarray(1e-12, state.moor.dtype)  # (1e-6 m)^2
+        fresh = mdyn.init_line_nodes_jax(md, pf)
+        nodes = jnp.where(ok[..., None, None], state.moor, fresh)
+        return dataclasses.replace(state, moor=nodes)
 
     def _hydrostatic(self, params, pos, quat):
         """Hydrostatic+buoyancy 6-force of the hydro bodies, [6*Nh]."""
@@ -1659,6 +1686,8 @@ class Simulation:
         if state is None:
             state = self.init_state(params=params)
         state = self._ensure_hht_carry(params, state, start_step)
+        if self.moor_dynamic:
+            state = self._reseed_moor_nodes(params, state)
 
         if self.block_size and self.hydro is not None:
             return self._run_blocked(num_steps, state, params, start_step,
