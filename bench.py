@@ -9,10 +9,18 @@
   2. Batched sphere heave decay (real sphere.h5 coefficients), dt=0.015,
      2667 steps — the reference demos/sphere workload, same fused path.
 
-Prints ONE JSON line. vs_baseline is the RM3 per-instance real-time factor
-divided by the BASELINE.md target (100x real time per instance at 4096
-instances on v5e-8 == 512 instances per chip); >= 1.0 means target met.
-The reference itself publishes no wall-time numbers (BASELINE.md).
+TIMEOUT-PROOF DESIGN (round 5): the driver records whatever the LAST JSON
+line on stdout says, so this script emits the current-best result line
+after EVERY section (and mirrors it to bench_partial.json) — a stall in a
+later optional section can no longer forfeit the primary number, which is
+printed as soon as it exists. A wall-clock budget (env BENCH_BUDGET_S,
+default 1200 s) skips remaining OPTIONAL sections when exceeded; the
+mandatory sections are RM3-conv and RM3-ERA.
+
+vs_baseline is the RM3 per-instance real-time factor divided by the
+BASELINE.md target (100x real time per instance at 4096 instances on
+v5e-8 == 512 instances per chip); >= 1.0 means target met. The reference
+itself publishes no wall-time numbers (BASELINE.md).
 
 Also reports achieved model FLOP/s and MFU for the RM3 step program so perf
 work is steered by utilization: flops counted analytically (radiation
@@ -30,6 +38,13 @@ import numpy as np
 
 V5E_PEAK_FLOPS = 197e12  # bf16 peak, one v5e chip
 
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+
+
+def _over_budget() -> bool:
+    return time.time() - T_START > BUDGET_S
+
 
 def _timed(fn, *args):
     out = np.asarray(fn(*args))  # host transfer == reliable sync
@@ -46,6 +61,18 @@ def _rm3_step_flops(B, H, tb, K, nv, m):
     # fused step body: forces + jacobian + KKT (nv^3/3 + (1+m) nv^2) + integrate
     body = (nv**3 / 3 + (1 + m) * nv**2 * 2 + m**3 / 3 + 600) * 2.0 * B
     return far + intra + exc + body
+
+
+def _emit(result: dict):
+    """Print the current result line (driver parses the LAST stdout JSON
+    line) and mirror it to bench_partial.json for post-mortems."""
+    line = json.dumps(result)
+    print(line, flush=True)
+    try:
+        with open("bench_partial.json", "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
 
 
 def main():
@@ -67,7 +94,25 @@ def main():
     n_dev = len(jax.devices())
     B = int(os.environ.get("BENCH_BATCH", "512")) * n_dev
 
-    # ---------------- RM3 irregular (primary) ----------------
+    result = {
+        "metric": "rm3_irregular_steps_per_sec",
+        "value": 0.0,
+        "unit": "instance-steps/s",
+        "vs_baseline": 0.0,
+        "batch": B,
+        "devices": n_dev,
+        "finite": False,
+        "sections_done": [],
+    }
+
+    def _headline(rt_conv, rt_era, dt):
+        best_rt = max(rt_conv, rt_era)
+        result["value"] = round(B * best_rt / dt, 0)
+        result["vs_baseline"] = round(best_rt / 100.0, 3)
+        result["rm3_primary_mode"] = ("era" if rt_era > rt_conv
+                                      else "convolution")
+
+    # ---------------- RM3 irregular (primary, mandatory) ----------------
     rm3_h5 = "/tmp/hydrochrono_tpu_bench_rm3.h5"
     if not os.path.exists(rm3_h5):
         write_bemio_h5(
@@ -95,21 +140,31 @@ def main():
     compile_rm3 = time.time() - t0 - wall_rm3
     ok_rm3 = bool(np.isfinite(out).all())
     rm3_rt = n * dt / wall_rm3
-    rm3_steps_s = B * n / wall_rm3
     H = sim.params["_const"]["W_rev"].shape[0]
     flops_step = _rm3_step_flops(B, H, tb, 6 * sim.n_hydro, sim.nv,
                                  sim.n_constraints)
     achieved = flops_step * n / wall_rm3
     mfu = achieved / (V5E_PEAK_FLOPS * n_dev)
 
-    # RM3 with ERA radiation (shared-pole realization of the same lag
+    result.update({
+        "rm3_per_instance_realtime_factor": round(rm3_rt, 1),
+        "rm3_wall_s": round(wall_rm3, 3),
+        "rm3_compile_s": round(compile_rm3, 1),
+        "rm3_us_per_step": round(wall_rm3 / n * 1e6, 2),
+        "rm3_achieved_tflops": round(achieved / 1e12, 2),
+        "rm3_mfu_vs_bf16_peak": round(mfu, 4),
+        "finite": ok_rm3,
+    })
+    _headline(rm3_rt, 0.0, dt)
+    result["sections_done"] = ["rm3_conv"]
+    _emit(result)
+
+    # ---- RM3 with ERA radiation (shared-pole realization of the same lag
     # kernel, physics/era.py): the far-field Hankel matmul and the ring
     # buffer disappear. Preferred execution = the whole-run fused kernel
     # (stepper.run_fused_era: the ENTIRE time loop in one pallas_call,
-    # radiation in-kernel; measured 4.17 vs 4.92 us/step blocked, round 4);
-    # falls back to the per-dispatch blocked runner, then to the
-    # convolution number, on any failure. Gated on the same reference
-    # goldens (tools/tpu_golden_gates.py gates 7/9).
+    # radiation in-kernel); falls back to the per-dispatch blocked runner.
+    # Gated on the same reference goldens (tools/tpu_golden_gates.py 7/9).
     rm3_era_rt, rm3_era_us, era_order, era_fit_err = 0.0, 0.0, 0, -1.0
     rm3_era_mode = "none"
     sim_e = None
@@ -144,18 +199,33 @@ def main():
             rm3_era_mode = "none"
     except Exception as exc:  # noqa: BLE001
         print(f"# rm3 era bench failed: {exc}", file=sys.stderr)
-    best_rt = max(rm3_rt, rm3_era_rt)
 
-    # ---- B=4096 aggregate-throughput entry (single chip): the standing
-    # large-batch number (VERDICT r3 item 5). Compiles its own program —
-    # skip with BENCH_SKIP_B4096=1 if compile budget is tight.
-    rm3_b4096_steps_s = rm3_b4096_us = 0.0
-    if (sim_e is not None and rm3_era_rt > 0.0 and n_dev == 1
-            and os.environ.get("BENCH_SKIP_B4096") != "1"):
+    result.update({
+        "rm3_era_us_per_step": round(rm3_era_us, 2),
+        "rm3_era_per_instance_realtime_factor": round(rm3_era_rt, 1),
+        "rm3_era_exec": rm3_era_mode,
+        "rm3_era_order": era_order,
+        "rm3_era_kernel_fit_err": round(era_fit_err, 6),
+    })
+    _headline(rm3_rt, rm3_era_rt, dt)
+    result["sections_done"] = result["sections_done"] + ["rm3_era"]
+    _emit(result)
+
+    # ---- large-batch aggregate-throughput entries (single chip): B=1024
+    # and B=4096 whole-run rows (VERDICT r4 item 8 — the roofline lever is
+    # full vregs at B>=1024). Optional: budget-guarded.
+    for B_big in (1024, 4096):
+        key = f"rm3_b{B_big}"
+        if (sim_e is None or rm3_era_rt <= 0.0 or n_dev != 1
+                or os.environ.get("BENCH_SKIP_B4096") == "1"
+                or _over_budget()):
+            if _over_budget():
+                print(f"# skipping {key}: over BENCH_BUDGET_S={BUDGET_S:.0f}",
+                      file=sys.stderr)
+            continue
         try:
-            B4 = 4096
-            n4 = n // 4  # quarter horizon: same steady-state rate, less wall
-            states4 = make_batched_states(sim_e, B4)
+            n4 = n // 4  # quarter horizon: steady-state rate, less wall
+            states4 = make_batched_states(sim_e, B_big)
             if rm3_era_mode == "wholerun":
                 run4 = jax.jit(lambda s: sim_e.run_fused_era(n4, s)[0].pos)
             else:
@@ -163,16 +233,23 @@ def main():
                     lambda s: sim_e.run_blocked_fused(n4, s)[0].pos)
             wall4, out4 = _timed(run4, states4)
             if bool(np.isfinite(out4).all()):
-                rm3_b4096_steps_s = B4 * n4 / wall4
-                rm3_b4096_us = wall4 / n4 * 1e6
+                result[key + "_inst_steps_per_sec"] = round(
+                    B_big * n4 / wall4, 0)
+                result[key + "_us_per_step"] = round(wall4 / n4 * 1e6, 2)
+                flops4 = _rm3_step_flops(B_big, H, tb, 6 * sim_e.n_hydro,
+                                         sim_e.nv, sim_e.n_constraints)
+                result[key + "_mfu_vs_bf16_peak"] = round(
+                    flops4 * n4 / wall4 / V5E_PEAK_FLOPS, 4)
+            result["sections_done"] = result["sections_done"] + [key]
+            _emit(result)
         except Exception as exc:  # noqa: BLE001
-            print(f"# rm3 B=4096 bench failed: {exc}", file=sys.stderr)
+            print(f"# rm3 B={B_big} bench failed: {exc}", file=sys.stderr)
 
     # ---------------- sphere decay (secondary) ----------------
     sph_h5 = "/root/reference/demos/sphere/hydroData/sphere.h5"
     ok_sph = True
     sph_sims_s = sph_rt = 0.0
-    if os.path.exists(sph_h5):
+    if os.path.exists(sph_h5) and not _over_budget():
         hydro = load_bemio_h5(sph_h5, num_bodies=1)
         spec = SystemSpec(
             bodies=[Body(name="body1", mass=261.8e3, pos0=(0.0, 0.0, -1.0))],
@@ -196,141 +273,103 @@ def main():
         ok_sph = bool(np.isfinite(out2).all())
         sph_sims_s = B / wall_sph * (n2 / 2667.0)
         sph_rt = n2 * 0.015 / wall_sph
+        result.update({
+            "sphere_decay_sims_per_sec": round(sph_sims_s, 1),
+            "sphere_per_instance_realtime_factor": round(sph_rt, 1),
+            "finite": ok_rm3 and ok_sph,
+        })
+        result["sections_done"] = result["sections_done"] + ["sphere"]
+        _emit(result)
+    elif _over_budget():
+        print("# skipping sphere: over budget", file=sys.stderr)
 
     # ---------------- 8-device wave farm (farm-scale N, round 3) ----------
     # nv = 48 coupled DOFs (the reference caps at 3 bodies): const-mass
-    # inverse-apply solve + state-space radiation (no history buffer), the
-    # batched XLA path. SURVEY §2.5 TP-row capability measurement.
-    # Apples-to-apples (VERDICT r3 weak 4): BOTH farm radiation modes run
-    # on the SAME shared-pole (shared_modes=4) coefficient file — the
-    # legacy per-entry-random file ERA cannot fit (true order ~2*(6N)^2,
-    # DEVNOTES round 3). r1-r3 farm8_us_per_step was measured on the
-    # legacy file; same kernel resolution/physics scale, so numbers stay
-    # comparable.
+    # inverse-apply solve, batched XLA path. SURVEY §2.5 TP-row capability
+    # measurement. Apples-to-apples (VERDICT r3 weak 4): BOTH farm
+    # radiation modes run on the SAME shared-pole (shared_modes=4)
+    # coefficient file. Optional: budget-guarded.
     farm_h5 = "/tmp/hydrochrono_tpu_bench_farm8_modal.h5"
-    ok_farm = True
-    farm_us_step = farm_rt = 0.0
-    try:
-        from hydrochrono_tpu.models.builders import sphere_farm
+    dtf = 0.02
+    nf = 16384
+    Bf = max(B // 4, 1)
+    wave_f = IrregularWaveParams(height=2.0, period=8.0,
+                                 nfrequencies=300, ramp_duration=20.0)
+    if not _over_budget():
+        try:
+            from hydrochrono_tpu.models.builders import sphere_farm
 
-        if not os.path.exists(farm_h5):
-            write_bemio_h5(
-                farm_h5, 8, seed=17, shared_modes=4, state_space=True,
-                cg_list=[np.array([0.0, 0.0, -2.0])] * 8,
-                cb_list=[np.array([0.0, 0.0, -1.7])] * 8,
-                disp_vol=[261.8] * 8,
-                rirf_tmax=15.0, rirf_steps=1501,
-            )
-        Bf = max(B // 4, 1)
-        wave_f = IrregularWaveParams(height=2.0, period=8.0,
-                                     nfrequencies=300, ramp_duration=20.0)
-        dtf = 0.02
-        # 16384 steps: the whole-run farm kernel is ONE dispatch, so short
-        # runs measure the ~30 ms host round-trip floor, not compute
-        # (measured: 15.6 us/step at nf=2048 vs 4.2 at nf=16384, B=128)
-        nf = 16384
-        # EXACT radiation baseline on the shared file: blocked convolution
-        # through the batched XLA const-mass path. (The per-entry
-        # state-space farm kernel r1-r3 measured here ran on the legacy
-        # random-kernel file whose fits are order-2; the shared-mode file's
-        # per-entry order is 8, whose [o,o,nv,nv,LANE] pages exceed VMEM at
-        # nv=48 — the collapse of exactly those pages to one [M,LANE] tile
-        # is WHY the ERA design below wins.)
-        sim_f = Simulation(sphere_farm(farm_h5, nx=4, ny=2), dt=dtf,
-                           wave=wave_f, duration=1.5 * nf * dtf,
-                           dtype=jnp.float32, radiation="convolution",
-                           block_size=128, outputs=("pos",))
-        assert sim_f.const_mass and sim_f.nv == 48
-        st_f = make_batched_states(sim_f, Bf)
-        if n_dev > 1:
-            from hydrochrono_tpu.parallel.sharding import batch_mesh, shard_batch
-
-            st_f = shard_batch(st_f, batch_mesh())
-        run_xla = jax.jit(jax.vmap(lambda s: sim_f.run(nf, state=s)[0].pos))
-        wall_farm, out_f = _timed(run_xla, st_f)
-        ok_farm = bool(np.isfinite(out_f).all())
-        farm_us_step = wall_farm / nf * 1e6
-        farm_rt = nf * dtf / wall_farm
-    except Exception as exc:  # noqa: BLE001 - farm bench must not kill the primary
-        ok_farm = False
-        print(f"# farm bench failed: {exc}", file=sys.stderr)
-
-    # ---- era-mode farm: shared-pole radiation on a physically-shaped
-    # (shared-mode) kernel — the [o, 6N, 6N, 128] state pages collapse to
-    # one [M, 128] tile (M ~ 20). Measured 3.07 us/step at B=128 (6512x
-    # real time), 27x the XLA path.
-    farm_era_us = farm_era_rt = 0.0
-    try:
-        from hydrochrono_tpu.models.builders import sphere_farm as _sf
-
-        farm_era_h5 = "/tmp/hydrochrono_tpu_bench_farm8_modal.h5"
-        if not os.path.exists(farm_era_h5):
-            write_bemio_h5(
-                farm_era_h5, 8, seed=17, shared_modes=4, state_space=True,
-                cg_list=[np.array([0.0, 0.0, -2.0])] * 8,
-                cb_list=[np.array([0.0, 0.0, -1.7])] * 8,
-                disp_vol=[261.8] * 8, rirf_tmax=15.0, rirf_steps=1501,
-            )
-        sim_fe = Simulation(_sf(farm_era_h5, nx=4, ny=2), dt=dtf,
-                            wave=wave_f, duration=1.5 * nf * dtf,
-                            dtype=jnp.float32, radiation="era",
-                            era_tol=1e-6, outputs=("pos",))
-        if sim_fe.farm_fused_supported():
-            st_fe = make_batched_states(sim_fe, Bf)
+            if not os.path.exists(farm_h5):
+                write_bemio_h5(
+                    farm_h5, 8, seed=17, shared_modes=4, state_space=True,
+                    cg_list=[np.array([0.0, 0.0, -2.0])] * 8,
+                    cb_list=[np.array([0.0, 0.0, -1.7])] * 8,
+                    disp_vol=[261.8] * 8,
+                    rirf_tmax=15.0, rirf_steps=1501,
+                )
+            # 16384 steps: the whole-run farm kernel is ONE dispatch, so
+            # short runs measure the ~30 ms host round-trip floor, not
+            # compute. EXACT radiation baseline on the shared file: blocked
+            # convolution through the batched XLA const-mass path.
+            sim_f = Simulation(sphere_farm(farm_h5, nx=4, ny=2), dt=dtf,
+                               wave=wave_f, duration=1.5 * nf * dtf,
+                               dtype=jnp.float32, radiation="convolution",
+                               block_size=128, outputs=("pos",))
+            assert sim_f.const_mass and sim_f.nv == 48
+            st_f = make_batched_states(sim_f, Bf)
             if n_dev > 1:
-                st_fe = shard_batch(st_fe, batch_mesh())
-            run_fe = jax.jit(lambda s: sim_fe.run_farm_fused(nf, s)[0].pos)
-            wall_fe, out_fe = _timed(run_fe, st_fe)
-            if bool(np.isfinite(out_fe).all()):
-                farm_era_us = wall_fe / nf * 1e6
-                farm_era_rt = nf * dtf / wall_fe
-    except Exception as exc:  # noqa: BLE001
-        print(f"# farm era bench failed: {exc}", file=sys.stderr)
+                from hydrochrono_tpu.parallel.sharding import (batch_mesh,
+                                                               shard_batch)
 
-    result = {
-        "metric": "rm3_irregular_steps_per_sec",
-        # headline = the faster of the two gated production modes
-        # (convolution-exact vs ERA; both pass the reference golden gates,
-        # tools/tpu_golden_gates.py)
-        "value": round(B * best_rt / dt, 0),
-        "unit": "instance-steps/s",
-        "vs_baseline": round(best_rt / 100.0, 3),
-        "batch": B,
-        "devices": n_dev,
-        "rm3_primary_mode": ("era" if rm3_era_rt > rm3_rt else "convolution"),
-        "rm3_per_instance_realtime_factor": round(rm3_rt, 1),
-        "rm3_wall_s": round(wall_rm3, 3),
-        "rm3_compile_s": round(compile_rm3, 1),
-        "rm3_us_per_step": round(wall_rm3 / n * 1e6, 2),
-        "rm3_era_us_per_step": round(rm3_era_us, 2),
-        "rm3_era_per_instance_realtime_factor": round(rm3_era_rt, 1),
-        "rm3_era_exec": rm3_era_mode,
-        "rm3_era_order": era_order,
-        "rm3_era_kernel_fit_err": round(era_fit_err, 6),
-        "rm3_b4096_inst_steps_per_sec": round(rm3_b4096_steps_s, 0),
-        "rm3_b4096_us_per_step": round(rm3_b4096_us, 2),
-        "rm3_achieved_tflops": round(achieved / 1e12, 2),
-        "rm3_mfu_vs_bf16_peak": round(mfu, 4),
-        "sphere_decay_sims_per_sec": round(sph_sims_s, 1),
-        "sphere_per_instance_realtime_factor": round(sph_rt, 1),
-        "farm8_us_per_step": round(farm_us_step, 2),
-        "farm8_per_instance_realtime_factor": round(farm_rt, 1),
-        # same file for BOTH farm rows since r4 (apples-to-apples): farm8 =
-        # exact blocked convolution (XLA const-mass), farm8_era = fused
-        # whole-run shared-pole kernel. r1-r3's farm8 was the per-entry
-        # state-space fused kernel on a different (legacy) file.
-        "farm8_file": "shared_modes",
-        "farm8_radiation": "convolution_exact",
-        "farm8_ok": ok_farm,
-        "farm8_era_us_per_step": round(farm_era_us, 2),
-        "farm8_era_per_instance_realtime_factor": round(farm_era_rt, 1),
-        # primary gate: RM3 + sphere only — the optional farm section must
-        # not contaminate the headline result (it has its own key above),
-        # matching the exit code
-        "finite": ok_rm3 and ok_sph,
-    }
-    print(json.dumps(result))
-    return 0 if (ok_rm3 and ok_sph) else 1
+                st_f = shard_batch(st_f, batch_mesh())
+            run_xla = jax.jit(jax.vmap(lambda s: sim_f.run(nf, state=s)[0].pos))
+            wall_farm, out_f = _timed(run_xla, st_f)
+            result.update({
+                "farm8_us_per_step": round(wall_farm / nf * 1e6, 2),
+                "farm8_per_instance_realtime_factor": round(
+                    nf * dtf / wall_farm, 1),
+                # same file for BOTH farm rows since r4: farm8 = exact
+                # blocked convolution (XLA const-mass), farm8_era = fused
+                # whole-run shared-pole kernel.
+                "farm8_file": "shared_modes",
+                "farm8_radiation": "convolution_exact",
+                "farm8_ok": bool(np.isfinite(out_f).all()),
+            })
+            result["sections_done"] = result["sections_done"] + ["farm8"]
+            _emit(result)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# farm bench failed: {exc}", file=sys.stderr)
+
+    # ---- era-mode farm: shared-pole radiation — the [o, 6N, 6N, 128]
+    # state pages collapse to one [M, 128] tile. Optional: budget-guarded.
+    if not _over_budget():
+        try:
+            from hydrochrono_tpu.models.builders import sphere_farm as _sf
+
+            sim_fe = Simulation(_sf(farm_h5, nx=4, ny=2), dt=dtf,
+                                wave=wave_f, duration=1.5 * nf * dtf,
+                                dtype=jnp.float32, radiation="era",
+                                era_tol=1e-6, outputs=("pos",))
+            if sim_fe.farm_fused_supported():
+                st_fe = make_batched_states(sim_fe, Bf)
+                if n_dev > 1:
+                    st_fe = shard_batch(st_fe, batch_mesh())
+                run_fe = jax.jit(lambda s: sim_fe.run_farm_fused(nf, s)[0].pos)
+                wall_fe, out_fe = _timed(run_fe, st_fe)
+                if bool(np.isfinite(out_fe).all()):
+                    result.update({
+                        "farm8_era_us_per_step": round(wall_fe / nf * 1e6, 2),
+                        "farm8_era_per_instance_realtime_factor": round(
+                            nf * dtf / wall_fe, 1),
+                    })
+                result["sections_done"] = result["sections_done"] + ["farm8_era"]
+                _emit(result)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# farm era bench failed: {exc}", file=sys.stderr)
+
+    result["bench_wall_s"] = round(time.time() - T_START, 1)
+    _emit(result)
+    return 0 if result["finite"] else 1
 
 
 if __name__ == "__main__":

@@ -201,16 +201,25 @@ def capture_third_party(logger: Logger, stderr_fd: bool = True):
     prev_root_level = root.level
 
     # --- channel 3: raw fd 2 ---
+    import faulthandler
     import os
     import tempfile
 
-    saved_fd = spool = None
+    saved_fd = spool = crash_file = None
+    fh_was_enabled = faulthandler.is_enabled()
     if stderr_fd:
         try:
             saved_fd = os.dup(2)
-            spool = tempfile.TemporaryFile(prefix="hctpu_stderr_")
+            # NAMED spool (ADVICE r4): a hard native crash (SIGSEGV/abort in
+            # libtpu) skips the finally-harvest — the file then survives on
+            # disk for post-mortem instead of vanishing with an unlinked fd
+            spool = tempfile.NamedTemporaryFile(prefix="hctpu_stderr_",
+                                                delete=False)
             sys.stderr.flush()
             os.dup2(spool.fileno(), 2)
+            # fatal-signal tracebacks go to the REAL stderr, not the spool
+            crash_file = os.fdopen(os.dup(saved_fd), "w")
+            faulthandler.enable(file=crash_file)
         except OSError:
             saved_fd = spool = None
 
@@ -230,16 +239,27 @@ def capture_third_party(logger: Logger, stderr_fd: bool = True):
                 sys.stderr.flush()
                 os.dup2(saved_fd, 2)
                 os.close(saved_fd)
+                if fh_was_enabled:
+                    faulthandler.enable()  # back onto the restored fd 2
+                else:
+                    faulthandler.disable()
+                if crash_file is not None:
+                    crash_file.close()
                 spool.seek(0)
                 raw = spool.read().decode("utf-8", "replace")
                 spool.close()
+                os.unlink(spool.name)
                 lines = [ln.strip() for ln in raw.splitlines() if ln.strip()]
-                MAX = 40
-                for ln in lines[:MAX]:
+                # head + tail: the tail is where native errors land
+                HEAD, TAIL = 30, 10
+                if len(lines) <= HEAD + TAIL:
+                    shown = lines
+                else:
+                    shown = (lines[:HEAD]
+                             + [f"... (+{len(lines) - HEAD - TAIL} more lines)"]
+                             + lines[-TAIL:])
+                for ln in shown:
                     logger.warnings.append(f"[stderr] {ln}")
-                if len(lines) > MAX:
-                    logger.warnings.append(
-                        f"[stderr] ... (+{len(lines) - MAX} more lines)")
             except OSError:
                 pass
 
