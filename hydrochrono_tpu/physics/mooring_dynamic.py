@@ -13,8 +13,13 @@ anisotropic hydrodynamic added mass and integrate Newton's law under
     coefficient; negative BA = fraction of segment-critical damping),
   * net submerged weight,
   * Morison drag split into tangential/normal components of the relative
-    flow (still water here; line-level wave kinematics are a documented
-    extension point),
+    flow — against the Airy water-particle velocity at each node when the
+    simulation carries a regular/irregular wave (see
+    `wave_kinematics_arrays`), still water otherwise,
+  * Morison fluid inertia (Froude-Krylov + added mass on the fluid
+    acceleration): rho*V*((1+Can)*a_n + (1+Cat)*a_t) per node, the
+    MoorDyn-v2 wave-loading form consistent with the anisotropic added
+    mass already on the structural side,
   * seabed contact as a vertical spring-damper penalty (MoorDyn `kb`/`cb`),
 
 while the two end nodes are kinematically driven: node 0 sits on the
@@ -48,6 +53,8 @@ import jax
 import jax.numpy as jnp
 
 from hydrochrono_tpu.physics import mooring as qs
+
+TWO_PI = 2.0 * np.pi
 
 
 @dataclasses.dataclass(frozen=True)
@@ -281,9 +288,100 @@ def init_line_nodes_jax(consts: dict, pf0: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([pos, jnp.zeros_like(pos)], axis=-1)
 
 
+def wave_kinematics_arrays(wave, irr_data, water_depth: float, g: float,
+                           dtype=jnp.float32):
+    """Airy component tables for line-node wave kinematics, or None.
+
+    Returns (meta, arrays): meta = {"wave_kin": True, "wv_depth", "wv_ch",
+    "wv_sh"} (static scalars), arrays = {"wv_om", "wv_amp", "wv_ph",
+    "wv_k"} [K] component tables evaluated by `_water_kinematics` at every
+    node and substep. Covers the production wave models:
+
+      * RegularWave with scalar amplitude/omega (K = 1),
+      * unidirectional, single-seed IrregularWaveParams via its built
+        IrregularWaveData (K = nfrequencies; amp = sqrt(2 S dw), the same
+        components the excitation uses, wave_types.cpp:432-520),
+
+    and returns None (documented still-water fallback — drag on -v only)
+    for batched sweeps (per-instance component tables would have to ride
+    the vmapped state) and directional spreading (nodes would need per-
+    heading superposition; the body excitation supports it, line loading
+    does not yet).
+    """
+    from hydrochrono_tpu.physics import waves as wv
+
+    heading = float(np.atleast_1d(
+        np.asarray(getattr(wave, "direction", 0.0) or 0.0, np.float64))[0])
+    if isinstance(wave, wv.RegularWave):
+        amp = np.asarray(wave.amplitude, np.float64)
+        om = np.asarray(wave.omega, np.float64)
+        if amp.ndim or om.ndim or np.ndim(getattr(wave, "direction", 0.0)):
+            return None, None  # batched sweep
+        k = wv.compute_wavenumber(np.array([float(om)]), water_depth, g)
+        om_a = np.array([float(om)])
+        amp_a = np.array([float(amp)])
+        ph_a = np.array([float(wave.phase)])
+    elif isinstance(wave, wv.IrregularWaveParams) and irr_data is not None:
+        ph = np.asarray(irr_data.phases, np.float64)
+        if ph.ndim != 1 or irr_data.directions is not None:
+            return None, None  # seed-batched or directional sea
+        amp_a = np.sqrt(2.0 * np.asarray(irr_data.spectral_densities)
+                        * np.asarray(irr_data.spectral_widths))
+        om_a = 2.0 * np.pi * np.asarray(irr_data.freqs_hz, np.float64)
+        k = np.asarray(irr_data.wavenumbers, np.float64)
+        ph_a = ph
+    else:
+        return None, None
+
+    depth = float(water_depth)
+    if not np.isfinite(depth) or depth <= 0.0:
+        depth = 1.0e5  # deep-water branch triggers on k*depth > 500
+    th = np.deg2rad(heading)
+    meta = {"wave_kin": True, "wv_depth": depth,
+            "wv_ch": float(np.cos(th)), "wv_sh": float(np.sin(th))}
+    f8 = lambda a: jnp.asarray(a, dtype)
+    arrays = {"wv_om": f8(om_a), "wv_amp": f8(amp_a),
+              "wv_ph": f8(ph_a), "wv_k": f8(k)}
+    return meta, arrays
+
+
 # ---------------------------------------------------------------------------
 # device-side line dynamics
 # ---------------------------------------------------------------------------
+
+def _water_kinematics(consts, pos, t):
+    """Airy particle velocity/acceleration at node positions [.., nl, N+1, 3]
+    at time t — the superposed deep/finite-depth profiles of
+    physics/kinematics.py evaluated for the component tables of
+    `wave_kinematics_arrays` (wave along the stored heading). z is clamped
+    to the mean water line (no Wheeler stretching on lines: mooring nodes
+    live at depth, where linear kinematics are the standard fidelity —
+    Hall & Goupee 2015 section 2.2)."""
+    om, amp = consts["wv_om"], consts["wv_amp"]
+    ph, k = consts["wv_ph"], consts["wv_k"]
+    ch, sh = consts["wv_ch"], consts["wv_sh"]
+    depth = consts["wv_depth"]
+
+    xp = pos[..., 0] * ch + pos[..., 1] * sh            # [.., nl, N+1]
+    z = jnp.minimum(pos[..., 2], 0.0)
+    arg = k * xp[..., None] - om * t + ph               # [.., nl, N+1, K]
+    deep = jnp.logical_or(TWO_PI / k > depth, k * depth > 500.0)
+    decay = jnp.exp(k * z[..., None])
+    kd = jnp.minimum(k * depth, 500.0)
+    kz = jnp.minimum(k * (z[..., None] + depth), 500.0)
+    sinh_kd = jnp.sinh(kd)
+    prof_h = jnp.where(deep, decay, jnp.cosh(kz) / sinh_kd)
+    prof_v = jnp.where(deep, decay, jnp.sinh(kz) / sinh_kd)
+
+    c, s = jnp.cos(arg), jnp.sin(arg)
+    uh = (om * amp * prof_h * c).sum(-1)
+    uv = (om * amp * prof_v * s).sum(-1)
+    ah = (om * om * amp * prof_h * s).sum(-1)
+    av = -(om * om * amp * prof_v * c).sum(-1)
+    u = jnp.stack([uh * ch, uh * sh, uv], axis=-1)
+    a = jnp.stack([ah * ch, ah * sh, av], axis=-1)
+    return u, a
+
 
 def _segment_tension(consts, pos, vel):
     """Axial internal force per segment: [nl, N, 3] (taut-only spring +
@@ -304,9 +402,12 @@ def _segment_tension(consts, pos, vel):
     return tmag[..., None] * u, u
 
 
-def _node_forces(consts, pos, vel):
+def _node_forces(consts, pos, vel, t_abs=None):
     """External + internal forces on every node [nl, N+1, 3] and the
-    tangent directions used for the added-mass split."""
+    tangent directions used for the added-mass split. `t_abs` is the absolute
+    substep time — used only when the consts carry wave-kinematics tables
+    (`wave_kin`), in which case drag acts on the relative flow u_wave - v
+    and the Morison fluid-inertia force is added."""
     T, u = _segment_tension(consts, pos, vel)
     nl_shape = pos.shape[:-2]
     zeros_end = jnp.zeros(nl_shape + (1, 3), pos.dtype)
@@ -324,13 +425,28 @@ def _node_forces(consts, pos, vel):
     # net submerged weight (full segment length per interior node)
     f_w = jnp.zeros_like(pos).at[..., 2].add(-consts["w"][..., None] * lseg)
 
-    # Morison drag on the relative flow (still water: v_rel = -vel)
-    vr = -vel
+    # Morison drag on the relative flow (wave kinematics when available,
+    # still water otherwise: v_rel = u_wave - vel) + fluid inertia
+    rho = consts["rho"]
+    f_fl = 0.0
+    if consts.get("wave_kin") and t_abs is not None:
+        uw, aw = _water_kinematics(consts, pos, t_abs)
+        vr = uw - vel
+        # Froude-Krylov + added mass on the FLUID acceleration — the
+        # structural side already carries the rho*V*Can/Cat added mass in
+        # the node mass matrix (_accel), so the relative-acceleration
+        # Morison form reduces to rho*V*((1+Can) a_n + (1+Cat) a_t)
+        at_ = jnp.sum(aw * t, axis=-1, keepdims=True) * t
+        an_ = aw - at_
+        vol = (rho * consts["area"] * consts["lseg"])[..., None, None]
+        f_fl = vol * ((1.0 + consts["can"][..., None, None]) * an_
+                      + (1.0 + consts["cat"][..., None, None]) * at_)
+    else:
+        vr = -vel
     vt = jnp.sum(vr * t, axis=-1, keepdims=True) * t
     vn = vr - vt
     spn = jnp.sqrt(jnp.sum(vn * vn, axis=-1, keepdims=True) + 1e-30)
     spt = jnp.sqrt(jnp.sum(vt * vt, axis=-1, keepdims=True) + 1e-30)
-    rho = consts["rho"]
     d_l = (consts["diam"] * consts["lseg"])[..., None, None]
     f_d = (0.5 * rho * consts["cdn"][..., None, None] * d_l * spn * vn
            + 0.5 * rho * jnp.pi * consts["cdt"][..., None, None] * d_l
@@ -343,29 +459,32 @@ def _node_forces(consts, pos, vel):
                                           )[..., None]
     f_b = jnp.zeros_like(pos).at[..., 2].add(fz)
 
-    return f_int + f_w + f_d + f_b, t
+    return f_int + f_w + f_d + f_fl + f_b, t
 
 
-def _accel(consts, pos, vel):
+def _accel(consts, pos, vel, t=None):
     """Interior-node accelerations [nl, N+1, 3] (end rows garbage —
     overwritten by the kinematic boundary handling)."""
-    F, t = _node_forces(consts, pos, vel)
+    F, t_dir = _node_forces(consts, pos, vel, t)  # t = absolute time
     # M = alpha I + beta t t^T  (structural + anisotropic added mass)
     ma = consts["rho"] * consts["area"] * consts["lseg"]
     alpha = (consts["m_node"] + ma * consts["can"])[..., None, None]
     beta = (ma * (consts["cat"] - consts["can"]))[..., None, None]
-    tF = jnp.sum(t * F, axis=-1, keepdims=True)
-    return F / alpha - (beta / (alpha * (alpha + beta))) * tF * t
+    tF = jnp.sum(t_dir * F, axis=-1, keepdims=True)
+    return F / alpha - (beta / (alpha * (alpha + beta))) * tF * t_dir
 
 
 def advance_lines(consts: dict, nodes: jnp.ndarray, pf0, pf1,
-                  dt: float) -> jnp.ndarray:
+                  dt: float, t0=0.0) -> jnp.ndarray:
     """Advance all lines through one outer step of length dt with
     consts["nsub"] midpoint-RK2 substeps (the MoorDyn v1 integrator).
 
     nodes [.., nl, N+1, 6]; pf0/pf1 [.., nl, 3] fairlead world positions at
     the step's start/end (swept linearly; fairlead velocity = the sweep
-    rate). Returns the advanced nodes array.
+    rate). t0 is the absolute time at the step's start — it drives the
+    wave-kinematics evaluation when consts carry component tables (the
+    flag is static, so the no-wave graph is unchanged). Returns the
+    advanced nodes array.
     """
     nsub = consts["nsub"]
     h = dt / nsub
@@ -382,10 +501,10 @@ def advance_lines(consts: dict, nodes: jnp.ndarray, pf0, pf1,
         pos, vel = carry
         frac0 = k / nsub
         pos, vel = clamp(pos, vel, frac0)
-        a1 = _accel(consts, pos, vel)
+        a1 = _accel(consts, pos, vel, t0 + frac0 * dt)
         pm, vm = clamp(pos + 0.5 * h * vel, vel + 0.5 * h * a1,
                        frac0 + 0.5 / nsub)
-        a2 = _accel(consts, pm, vm)
+        a2 = _accel(consts, pm, vm, t0 + (frac0 + 0.5 / nsub) * dt)
         return (pos + h * vm, vel + h * a2), None
 
     pos, vel = nodes[..., :3], nodes[..., 3:]

@@ -982,6 +982,20 @@ class Simulation:
                 self.moor_dyn_meta, const["moor_dyn"] = \
                     mdyn.build_dynamic_consts(spec.moorings, anc, self.dt,
                                               opts, dtype=self.dtype)
+                # Airy wave kinematics at the line nodes (drag on relative
+                # flow + Morison fluid inertia) whenever the simulation's
+                # wave model exposes component tables; still-water loading
+                # otherwise (wave_kinematics_arrays docstring lists the
+                # gated configurations)
+                depth_kin = (float(self.hydro.hydro.water_depth)
+                             if self.hydro is not None
+                             else self.moor_dyn_meta["depth"])
+                wk_meta, wk_arrays = mdyn.wave_kinematics_arrays(
+                    self.wave, getattr(self, "irr", None), depth_kin,
+                    self.moor_dyn_meta["g"], dtype=self.dtype)
+                if wk_meta is not None:
+                    self.moor_dyn_meta.update(wk_meta)
+                    const["moor_dyn"].update(wk_arrays)
                 pf0 = np.stack([
                     self._initial_pose(ml.body)[0]
                     + _rot_np(self._initial_pose(ml.body)[1]) @ loc
@@ -1204,16 +1218,19 @@ class Simulation:
             F = F.at[s * 6 + 3 : s * 6 + 6].add(tau[i])
         return F
 
-    def _advance_moor_nodes(self, const, state, pos_new, quat_new):
+    def _advance_moor_nodes(self, const, state, pos_new, quat_new, n=0):
         """Post-step staggered update of the dynamic line nodes: sweep the
         fairlead linearly from the old to the new body pose and substep
-        the lines (physics/mooring_dynamic.advance_lines)."""
+        the lines (physics/mooring_dynamic.advance_lines). `n` is the
+        step counter at the step's START — it anchors the absolute time
+        of the in-substep wave-kinematics evaluation."""
         from hydrochrono_tpu.physics import mooring_dynamic as mdyn
 
         md = {**self.moor_dyn_meta, **const["moor_dyn"]}
         pf0, _, _ = self._fairlead_kinematics(const, state.pos, state.quat)
         pf1, _, _ = self._fairlead_kinematics(const, pos_new, quat_new)
-        return mdyn.advance_lines(md, state.moor, pf0, pf1, self.dt)
+        return mdyn.advance_lines(md, state.moor, pf0, pf1, self.dt,
+                                  t0=n * self.dt)
 
     def _reseed_moor_nodes(self, params, state):
         """Run-start IC consistency for dynamic lines (the MoorDyn "IC
@@ -1294,7 +1311,7 @@ class Simulation:
         return self._step_core(params, state, n)
 
     def _finish_step_state(self, const, state, pos_new, quat_new,
-                           lin_new, ang_new):
+                           lin_new, ang_new, n=0):
         """New State after an integrator step, including the staggered
         dynamic-mooring node advance (no-op otherwise)."""
         new_state = dataclasses.replace(
@@ -1304,7 +1321,7 @@ class Simulation:
         if self.moor_dynamic:
             new_state = dataclasses.replace(
                 new_state, moor=self._advance_moor_nodes(
-                    const, state, pos_new, quat_new))
+                    const, state, pos_new, quat_new, n))
         return new_state
 
     def _moor_out(self, const, full_out, new_state):
@@ -1395,7 +1412,7 @@ class Simulation:
             pos_new = state.pos + h * lin_new
             quat_new = quat_integrate(state.quat, ang_new, h)
             new_state = self._finish_step_state(
-                const, state, pos_new, quat_new, lin_new, ang_new)
+                const, state, pos_new, quat_new, lin_new, ang_new, n)
             full_out = {
                 "pos": pos_new, "quat": quat_new,
                 "lin_vel": lin_new, "ang_vel": ang_new,
@@ -1438,7 +1455,7 @@ class Simulation:
         quat_new = quat_integrate(state.quat, ang_new, h)
 
         new_state = self._finish_step_state(
-            const, state, pos_new, quat_new, lin_new, ang_new)
+            const, state, pos_new, quat_new, lin_new, ang_new, n)
         full_out = {
             "pos": pos_new,
             "quat": quat_new,
@@ -1615,7 +1632,7 @@ class Simulation:
         pos_new, quat_new, lin_new, ang_new = kinematics(a)
         new_state = dataclasses.replace(
             self._finish_step_state(const, state, pos_new, quat_new,
-                                    lin_new, ang_new),
+                                    lin_new, ang_new, n),
             hht=jnp.stack([a, f_new]),
         )
         full_out = {
