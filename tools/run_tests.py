@@ -160,6 +160,19 @@ def main(argv=None) -> int:
     if args.report:
         write_report(args, rows)
 
+    if args.full_report:
+        # verification page (VERDICT r4 item 9): live golden-gate runs
+        # against the reference's frozen sphere trajectories, rendered in
+        # the style of docs/_main_pages/verification/sphere.md
+        import verification_doc
+
+        if os.path.isdir(verification_doc.REF):
+            rc = verification_doc.main(
+                ["--out", os.path.join(args.full_report, "verification.md")])
+            any_fail = any_fail or rc != 0
+        else:
+            print("# reference data tree absent; skipping verification page")
+
     return 1 if any_fail else 0
 
 
