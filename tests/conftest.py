@@ -31,6 +31,32 @@ REFERENCE = "/root/reference"
 # subprocess harnesses, long goldens). Run the full tier (no -m filter)
 # at least once per round and record the result in DEVNOTES.md.
 SLOW_TESTS = {
+    # round-5 re-tier (VERDICT r4 item 7): quick tier measured 1020 s at
+    # 207 tests; these 21 (mostly interpret-mode fused equivalence +
+    # long dynamic-mooring integrations) bring it to ~580 s measured
+    # (186 tests). Every demoted feature keeps a cheaper quick
+    # representative or a TPU golden gate.
+    "test_wholerun_era_decay_nowave",
+    "test_checkpoint_roundtrip_with_moor_state",
+    "test_moored_body_dynamic_tracks_quasistatic",
+    "test_blocked_era_fused_resume_bit_exact",
+    "test_dynamic_mooring_gradient_flows",
+    "test_farm_fused_era_matches_xla",
+    "test_viscous_fused_hht_matches_xla",
+    "test_farm_fused_spread_matches_xla",
+    "test_blocked_era_golden_and_fused_equivalence",
+    "test_fd_mooring_stiffness",
+    "test_viscous_farm_kernel_matches_xla",
+    "test_hht_guarded_chunks_match_unchunked",
+    "test_hht_blocked_matches_per_step",
+    "test_farm_fused_rejects_modified_baked_params",
+    "test_viscous_gradient_flows",
+    "test_blocked_hht_resume_bit_exact",
+    "test_moored_body_dynamic_hht_runs",
+    "test_fd_matches_td_constrained_sphere",
+    "test_fd_constrained_farm",
+    "test_viscous_fused_step_matches_xla",
+    "test_blocked_matches_plain",
     # round-4 re-tier (VERDICT r3 item 9): measured top offenders
     "test_const_mass_hht_matches_general",
     "test_farm_fused_sharded_matches_unsharded",
