@@ -211,6 +211,47 @@ def main():
     result["sections_done"] = result["sections_done"] + ["rm3_era"]
     _emit(result)
 
+    # ---- order-reduced ERA fit (VERDICT r4 item 8): M=64 halves the
+    # in-kernel ERA matmul cost vs the tol-selected order at the price of
+    # fit error. Records throughput + fit error + final-state L2 vs the
+    # full-order ERA run so the accuracy cost is visible next to the
+    # speedup. Optional: budget-guarded.
+    if (sim_e is not None and rm3_era_rt > 0.0 and n_dev == 1
+            and sim_e.era_order > 64 and not _over_budget()):
+        try:
+            import warnings as _warnings
+
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore")  # loosened-fit warning is
+                # deliberate here; the fit error is recorded in the result
+                sim_m = Simulation(rm3(rm3_h5, pto_damping=1.2e6), dt=dt,
+                                   wave=wave, duration=2 * sim_t,
+                                   dtype=jnp.float32, block_size=tb,
+                                   radiation="era", era_order=64,
+                                   outputs=("pos",))
+            states_m = make_batched_states(sim_m, B)
+            if sim_m.fused_wholerun_supported():
+                run_m = jax.jit(lambda s: sim_m.run_fused_era(n, s)[0].pos)
+                wall_m, out_m = _timed(run_m, states_m)
+            else:
+                run_m = jax.jit(
+                    lambda s, p: sim_m.run_blocked_fused(n, s, params=p)[0].pos)
+                wall_m, out_m = _timed(run_m, states_m, sim_m.params)
+            if bool(np.isfinite(out_m).all()):
+                ref_n = float(np.linalg.norm(out_e))
+                result.update({
+                    "rm3_era_m64_us_per_step": round(wall_m / n * 1e6, 2),
+                    "rm3_era_m64_kernel_fit_err": round(
+                        float(sim_m.era_markov_rel_err), 6),
+                    "rm3_era_m64_final_l2_vs_full": round(
+                        float(np.linalg.norm(out_m - out_e)) / max(ref_n, 1e-30),
+                        8),
+                })
+                result["sections_done"] = result["sections_done"] + ["rm3_era_m64"]
+                _emit(result)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# rm3 era m64 bench failed: {exc}", file=sys.stderr)
+
     # ---- large-batch aggregate-throughput entries (single chip): B=1024
     # and B=4096 whole-run rows (VERDICT r4 item 8 — the roofline lever is
     # full vregs at B>=1024). Optional: budget-guarded.
